@@ -1,0 +1,50 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+The reference has no explicit window functions, but two places carry
+window *semantics*: the latest-snapshot-per-entity view implied by daily
+re-extraction into dated folders (reference src/main_extractor.py:358,363)
+and per-user frequency (reference src/configs/fields_schema.py:219).
+
+Scale note: both windows partition by a high-cardinality key (entity id /
+user id), so the shuffle is well-spread; no global ordering anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_snapshot(events: DataFrame) -> DataFrame:
+    """W1: latest row per entity — row_number over (id, desc updated_time)
+    with a deterministic tiebreak, keep rank 1. This is the "current
+    state" silver view over append-only bronze snapshots.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts", "value")
+    )
+
+
+def last_wins_dedupe(df: DataFrame, key: str, order_col: str, tiebreak: str) -> DataFrame:
+    """A7: last-wins dedupe by id. The reference gets this by dict
+    overwrite in arrival order (reference
+    src/extractors/api_extractor.py:144-173); Spark needs a deterministic
+    rule: max(order_col), then max(tiebreak).
+    """
+    w = Window.partitionBy(key).orderBy(F.desc(order_col), F.desc(tiebreak))
+    return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+
+
+def per_user_frequency(events: DataFrame) -> DataFrame:
+    """W2: per-user event frequency distribution — count over a user
+    window, then distribution by frequency bucket.
+    """
+    w = Window.partitionBy("user_id")
+    return (
+        events.withColumn("user_events", F.count("*").over(w))
+        .select("user_id", "user_events")
+        .distinct()
+    )

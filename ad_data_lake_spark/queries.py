@@ -1,0 +1,358 @@
+"""The oracle-checked query registry (driver contract).
+
+Each entry pairs a PySpark query (``fn(spark, sf_dir) -> DataFrame``)
+with an equivalent ANSI-SQL string the DuckDB oracle runs on the same
+parquet tables. Names map 1:1 to SURVEY.md §2's ``q:`` inventory.
+
+Rules enforced here (see __spark_entry__.py docstring):
+- every computed column is aliased identically in Spark and SQL;
+- floats that aggregate are rounded (2–4 dp) to absorb cross-engine
+  summation-order wobble;
+- nested payloads are serialized to canonical JSON strings for hashing;
+- queries with no SQL-expressible oracle set ``oracle=None`` (driver
+  records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ad_data_lake_spark.operators import aggregates, hierarchy, relational, windows
+from ad_data_lake_spark.sources.tables import load_table
+
+# Deterministic literals shared by Spark + oracle (events span 2024-01).
+EVENTS_CUTOFF = "2024-01-25 00:00:00"
+EVENTS_DAY = "2024-01-15"
+SHIP_CUTOFF = "1998-09-02"
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default=())
+
+
+def _q(fn: Callable[..., DataFrame], *tables: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(*(load_table(spark, t, sf_dir) for t in tables))
+
+    return run
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, spec: QuerySpec) -> None:
+    if name in REGISTRY:
+        raise ValueError(f"duplicate query name {name}")
+    REGISTRY[name] = spec
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§2.2 scans, projections, filters
+# ---------------------------------------------------------------------------
+
+_register(
+    "scan_project",
+    QuerySpec(
+        _q(relational.scan_project, "orders"),
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders WHERE o_orderstatus = 'O'
+        """,
+        ("scan", "projection", "filter"),
+    ),
+)
+
+_register(
+    "filter_updated_since",
+    QuerySpec(
+        _q(lambda e: relational.filter_updated_since(e, EVENTS_CUTOFF), "events"),
+        f"""
+        SELECT event_id, ts, user_id, event_type
+        FROM events WHERE ts > TIMESTAMP '{EVENTS_CUTOFF}'
+        """,
+        ("filter", "incremental"),
+    ),
+)
+
+_register(
+    "filter_time_range",
+    QuerySpec(
+        _q(lambda e: relational.filter_time_range(e, EVENTS_DAY), "events"),
+        f"""
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events
+        WHERE ts >= TIMESTAMP '{EVENTS_DAY}'
+          AND ts < TIMESTAMP '{EVENTS_DAY}' + INTERVAL 1 DAY
+        """,
+        ("filter", "partition-pruning"),
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+_register(
+    "semi_join_lookup",
+    QuerySpec(
+        _q(relational.semi_join_lookup, "part", "lineitem"),
+        """
+        SELECT p_partkey, p_name, p_brand, p_retailprice
+        FROM part
+        WHERE p_partkey IN (
+            SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+        """,
+        ("join", "semi"),
+    ),
+)
+
+_register(
+    "anti_join_missing",
+    QuerySpec(
+        _q(relational.anti_join_missing, "customer", "orders"),
+        """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        """,
+        ("join", "anti"),
+    ),
+)
+
+_register(
+    "distinct_ids",
+    QuerySpec(
+        _q(relational.distinct_ids, "lineitem"),
+        """
+        SELECT DISTINCT l_partkey AS creative_id
+        FROM lineitem WHERE l_partkey IS NOT NULL
+        """,
+        ("dedupe", "aggregate"),
+    ),
+)
+
+_register(
+    "broadcast_dim_join",
+    QuerySpec(
+        _q(relational.broadcast_dim_join, "customer", "nation", "region"),
+        """
+        SELECT c_custkey, c_name,
+               n.n_name AS nation_name, r.r_name AS region_name
+        FROM customer c
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        """,
+        ("join", "broadcast"),
+    ),
+)
+
+_register(
+    "hierarchy_flat",
+    QuerySpec(
+        _q(relational.hierarchy_flat, "orders", "lineitem", "part", "supplier"),
+        """
+        SELECT o_orderkey, o_orderdate, l_linenumber, l_quantity, l_extendedprice,
+               p_name AS part_name, p_brand AS part_brand, s_name AS supplier_name
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE o_orderstatus = 'F'
+        """,
+        ("join", "multiway"),
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregates
+# ---------------------------------------------------------------------------
+
+_register(
+    "agg_action_type",
+    QuerySpec(
+        _q(aggregates.agg_action_type, "events"),
+        """
+        SELECT date_trunc('day', ts) AS event_date, event_type,
+               count(*) AS events,
+               round(sum(value), 2) AS total_value,
+               count(DISTINCT user_id) AS unique_users
+        FROM events GROUP BY 1, 2
+        """,
+        ("aggregate", "insights"),
+    ),
+)
+
+_register(
+    "agg_reach_frequency",
+    QuerySpec(
+        _q(aggregates.agg_reach_frequency, "events"),
+        """
+        SELECT event_type,
+               count(*) AS impressions,
+               count(DISTINCT user_id) AS reach,
+               round(count(*) / count(DISTINCT user_id), 4) AS frequency
+        FROM events GROUP BY event_type
+        """,
+        ("aggregate", "distinct"),
+    ),
+)
+
+_register(
+    "agg_rollup",
+    QuerySpec(
+        _q(aggregates.agg_rollup, "events"),
+        """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               event_date,
+               count(*) AS impressions,
+               count(DISTINCT user_id) AS reach,
+               round(sum(value), 2) AS total_value
+        FROM (SELECT event_type, date_trunc('day', ts) AS event_date, user_id, value
+              FROM events)
+        GROUP BY ROLLUP(event_type, event_date)
+        """,
+        ("aggregate", "rollup"),
+    ),
+)
+
+_register(
+    "derived_ratio_metrics",
+    QuerySpec(
+        _q(aggregates.derived_ratio_metrics, "lineitem"),
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               count(*) AS count_order,
+               round(CASE WHEN sum(l_quantity) <> 0
+                          THEN sum(l_extendedprice * (1 - l_discount)) / sum(l_quantity)
+                     END, 4) AS avg_net_per_qty,
+               round(avg(l_discount), 4) AS avg_disc
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        ("aggregate", "ratios", "flagship"),
+    ),
+)
+
+_register(
+    "count_summary",
+    QuerySpec(
+        _q(aggregates.count_summary, "events"),
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        ("aggregate",),
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+_register(
+    "latest_snapshot_window",
+    QuerySpec(
+        _q(windows.latest_snapshot, "events"),
+        """
+        SELECT user_id, event_id, event_type, ts, value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        ("window",),
+    ),
+)
+
+_register(
+    "per_user_frequency",
+    QuerySpec(
+        _q(windows.per_user_frequency, "events"),
+        """
+        SELECT DISTINCT user_id,
+               count(*) OVER (PARTITION BY user_id) AS user_events
+        FROM events
+        """,
+        ("window",),
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# §2.6/§2.7 sorts, limits, unions
+# ---------------------------------------------------------------------------
+
+_register(
+    "sort_by_name",
+    QuerySpec(
+        _q(relational.sort_by_name, "part"),
+        "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_name, p_partkey",
+        ("sort",),
+    ),
+)
+
+_register(
+    "top_k",
+    QuerySpec(
+        _q(relational.top_k, "part"),
+        """
+        SELECT p_partkey, p_name, p_retailprice FROM part
+        ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+        """,
+        ("sort", "limit"),
+    ),
+)
+
+_register(
+    "union_pages",
+    QuerySpec(
+        _q(relational.union_pages, "orders"),
+        """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        """,
+        ("set-op",),
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# nesting (J1/A9/S14)
+# ---------------------------------------------------------------------------
+
+_register(
+    "collect_list_nest",
+    QuerySpec(
+        _q(hierarchy.nest_children_json, "orders", "lineitem"),
+        """
+        SELECT o.o_orderkey, o.o_orderstatus, c.items_json, c.n_items
+        FROM orders o
+        JOIN (
+            SELECT l_orderkey,
+                   CAST(to_json(list(struct_pack(line := l_linenumber,
+                                                 part_id := l_partkey)
+                                     ORDER BY l_linenumber, l_partkey)) AS VARCHAR)
+                       AS items_json,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_orderkey) c
+        ON o.o_orderkey = c.l_orderkey
+        """,
+        ("nesting", "json"),
+    ),
+)
+
+
+def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

@@ -1,0 +1,79 @@
+"""Table loaders over the driver's parquet fixtures.
+
+One parquet file per table (TESTDATA.md). At 100 TB these become
+partitioned table roots (date-partitioned parquet/Delta); the loader
+API stays the same, so every operator downstream is storage-agnostic.
+
+The reference's equivalent surface is its paged-GET scans
+(reference src/main_extractor.py:364-371 campaigns, :79-89 adsets,
+:131-141 ads) — pagination disappears into source partitioning here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# (region/nation are bounded-cardinality; pixels-analogue).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Read one fixture table. Plain ``spark.read.parquet`` so Catalyst
+    owns pushdown/pruning — filters and projections applied by callers
+    reach the scan (verify with ``df.explain``: PushedFilters/ReadSchema).
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    # Pin UTC even when the caller supplies an untuned session (the
+    # driver's verify does): timestamp semantics must not depend on the
+    # host JVM default timezone. Runtime-settable, cheap, idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        return _read_events(spark, f"{sf_dir}/{name}.parquet")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """The events fact carries parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects by default. Read nanos as long and truncate to
+    microseconds with integer division (ns-since-epoch exceeds double's
+    53-bit mantissa, so ``div``, never ``/``) — matching DuckDB's own
+    ns→µs truncation so oracle comparisons agree.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    """Load all fixture tables as a dict of DataFrames."""
+    return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

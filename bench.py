@@ -1,0 +1,58 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing = full query execution via the JVM-side noop sink
+(``df.write.format("noop")``) so every row is produced but nothing
+crosses to Python and nothing hits disk. A warmup pass runs first so
+JVM/codegen startup isn't billed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _materialize(df) -> None:
+    # Full plan execution, zero serialization/IO cost billed to the query.
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ad_data_lake_spark.queries import REGISTRY
+    from ad_data_lake_spark.session import get_spark
+
+    spark = get_spark("ad_data_lake_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = list(REGISTRY)
+    # Warmup: JVM + codegen + parquet footer cache.
+    _materialize(REGISTRY["derived_ratio_metrics"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _materialize(REGISTRY[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,48 @@
+"""Order-insensitive Spark↔DuckDB result comparison, mimicking the
+driver's correctness gate (row-count + schema + value-hash with columns
+sorted by name). Used by the parity tests for every registry query.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pandas as pd
+
+
+def _canon_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        # absorb representation noise well below the query-level rounding
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, pd.Timestamp) or isinstance(v, datetime):
+        return pd.Timestamp(v).tz_localize(None).isoformat() if pd.Timestamp(v).tzinfo else pd.Timestamp(v).isoformat()
+    if isinstance(v, (list, tuple)) or str(type(v)).endswith("ndarray'>"):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, (int,)):
+        return str(v)
+    return str(v)
+
+
+def canon_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    return sorted(rows)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    s_rows, d_rows = canon_rows(spark_pdf), canon_rows(duck_pdf)
+    mism = [i for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatched rows; first: spark={s_rows[mism[0]]} duck={d_rows[mism[0]]}"
+    )
