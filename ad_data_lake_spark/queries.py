@@ -20,7 +20,13 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ad_data_lake_spark.operators import aggregates, hierarchy, relational, windows
+from ad_data_lake_spark.operators import (
+    aggregates,
+    hierarchy,
+    relational,
+    sanitize_queries,
+    windows,
+)
 from ad_data_lake_spark.sources.tables import load_table
 
 # Deterministic literals shared by Spark + oracle (events span 2024-01).
@@ -346,6 +352,226 @@ _register(
         ON o.o_orderkey = c.l_orderkey
         """,
         ("nesting", "json"),
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 sanitize layer — golden input/output pairs (Spark constructs the
+# messy input and runs the real function; the oracle states the expected
+# clean output computed straight from the source columns)
+# ---------------------------------------------------------------------------
+
+_register(
+    "fn_positive_amount",
+    QuerySpec(
+        _q(sanitize_queries.fn_positive_amount, "orders"),
+        """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice - 150000 > 0
+                    THEN CAST(round(o_totalprice - 150000) AS BIGINT) END AS amount_cents
+        FROM orders
+        """,
+        ("sanitize", "golden"),
+    ),
+)
+
+_register(
+    "fn_budget_exclusion",
+    QuerySpec(
+        _q(sanitize_queries.fn_budget_exclusion, "orders"),
+        """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN CAST(round(o_totalprice) AS BIGINT) END AS daily_budget,
+               CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
+                    THEN CAST(round(o_totalprice * 2) AS BIGINT) END AS lifetime_budget
+        FROM orders
+        """,
+        ("sanitize", "golden"),
+    ),
+)
+
+_register(
+    "fn_spend_cap",
+    QuerySpec(
+        _q(sanitize_queries.fn_spend_cap, "orders"),
+        """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 4 = 3
+                    THEN CAST(round(o_totalprice) AS BIGINT) END AS spend_cap
+        FROM orders
+        """,
+        ("sanitize", "golden"),
+    ),
+)
+
+_register(
+    "fn_string_collection",
+    QuerySpec(
+        _q(sanitize_queries.fn_string_collection, "customer"),
+        """
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 IN (0, 1)
+                    THEN c_name || '|' || c_mktsegment
+                    ELSE '' END AS categories
+        FROM customer
+        """,
+        ("sanitize", "golden"),
+    ),
+)
+
+_register(
+    "fn_parse_datetime",
+    QuerySpec(
+        _q(sanitize_queries.fn_parse_datetime, "orders"),
+        """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 1
+                    THEN o_orderdate - INTERVAL 8 HOUR
+                    ELSE o_orderdate END AS parsed_ts
+        FROM orders
+        """,
+        ("sanitize", "golden", "timestamp"),
+    ),
+)
+
+_register(
+    "fn_clamp_start_time",
+    QuerySpec(
+        _q(sanitize_queries.fn_clamp_start_time, "orders"),
+        f"""
+        SELECT o_orderkey,
+               strftime(CASE WHEN o_orderdate >= TIMESTAMP '{sanitize_queries.CLAMP_NOW}'
+                             THEN o_orderdate
+                             ELSE TIMESTAMP '{sanitize_queries.CLAMP_NOW}' END,
+                        '%Y-%m-%dT%H:%M:%S') || '+00:00' AS start_time
+        FROM orders
+        """,
+        ("sanitize", "golden", "timestamp"),
+    ),
+)
+
+_register(
+    "fn_numeric_autocast",
+    QuerySpec(
+        _q(sanitize_queries.fn_numeric_autocast, "customer"),
+        """
+        SELECT CAST(c_custkey AS VARCHAR) AS c_id,
+               c_acctbal AS acctbal_num,
+               CAST(c_nationkey AS DOUBLE) AS natkey_num
+        FROM customer
+        """,
+        ("sanitize", "golden"),
+    ),
+)
+
+_register(
+    "fn_boolean_coerce",
+    QuerySpec(
+        _q(sanitize_queries.fn_boolean_coerce, "orders"),
+        """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 9 <= 3 THEN TRUE
+                    WHEN o_orderkey % 9 <= 7 THEN FALSE END AS is_dynamic_creative
+        FROM orders
+        """,
+        ("sanitize", "golden"),
+    ),
+)
+
+_register(
+    "fn_actid_norm",
+    QuerySpec(
+        _q(sanitize_queries.fn_actid_norm, "customer"),
+        """
+        SELECT c_custkey, 'act_' || CAST(c_custkey AS VARCHAR) AS account_id
+        FROM customer
+        """,
+        ("sanitize", "golden"),
+    ),
+)
+
+_register(
+    "fn_flatten_ref",
+    QuerySpec(
+        _q(sanitize_queries.fn_flatten_ref, "lineitem"),
+        """
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_partkey AS VARCHAR) AS creative_id
+        FROM lineitem
+        """,
+        ("sanitize", "golden", "nested"),
+    ),
+)
+
+_register(
+    "fn_coalesce_spec",
+    QuerySpec(
+        _q(sanitize_queries.fn_coalesce_spec, "part"),
+        "SELECT p_partkey, p_name AS message FROM part",
+        ("creative", "golden", "nested"),
+    ),
+)
+
+_register(
+    "fn_gather_arrays",
+    QuerySpec(
+        _q(sanitize_queries.fn_gather_arrays, "part"),
+        """
+        SELECT p_partkey,
+               p_brand || '|' || p_type || '|' || p_name AS items
+        FROM part
+        """,
+        ("creative", "golden", "nested"),
+    ),
+)
+
+_register(
+    "fn_nested_update",
+    QuerySpec(
+        _q(sanitize_queries.fn_nested_update, "part"),
+        """
+        SELECT p_partkey,
+               '{"link_data":{"message":"' || upper(p_name) ||
+               '","image_hash":"' || md5(p_brand) ||
+               '","headline":"' || p_brand || '"}}' AS spec_json
+        FROM part
+        """,
+        ("creative", "golden", "nested", "json"),
+    ),
+)
+
+_register(
+    "fn_unicode_unescape",
+    QuerySpec(
+        _q(sanitize_queries.fn_unicode_unescape, "documents"),
+        None,  # pandas-UDF path; no SQL-expressible oracle (rows-only)
+        ("sanitize", "pandas-udf"),
+    ),
+)
+
+_register(
+    "sanitize_campaign_payload",
+    QuerySpec(
+        _q(sanitize_queries.sanitize_campaign, "orders"),
+        f"""
+        SELECT CAST(o_orderkey AS VARCHAR) AS id,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN CAST(round(o_totalprice) AS BIGINT) END AS daily_budget,
+               CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
+                    THEN CAST(round(o_totalprice * 2) AS BIGINT) END AS lifetime_budget,
+               CASE WHEN o_orderkey % 4 = 3
+                    THEN CAST(round(o_totalprice) AS BIGINT) END AS spend_cap,
+               CASE WHEN o_orderkey % 3 IN (0, 1)
+                    THEN o_orderpriority ELSE '' END AS special_ad_categories,
+               strftime(CASE WHEN o_orderdate >= TIMESTAMP '{sanitize_queries.CLAMP_NOW}'
+                             THEN o_orderdate
+                             ELSE TIMESTAMP '{sanitize_queries.CLAMP_NOW}' END,
+                        '%Y-%m-%dT%H:%M:%S') || '+00:00' AS start_time
+        FROM orders
+        """,
+        ("sanitize", "composite", "write-contract"),
     ),
 )
 
