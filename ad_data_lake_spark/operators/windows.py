@@ -39,8 +39,19 @@ def last_wins_dedupe(df: DataFrame, key: str, order_col: str, tiebreak: str) -> 
 
 
 def per_user_frequency(events: DataFrame) -> DataFrame:
-    """W2: per-user event frequency distribution — count over a user
-    window, then distribution by frequency bucket.
+    """W2 (default plan): per-user event frequency as a plain aggregate —
+    one shuffle with map-side partial combine. Identical result to the
+    window form below; at 100× scale the window variant sorts every
+    event row inside each user partition and then distincts a second
+    shuffle, so the aggregate is the production plan.
+    """
+    return events.groupBy("user_id").agg(F.count("*").alias("user_events"))
+
+
+def per_user_frequency_window(events: DataFrame) -> DataFrame:
+    """W2 (window demo): the same result via count().over(partitionBy) +
+    distinct — kept as the documented window-function form of SURVEY W2;
+    not the default (two shuffles of full rows vs one combined agg).
     """
     w = Window.partitionBy("user_id")
     return (

@@ -284,11 +284,10 @@ _register(
     QuerySpec(
         _q(windows.per_user_frequency, "events"),
         """
-        SELECT DISTINCT user_id,
-               count(*) OVER (PARTITION BY user_id) AS user_events
-        FROM events
+        SELECT user_id, count(*) AS user_events
+        FROM events GROUP BY user_id
         """,
-        ("window",),
+        ("window", "aggregate"),
     ),
 )
 

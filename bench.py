@@ -7,8 +7,10 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Timing = full query execution via the JVM-side noop sink
 (``df.write.format("noop")``) so every row is produced but nothing
-crosses to Python and nothing hits disk. A warmup pass runs first so
-JVM/codegen startup isn't billed.
+crosses to Python and nothing hits disk. Every query is warmed once
+(full first pass) before the timed second pass, so JVM startup, codegen
+compilation, and parquet footer caching aren't billed to any query —
+ratios against the (equally warm) DuckDB baseline stay honest.
 """
 
 from __future__ import annotations
@@ -33,8 +35,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = list(REGISTRY)
-    # Warmup: JVM + codegen + parquet footer cache.
-    _materialize(REGISTRY["derived_ratio_metrics"].fn(spark, sf_dir))
+    # Warm pass: JVM + codegen compile + parquet footers, per query.
+    for name in names:
+        _materialize(REGISTRY[name].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:
