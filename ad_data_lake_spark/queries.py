@@ -575,6 +575,18 @@ _register(
 )
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline layer (BASELINE.json north star; SURVEY §7 step 8):
+# dedup / text analysis over documents, similarity over embeddings.
+# Specs live next to the operators (llm/registry.py) and are merged here.
+# ---------------------------------------------------------------------------
+
+from ad_data_lake_spark.llm.registry import LLM_TEXT_QUERIES  # noqa: E402
+
+for _name, (_fn, _oracle, _tags) in LLM_TEXT_QUERIES.items():
+    _register(_name, QuerySpec(_fn, _oracle, tuple(_tags)))
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
