@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ad_data_lake_spark.llm import corpus as CP
 from ad_data_lake_spark.llm import dedup as D
+from ad_data_lake_spark.llm import similarity as SIM
 from ad_data_lake_spark.llm import text as T
 from ad_data_lake_spark.sources.tables import load_table
 
@@ -238,6 +239,110 @@ _add(
             FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents)))
     """,
     ("llm", "text", "quality"),
+)
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search (llm/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def _emb_q(fn: Callable[[DataFrame], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_table(spark, "embeddings", sf_dir))
+
+    return run
+
+
+def _bucket_sql(vec: str) -> str:
+    """The hyperplane-LSH bucket id as DuckDB SQL — same ±1 planes the
+    Spark side inlines (one Python source of truth)."""
+    terms = []
+    for j, plane in enumerate(SIM.hyperplanes()):
+        lits = ", ".join(str(int(p)) for p in plane)
+        terms.append(
+            f"CASE WHEN round(list_dot_product({vec}, [{lits}]::DOUBLE[]), 6) >= 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+_COS = "round(list_cosine_similarity(qv, cv), 6)"
+
+_add(
+    "embed_topk_bruteforce",
+    _emb_q(SIM.topk_bruteforce),
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings)
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT query_id, vec_id, {_COS} AS cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_COS} DESC, vec_id) AS rank
+        FROM q, c WHERE query_id <> vec_id)
+    WHERE rank <= 10
+    """,
+    ("llm", "similarity", "ann", "bruteforce"),
+)
+
+_add(
+    "embed_topk_ivf",
+    _emb_q(SIM.topk_ivf),
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 97 = 0),
+    c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings)
+    SELECT query_id, label, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT query_id, label, vec_id, {_COS} AS cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_COS} DESC, vec_id) AS rank
+        FROM q JOIN c ON q.query_label = c.label AND q.query_id <> c.vec_id)
+    WHERE rank <= 5
+    """,
+    ("llm", "similarity", "ann", "ivf"),
+)
+
+_add(
+    "embed_neardup_pairs",
+    _emb_q(SIM.cosine_neardup_pairs),
+    f"""
+    WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + {SIM.NEAR_OFFSET},
+               list_transform(embedding::DOUBLE[], x -> x + {SIM.PERTURB}), label
+        FROM embeddings WHERE vec_id % {SIM.NEAR_MOD} = 0)
+    SELECT * FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+        FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id)
+    WHERE cosine_sim >= 0.95
+    """,
+    ("llm", "similarity", "dedup"),
+)
+
+_add(
+    "embed_topk_lsh",
+    _emb_q(SIM.topk_lsh),
+    f"""
+    WITH cb AS (SELECT vec_id, embedding::DOUBLE[] AS cv,
+                       {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+                FROM embeddings),
+    q AS (SELECT vec_id AS query_id, cv AS qv, bucket
+          FROM cb WHERE vec_id % 97 = 0)
+    SELECT query_id, bucket, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT query_id, q.bucket AS bucket, cb.vec_id AS vec_id,
+               {_COS} AS cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_COS} DESC, cb.vec_id) AS rank
+        FROM q JOIN cb ON q.bucket = cb.bucket AND q.query_id <> cb.vec_id)
+    WHERE rank <= 5
+    """,
+    ("llm", "similarity", "ann", "lsh"),
 )
 
 _add(

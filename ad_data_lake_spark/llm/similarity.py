@@ -1,0 +1,212 @@
+"""Embedding similarity search over the ``embeddings`` fixture
+(``vec_id``, 64-dim float ``embedding``, ``label``).
+
+Operators:
+- brute-force cosine top-k — the exactness baseline: broadcast the
+  (small) query set against every vector; correct at any scale but
+  O(n·q), so it's the yardstick, not the production path;
+- IVF-style bucketed top-k — restrict the probe to the query's
+  coarse cell (here the ``label`` column plays the cluster-assignment
+  role); the candidate set shrinks by the number of cells, and on a
+  partitioned lake the cell predicate prunes partitions;
+- hyperplane-LSH bucketed top-k — sign-of-projection bits onto fixed
+  ±1 hyperplanes form the bucket key; probing joins on the bucket;
+- cosine near-dup pairs — within-bucket pairs above a threshold
+  (embedding-space analogue of MinHash near-dup).
+
+All arithmetic is done in DOUBLE on the JVM via higher-order array
+functions (``zip_with`` + ``aggregate``) — no UDFs, no Python in the
+hot path — and similarities are rounded to 6 dp before ranking so
+cross-engine float noise cannot reorder results.
+
+Scale notes (100 TB): the brute-force form broadcasts queries and
+never shuffles the vector table; the bucketed forms shuffle only on
+(cell/bucket) keys whose cardinality the caller controls. Ranking
+windows partition on query_id (small × bounded candidates), never
+globally.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+DIM = 64
+NEAR_OFFSET = 1_000_000
+NEAR_MOD = 9
+# Vectors are unit-norm; +0.01 per component keeps cosine ≈ 0.997 —
+# comfortably above the 0.95 near-dup bar, far above random-pair max.
+PERTURB = 0.01
+
+
+def as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product via zip_with + left-fold aggregate — sequential
+    double accumulation (same order DuckDB uses, so oracle values agree
+    to well under the 6-dp rounding)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes derived from md5(j:d) parity — a
+    fixed pseudo-random basis both engines can restate as literals."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{j}:{d}".encode()).hexdigest()
+            row.append(float((int(h[:2], 16) % 2) * 2 - 1))
+        planes.append(row)
+    return planes
+
+
+def _queries(embeddings: DataFrame, pred: Column) -> DataFrame:
+    return embeddings.where(pred).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+        F.col("label").alias("query_label"),
+    )
+
+
+def _ranked(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def topk_bruteforce(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, score every vector,
+    per-query window rank. The vector table is scanned once and never
+    shuffled; only the q×n scored pairs move."""
+    q = _queries(embeddings, F.col("vec_id") < n_queries)
+    c = embeddings.select("vec_id", as_double(F.col("embedding")).alias("cv"))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    return _ranked(pairs, k).select("query_id", "vec_id", "cosine_sim", "rank")
+
+
+def topk_ivf(embeddings: DataFrame, query_mod: int = 97, k: int = 5) -> DataFrame:
+    """IVF-style top-k: the probe joins on the coarse cell key (label),
+    scoring only same-cell candidates — candidate volume drops by the
+    cell count, and a cell-partitioned lake prunes whole partitions
+    before the scan."""
+    q = _queries(embeddings, F.col("vec_id") % query_mod == 0)
+    c = embeddings.select(
+        "vec_id", F.col("label"), as_double(F.col("embedding")).alias("cv")
+    )
+    pairs = (
+        c.join(F.broadcast(q), (q["query_label"] == c["label"]) & (q["query_id"] != c["vec_id"]))
+        .select(
+            "query_id",
+            "label",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    return _ranked(pairs, k).select("query_id", "label", "vec_id", "cosine_sim", "rank")
+
+
+def near_corpus(embeddings: DataFrame) -> DataFrame:
+    """Embeddings ∪ perturbed copies (every NEAR_MOD-th vector, +PERTURB
+    on every component) — the deterministic near-duplicate fixture, cast
+    to double before perturbation so both engines do identical
+    arithmetic."""
+    base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"), "label")
+    near = (
+        embeddings.where(F.col("vec_id") % NEAR_MOD == 0)
+        .select(
+            (F.col("vec_id") + NEAR_OFFSET).alias("vec_id"),
+            F.transform(as_double(F.col("embedding")), lambda x: x + F.lit(PERTURB)).alias("v"),
+            "label",
+        )
+    )
+    return base.unionByName(near)
+
+
+def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding near-dup detection: within-cell pairs above a cosine
+    threshold. The label join keeps the pair space bucketed (the
+    perturbed copies keep their source's label, so every planted
+    near-dup is found); at scale the bucket key would be an LSH bucket
+    or IVF cell — never all pairs."""
+    c = near_corpus(embeddings)
+    a = c.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "label")
+    b = c.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("label").alias("label_b"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _plane_lit(plane: list[float]) -> Column:
+    return F.array(*[F.lit(p) for p in plane])
+
+
+def lsh_bucket(v: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection LSH bucket id: bit j = (v · r_j ≥ 0)."""
+    bucket = None
+    for j, plane in enumerate(planes):
+        term = F.when(F.round(dot(v, _plane_lit(plane)), 6) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("int")
+
+
+def topk_lsh(embeddings: DataFrame, query_mod: int = 97, k: int = 5) -> DataFrame:
+    """Hyperplane-LSH ANN top-k: bucket every vector by projection
+    signs, probe only the query's bucket. Recall trades against the
+    number of planes; production multi-probes neighboring buckets.
+    The join key is the (uniformly distributed) bucket id."""
+    planes = hyperplanes()
+    c = embeddings.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    q = (
+        embeddings.where(F.col("vec_id") % query_mod == 0)
+        .select(F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv"))
+        .withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    )
+    pairs = (
+        c.join(F.broadcast(q), (q["bucket"] == c["bucket"]) & (q["query_id"] != c["vec_id"]))
+        .select(
+            "query_id",
+            c["bucket"].alias("bucket"),
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    return _ranked(pairs, k).select("query_id", "bucket", "vec_id", "cosine_sim", "rank")
