@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ad_data_lake_spark.llm import corpus as CP
 from ad_data_lake_spark.llm import dedup as D
+from ad_data_lake_spark.llm import multimodal as MM
 from ad_data_lake_spark.llm import similarity as SIM
 from ad_data_lake_spark.llm import text as T
 from ad_data_lake_spark.sources.tables import load_table
@@ -239,6 +240,31 @@ _add(
             FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents)))
     """,
     ("llm", "text", "quality"),
+)
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (llm/multimodal.py) — the mapInPandas feature
+# extractor's fake features are md5-derived, so even the Python-side
+# batch path is fully value-checked by the oracle.
+# ---------------------------------------------------------------------------
+
+_MM_FEATS = ",\n           ".join(
+    f"round(('0x' || substr(md5(text), {8 * i + 1}, 8))::BIGINT / 4294967296.0, 6) AS f{i}"
+    for i in range(4)
+)
+
+_add(
+    "multimodal_features",
+    _doc_q(MM.multimodal_features),
+    f"""
+    SELECT doc_id,
+           length(text) AS byte_len,
+           md5(text) AS payload_md5,
+           CASE WHEN doc_id % 4 = 2 THEN 'video' ELSE 'image' END AS kind,
+           {_MM_FEATS}
+    FROM documents
+    """,
+    ("llm", "multimodal", "pandas-udf"),
 )
 
 # ---------------------------------------------------------------------------

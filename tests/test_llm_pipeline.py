@@ -1,0 +1,126 @@
+"""Semantic tests for the LLM-pipeline layer — beyond oracle parity:
+do the dedup operators actually *find* the planted duplicates, does the
+ANN path rank the planted near-vector first, is the multimodal stub
+honest about what it can't do.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ad_data_lake_spark.llm import corpus as CP
+from ad_data_lake_spark.llm import dedup as D
+from ad_data_lake_spark.llm import multimodal as MM
+from ad_data_lake_spark.llm import similarity as SIM
+from ad_data_lake_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, "documents", SF_ORACLE)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, "embeddings", SF_ORACLE)
+
+
+def test_exact_dedup_finds_every_planted_copy(documents):
+    n_planted = documents.where(F.col("doc_id") % CP.EXACT_MOD == 0).count()
+    dups = D.dedup_exact(CP.dup_corpus(documents)).where(F.col("n_copies") > 1)
+    rows = dups.collect()
+    # every planted exact copy collapses onto its source, keeper is the base id
+    assert len(rows) == n_planted
+    assert all(r.n_copies == 2 and r.keep_doc_id < CP.EXACT_OFFSET for r in rows)
+
+
+def test_normalized_dedup_catches_recased_copies(documents):
+    n_planted = documents.where(F.col("doc_id") % CP.NORM_MOD == 0).count()
+    corpus = CP.norm_corpus(documents)
+    raw_dups = D.dedup_exact(corpus).where(F.col("n_copies") > 1).count()
+    norm_dups = D.dedup_normalized(corpus).where(F.col("n_copies") > 1).count()
+    assert raw_dups == 0  # recased copies are invisible to exact dedup
+    assert norm_dups == n_planted
+
+
+def test_minhash_lsh_recalls_planted_pairs(documents):
+    pairs = D.minhash_neardup_pairs(CP.dup_corpus(documents)).collect()
+    exact = {(r.doc_a, r.doc_b) for r in pairs if r.jaccard == 1.0}
+    near = {(r.doc_a, r.doc_b) for r in pairs if r.jaccard < 1.0}
+    n_exact = documents.where(F.col("doc_id") % CP.EXACT_MOD == 0).count()
+    n_near = documents.where(F.col("doc_id") % CP.NEAR_MOD == 0).count()
+    # exact copies always share all bands; near copies probabilistically
+    # (deterministic given the fixed seeds) — require full exact recall
+    # and >80% near recall
+    assert len(exact) >= n_exact
+    assert len(near) >= 0.8 * n_near
+    assert all(j >= 0.5 for j in (r.jaccard for r in pairs))
+
+
+def test_simhash_groups_planted_copies(documents):
+    groups = D.simhash_groups(CP.dup_corpus(documents))
+    n_exact = documents.where(F.col("doc_id") % CP.EXACT_MOD == 0).count()
+    assert groups.count() >= n_exact * 0.9
+
+
+def test_ann_ranks_planted_near_vector_first(spark, embeddings):
+    # plant one perturbed copy of vec 0 and brute-force search with vec 0
+    corpus = SIM.near_corpus(embeddings)
+    planted = corpus.where(F.col("vec_id") >= SIM.NEAR_OFFSET)
+    base = corpus.where(F.col("vec_id") < SIM.NEAR_OFFSET)
+    top1 = (
+        base.where(F.col("vec_id") == 0)
+        .select(F.col("v").alias("qv"))
+        .crossJoin(planted.select("vec_id", "v"))
+        .select("vec_id", SIM.cosine(F.col("qv"), F.col("v")).alias("sim"))
+        .orderBy(F.desc("sim"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert top1.vec_id == SIM.NEAR_OFFSET  # the perturbed copy of vec 0
+    assert top1.sim > 0.99
+
+
+def test_topk_bruteforce_shape(embeddings):
+    out = SIM.topk_bruteforce(embeddings, n_queries=3, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+        sims = [r.cosine_sim for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.vec_id != q for r in rows)
+
+
+def test_multimodal_decode_stub_is_honest():
+    if MM.HAVE_IMAGE_DECODER:
+        pytest.skip("decoder present; stub inactive")
+    with pytest.raises(NotImplementedError):
+        MM.decode_asset_bytes(b"xx", "image/jpeg")
+
+
+def test_multimodal_feature_batch_shape(documents):
+    feats = MM.multimodal_features(documents)
+    assert feats.schema.simpleString() == (
+        "struct<doc_id:bigint,byte_len:bigint,payload_md5:string,kind:string,"
+        "f0:double,f1:double,f2:double,f3:double>"
+    )
+    rows = feats.orderBy("doc_id").limit(4).collect()
+    # deterministic fake features reproduce hashlib md5 on the driver
+    import hashlib
+
+    doc = documents.where(F.col("doc_id") == rows[0].doc_id).collect()[0]
+    h, f = MM.fake_features(doc.text.encode())
+    assert rows[0].payload_md5 == h == hashlib.md5(doc.text.encode()).hexdigest()
+    assert [rows[0].f0, rows[0].f1, rows[0].f2, rows[0].f3] == f
+    assert {r.kind for r in feats.collect()} == {"image", "video"}
+
+
+def test_frame_sampling_plan(spark):
+    df = spark.range(1).select(F.lit(100).alias("n_frames"))
+    out = df.select(MM.sample_frame_indices(F.col("n_frames"), 3).alias("idx")).collect()
+    assert out[0].idx == [0, 49, 99]
