@@ -1,0 +1,85 @@
+"""Structured Streaming incremental path (SURVEY.md §2.9 T1/T4).
+
+The reference's "daily mode" is a scheduled batch pull of rows updated
+in the last day (reference src/main_extractor.py:42-51,358) with no
+late/duplicate handling (re-runs overwrite files). The streaming
+re-expression: a file-source stream over the events fact, a 1-day
+watermark bounding state, ``dropDuplicates`` on the event id within
+the watermark, and the per-day insights aggregate (A1) computed
+continuously — the same result the batch aggregate produces, verified
+by test.
+
+Scale notes:
+- the watermark bounds dedupe + window state to ~1 day of keys per
+  partition — constant memory at any throughput;
+- ``maxFilesPerTrigger`` is the pacing knob (the reference's
+  rate-limit sleeps, reference src/main_extractor.py:318-319, map to
+  trigger pacing);
+- sink-side, a real deployment writes ``foreachBatch`` →
+  ``merge_upsert`` (incremental.py) for exactly-once table upserts;
+  the demo uses availableNow + memory sink so tests terminate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def streaming_daily_insights(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream → watermark → dropDuplicates(event_id) → tumbling
+    1-day window aggregate per event_type. Append-mode capable (the
+    watermark closes windows)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(source_dir)
+    return (
+        events.withWatermark("ts", "1 day")
+        .dropDuplicates(["event_id"])
+        .groupBy(F.window("ts", "1 day").alias("day"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("day.start").alias("event_date"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain everything currently available through the streaming plan
+    into an in-memory table and return it as a batch DataFrame — the
+    test/demo harness for the incremental path."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def batch_equivalent(events: DataFrame) -> DataFrame:
+    """The batch aggregate the stream must reproduce (dedupe by
+    event_id, then per-day per-type counts/sums)."""
+    return (
+        events.dropDuplicates(["event_id"])
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("event_date"), "event_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -1,0 +1,130 @@
+"""Write/incremental layer tests: partitioned sink round-trip, MERGE
+idempotency, partition-scoped backfill, and the streaming demo vs its
+batch equivalent (SURVEY §5: run-twice/hash-equal is the incremental
+acceptance rule).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ad_data_lake_spark import incremental, sinks
+from ad_data_lake_spark.sources.tables import load_table
+from ad_data_lake_spark.streaming import (
+    batch_equivalent,
+    run_available_now,
+    streaming_daily_insights,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, "events", SF_SMOKE)
+
+
+def _table_hash(df) -> int:
+    # order-insensitive, overflow-free content hash (ANSI mode rejects
+    # a sum() of xxhash64 longs)
+    cols = sorted(df.columns)
+    return (
+        df.select(F.xxhash64(*cols).alias("h"))
+        .agg(F.expr("bit_xor(h)").alias("t"))
+        .collect()[0]
+        .t
+    )
+
+
+def test_partitioned_write_roundtrip(spark, events, tmp_path):
+    path = str(tmp_path / "events_lake")
+    daily = events.withColumn("snapshot_date", F.to_date("ts"))
+    sinks.write_partitioned(daily, path, ("snapshot_date",))
+    back = sinks.read_lake(spark, path)
+    assert back.count() == events.count()
+    # layout: one directory per day (the reference's dated folders)
+    assert any(d.startswith("snapshot_date=") for d in os.listdir(path))
+    # values survive the round trip (partition col comes back as DATE)
+    assert _table_hash(back.withColumn("snapshot_date", F.col("snapshot_date").cast("date"))) == _table_hash(daily)
+    # partition pruning: a date predicate must read a subset
+    one_day = back.where(F.col("snapshot_date") == "2024-01-15")
+    assert 0 < one_day.count() < events.count()
+
+
+def test_merge_upsert_is_idempotent_and_last_wins(spark, events, tmp_path):
+    path = str(tmp_path / "silver_events")
+    base = events.select("event_id", "ts", "user_id", "event_type", "value")
+    incremental.merge_upsert(spark, path, base, "event_id", "ts", "value")
+    h0 = _table_hash(spark.read.parquet(path))
+
+    # updates: bump 100 rows to a newer ts and a sentinel value
+    updates = (
+        base.orderBy("event_id").limit(100)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+        .withColumn("value", F.lit(9999.0))
+    )
+    incremental.merge_upsert(spark, path, updates, "event_id", "ts", "value")
+    merged = spark.read.parquet(path)
+    assert merged.count() == base.count()  # upsert, not append
+    assert merged.where(F.col("value") == 9999.0).count() == 100
+    h1 = _table_hash(merged)
+    assert h1 != h0
+
+    # idempotency: same updates again -> identical table
+    incremental.merge_upsert(spark, path, updates, "event_id", "ts", "value")
+    assert _table_hash(spark.read.parquet(path)) == h1
+
+    # stale updates lose: re-apply originals (older ts) -> no change
+    incremental.merge_upsert(spark, path, base.orderBy("event_id").limit(100), "event_id", "ts", "value")
+    assert _table_hash(spark.read.parquet(path)) == h1
+
+
+def test_backfill_replaces_only_target_partition(spark, events, tmp_path):
+    path = str(tmp_path / "insights_lake")
+    daily = events.withColumn("snapshot_date", F.to_date("ts"))
+    sinks.write_partitioned(daily, path, ("snapshot_date",))
+
+    day = "2024-01-15"
+    before_other = (
+        sinks.read_lake(spark, path).where(F.col("snapshot_date") != day).count()
+    )
+    # backfill one day with a halved slice (simulating reprocessing)
+    slice_df = (
+        daily.where(F.to_date("ts") == day)
+        .where(F.col("event_id") % 2 == 0)
+    )
+    n_slice = slice_df.count()
+    incremental.backfill_partitions(slice_df, path, ("snapshot_date",))
+
+    after = sinks.read_lake(spark, path)
+    assert after.where(F.col("snapshot_date") == day).count() == n_slice
+    assert after.where(F.col("snapshot_date") != day).count() == before_other
+
+
+def test_nested_report_json_sink(spark, tmp_path):
+    from ad_data_lake_spark.operators.hierarchy import nested_report
+
+    orders = load_table(spark, "orders", SF_SMOKE)
+    lineitem = load_table(spark, "lineitem", SF_SMOKE)
+    customer = load_table(spark, "customer", SF_SMOKE)
+    report = nested_report(orders, lineitem, customer)
+    path = str(tmp_path / "report_json")
+    sinks.write_nested_report_json(report, path)
+    back = spark.read.json(path)
+    assert back.count() == report.count()
+    assert "campaign" in back.columns and "ads" in back.columns
+
+
+def test_streaming_matches_batch(spark, events, tmp_path):
+    src = str(tmp_path / "stream_src")
+    events.write.mode("overwrite").parquet(src)
+    stream = streaming_daily_insights(spark, src, events.schema)
+    assert stream.isStreaming
+    got = run_available_now(stream, "t_stream_demo")
+    want = batch_equivalent(events)
+    assert got.count() == want.count()
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w
