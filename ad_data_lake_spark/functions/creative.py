@@ -98,6 +98,72 @@ def infer_asset_kind(mime: Column, filename: Column) -> Column:
     ).otherwise(F.lit("image"))
 
 
+def assemble_creative_payload(
+    name: Column,
+    creative_type: Column,
+    message: Column,
+    link: Column,
+    image_hash: Column,
+    video_id: Column,
+    children: Column,
+) -> Column:
+    """F23: validated creative payload construction for the three
+    creative kinds the reference composes (reference
+    pages/3_Creative_Composer.py:175-218 single image, :221-274
+    carousel incl. ``child_attachments``, :277-327 video):
+
+    - single_image → link_data{message, link, image_hash}
+    - carousel     → link_data{message, link, child_attachments[...]}
+    - video        → video_data{video_id, message}
+
+    One struct type covers all branches (Spark structs are
+    monomorphic); inapplicable fields/branches are null and vanish at
+    ``to_json`` time — exactly the reference's only-set-keys POST dict.
+    """
+    link_data = F.when(
+        creative_type.isin("single_image", "carousel"),
+        F.struct(
+            message.alias("message"),
+            link.alias("link"),
+            F.when(creative_type == "single_image", image_hash).alias("image_hash"),
+            F.when(creative_type == "carousel", children).alias("child_attachments"),
+        ),
+    )
+    video_data = F.when(
+        creative_type == "video",
+        F.struct(video_id.alias("video_id"), message.alias("message")),
+    )
+    return F.struct(
+        name.alias("name"),
+        F.struct(
+            link_data.alias("link_data"), video_data.alias("video_data")
+        ).alias("object_story_spec"),
+    )
+
+
+# Stable targeting skeleton (reference pages/4_AdSet_Creator.py:83-102
+# accepts dict / JSON-string and passes it through; the long tail of
+# targeting keys stays in the raw string per SURVEY §7 risk register).
+TARGETING_SCHEMA = (
+    "struct<geo_locations: struct<countries: array<string>>, "
+    "age_min: int, age_max: int, interests: array<string>>"
+)
+
+
+def parse_targeting(col: Column) -> Column:
+    """F24: JSON-string targeting → typed struct (null on malformed,
+    mirroring the reference's return-None-on-parse-failure)."""
+    return F.from_json(col, TARGETING_SCHEMA)
+
+
+def strip_nulls_json(payload: Column) -> Column:
+    """F27: the null/empty-stripping POST contract — ``to_json`` drops
+    null fields (reference pages/4_AdSet_Creator.py:136-151 deletes
+    empty keys before POST), so serializing the payload struct IS the
+    write contract."""
+    return F.to_json(payload)
+
+
 def is_campaign_budget_optimized(daily: Column, lifetime: Column) -> Column:
     """F20: any campaign-level budget > 0, string-tolerant (reference
     pages/1_Campaign_Cloner.py:238-247)."""

@@ -171,6 +171,41 @@ def unicode_unescape(col: Column) -> Column:
     return _unescape(col)
 
 
+# F10: which time fields each object type normalizes (reference
+# time_fields_map, src/utils/api_helpers.py:220-236). start_time is
+# additionally clamped to now (F9); the others are parse+ISO only.
+TIME_FIELDS_MAP = {
+    "campaign": ("start_time", "stop_time"),
+    "adset": ("start_time", "end_time"),
+    "ad": (),
+}
+
+
+def normalize_time_field(name: str, col: Column, now: Column) -> Column:
+    """F10 leaf: clamp start_time, plain parse+ISO for stop/end."""
+    if name == "start_time":
+        return isoformat_datetime(clamp_start_time(col, now))
+    return isoformat_datetime(parse_datetime_value(col))
+
+
+def sanitize_adset_payload(df, now: Column):
+    """F10/F12-composite for an adset-shaped frame: budget exclusion +
+    the adset time-field set (start_time clamped, end_time normalized,
+    per TIME_FIELDS_MAP) — the second entry of the reference's
+    per-object-type sanitize dispatch."""
+    daily, lifetime = budget_mutual_exclusion(F.col("daily_budget"), F.col("lifetime_budget"))
+    cols = [
+        F.col("id"),
+        daily.alias("daily_budget"),
+        lifetime.alias("lifetime_budget"),
+    ]
+    cols += [
+        normalize_time_field(name, F.col(name), now).alias(name)
+        for name in TIME_FIELDS_MAP["adset"]
+    ]
+    return df.select(*cols)
+
+
 def sanitize_campaign_payload(df, now: Column):
     """F12-composite: the write-contract transform for a campaign-shaped
     DataFrame — budget mutual exclusion, spend_cap normalize,

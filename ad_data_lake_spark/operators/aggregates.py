@@ -101,6 +101,37 @@ def derived_ratio_metrics(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def agg_action_breakdown(events: DataFrame) -> DataFrame:
+    """A1-explode: the insights ``actions`` array-of-structs shape
+    (reference src/configs/fields_schema.py:229-231 — arrays of
+    {action_type, value}) built golden-style per event row, ``explode``d
+    to per-action rows (SURVEY §2.10: the one table-generating
+    pattern), then aggregated per action_type.
+
+    Scale note: explode multiplies rows before the shuffle, but the
+    aggregate's map-side partial combine collapses them again within
+    the scan stage — the shuffle carries one row per (partition,
+    action_type), not per exploded row.
+    """
+    actions = F.array(
+        F.struct(
+            F.col("event_type").alias("action_type"), F.col("value").alias("value")
+        ),
+        F.struct(
+            F.lit("offsite_total").alias("action_type"),
+            (F.col("value") * 2).alias("value"),
+        ),
+    )
+    return (
+        events.select(F.explode(actions).alias("a"))
+        .groupBy(F.col("a.action_type").alias("action_type"))
+        .agg(
+            F.count("*").alias("n_actions"),
+            F.round(F.sum("a.value"), 2).alias("total_value"),
+        )
+    )
+
+
 def count_summary(events: DataFrame) -> DataFrame:
     """A8: count summaries (reference prints per-account pixel counts,
     src/extractors/get_pixels.py:54; report counts

@@ -35,9 +35,17 @@ def nest_children(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             )
         ).alias("items")
     )
+    items = F.coalesce(F.col("items"), F.array().cast(children.schema["items"].dataType))
     return (
         orders.join(children, orders["o_orderkey"] == children["l_orderkey"], "left")
-        .select("o_orderkey", "o_orderstatus", "items", F.size("items").alias("n_items"))
+        # childless parents get [] / 0, matching the reference's
+        # dict-nesting which always attaches a list
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            items.alias("items"),
+            F.size(items).alias("n_items"),
+        )
     )
 
 
@@ -89,6 +97,7 @@ def nested_report(
         ).alias("ads"),
         F.count("*").alias("n_ads"),
     )
+    ads_type = items.schema["ads"].dataType
     return (
         orders.join(items, orders["o_orderkey"] == items["l_orderkey"], "left")
         .join(customer, orders["o_custkey"] == customer["c_custkey"], "left")
@@ -98,7 +107,23 @@ def nested_report(
                 F.col("o_orderstatus").alias("status"),
                 F.col("c_name").alias("account_name"),
             ).alias("campaign"),
-            F.col("ads"),
-            F.coalesce(F.col("n_ads"), F.lit(0)).alias("n_ads"),
+            # childless parents carry an empty list, like the reference's
+            # dict report (ADVICE r1)
+            F.coalesce(F.col("ads"), F.array().cast(ads_type)).alias("ads"),
+            F.coalesce(F.col("n_ads"), F.lit(0).cast("long")).alias("n_ads"),
         )
+    )
+
+
+def nested_report_json(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """S14 oracle-checkable form: the nested report serialized to
+    canonical JSON (struct + sorted ads array), ready for the JSON
+    report sink (sinks.write_nested_report_json)."""
+    r = nested_report(orders, lineitem, customer)
+    return r.select(
+        F.to_json("campaign").alias("campaign_json"),
+        F.to_json("ads").alias("ads_json"),
+        "n_ads",
     )

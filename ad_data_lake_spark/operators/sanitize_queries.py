@@ -173,6 +173,185 @@ def fn_unicode_unescape(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", S.unicode_unescape(raw).alias("decoded"))
 
 
+def fn_cbo_resolve(orders: DataFrame) -> DataFrame:
+    """F20 + F21: CBO detection (any campaign budget > 0,
+    string-tolerant) and budget resolution (daily → lifetime →
+    default), over the same messy budget construction as F2."""
+    daily = F.when(_m("o_orderkey", 3) == 0, F.col("o_totalprice").cast("string"))
+    lifetime = F.when(_m("o_orderkey", 2) == 0, (F.col("o_totalprice") * 2).cast("string"))
+    return orders.select(
+        "o_orderkey",
+        C.is_campaign_budget_optimized(daily, lifetime).alias("is_cbo"),
+        C.resolve_budget(
+            S.parse_positive_amount(daily),
+            S.parse_positive_amount(lifetime),
+            F.lit(500).cast("long"),
+        ).alias("resolved_budget"),
+    )
+
+
+def fn_build_cta(part: DataFrame) -> DataFrame:
+    """F22: CTA struct construction (upper-cased type + link value)."""
+    cta = C.build_call_to_action(
+        F.concat(F.lit("  shop_now_"), F.col("p_brand")),
+        F.concat(F.lit("https://x/"), F.col("p_partkey").cast("string")),
+    )
+    return part.select("p_partkey", F.to_json(cta).alias("cta_json"))
+
+
+def fn_asset_kind(part: DataFrame) -> DataFrame:
+    """F28: MIME-prefix / extension asset-kind inference."""
+    mime = (
+        F.when(_m("p_partkey", 3) == 0, F.lit("video/mp4"))
+        .when(_m("p_partkey", 3) == 1, F.lit("image/png"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    fname = F.when(
+        _m("p_partkey", 4) == 0, F.concat(F.col("p_name"), F.lit(".MOV"))
+    ).otherwise(F.concat(F.col("p_name"), F.lit(".jpg")))
+    return part.select("p_partkey", C.infer_asset_kind(mime, fname).alias("asset_kind"))
+
+
+def fn_creative_payload(part: DataFrame) -> DataFrame:
+    """F23: creative payload assembly across the three kinds (single
+    image / video / carousel incl. child_attachments), serialized — the
+    null branches vanish exactly like the reference's only-set-keys
+    POST dicts."""
+    m = _m("p_partkey", 3)
+    kind = (
+        F.when(m == 0, F.lit("single_image"))
+        .when(m == 1, F.lit("video"))
+        .otherwise(F.lit("carousel"))
+    )
+    key = F.col("p_partkey").cast("string")
+    children = F.array(
+        F.struct(
+            F.concat(F.lit("https://x/"), key, F.lit("/1")).alias("link"),
+            F.md5(F.col("p_type")).alias("image_hash"),
+            F.col("p_brand").alias("headline"),
+        ),
+        F.struct(
+            F.concat(F.lit("https://x/"), key, F.lit("/2")).alias("link"),
+            F.md5(F.col("p_name")).alias("image_hash"),
+            F.col("p_brand").alias("headline"),
+        ),
+    )
+    payload = C.assemble_creative_payload(
+        name=F.col("p_name"),
+        creative_type=kind,
+        message=F.concat(F.lit("Buy "), F.col("p_name")),
+        link=F.concat(F.lit("https://x/"), key),
+        image_hash=F.md5(F.col("p_brand")),
+        video_id=F.concat(F.lit("v_"), key),
+        children=children,
+    )
+    return part.select("p_partkey", kind.alias("creative_type"), F.to_json(payload).alias("payload_json"))
+
+
+def fn_parse_targeting(customer: DataFrame) -> DataFrame:
+    """F24: JSON-string targeting → typed struct; every 4th row is
+    malformed and must parse to null (the reference returns None)."""
+    raw = F.when(
+        _m("c_custkey", 4) != 0,
+        F.concat(
+            F.lit('{"geo_locations":{"countries":["'),
+            F.col("c_mktsegment"),
+            F.lit('"]},"age_min":'),
+            (20 + _m("c_custkey", 30)).cast("string"),
+            F.lit(',"age_max":65,"interests":["'),
+            F.col("c_name"),
+            F.lit('"]}'),
+        ),
+    ).otherwise(F.lit("{not json"))
+    t = C.parse_targeting(raw)
+    return customer.select(
+        "c_custkey",
+        t.getField("age_min").alias("age_min"),
+        t.getField("age_max").alias("age_max"),
+        F.element_at(t.getField("geo_locations").getField("countries"), 1).alias("country0"),
+        F.element_at(t.getField("interests"), 1).alias("interest0"),
+        # from_json yields an all-null struct (not NULL) on malformed
+        # input, so malformed-ness is probed via a required field —
+        # mirroring the reference's "did parse produce a usable dict"
+        t.getField("age_min").isNull().alias("is_malformed"),
+    )
+
+
+def fn_null_strip(orders: DataFrame) -> DataFrame:
+    """F27: null/empty stripping on the POST contract — null struct
+    fields are absent from the serialized payload."""
+    payload = F.struct(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.when(_m("o_orderkey", 2) == 0, F.col("o_orderpriority")).alias("priority"),
+        F.when(_m("o_orderkey", 3) == 0, F.col("o_orderstatus")).alias("status"),
+    )
+    return orders.select("o_orderkey", C.strip_nulls_json(payload).alias("payload_json"))
+
+
+def sanitize_adset(orders: DataFrame) -> DataFrame:
+    """F10-composite: adset-shaped sanitize — budget exclusion + the
+    adset time-field set (start_time clamped, end_time normalized)."""
+    shaped = orders.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.when(_m("o_orderkey", 3) == 0, F.col("o_totalprice").cast("string")).alias(
+            "daily_budget"
+        ),
+        F.when(_m("o_orderkey", 2) == 0, (F.col("o_totalprice") * 2).cast("string")).alias(
+            "lifetime_budget"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("start_time"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("end_time"),
+    )
+    return S.sanitize_adset_payload(shaped, F.lit(CLAMP_NOW).cast("timestamp"))
+
+
+def sanitize_nested_struct(orders: DataFrame) -> DataFrame:
+    """F12: recursive sanitize through a 3-level nested payload
+    (budgets + timestamps + string collections + booleans at every
+    level, incl. inside an array of structs) via the plan-time schema
+    walk in ``plans.struct_rules`` — the engine-side equivalent of the
+    reference's depth-first ``sanitize_payload`` (reference
+    src/utils/api_helpers.py:268-279). Serialized to JSON for the
+    oracle (both engines emit identical compact JSON).
+    """
+    from ad_data_lake_spark.plans import struct_rules
+
+    key = F.col("o_orderkey").cast("string")
+    iso_end = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    payload = F.struct(
+        key.alias("id"),
+        F.concat(F.lit("  "), F.col("o_totalprice").cast("string")).alias("daily_budget"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("start_time"),
+        F.concat(F.lit('["'), F.col("o_orderpriority"), F.lit('"]')).alias(
+            "special_ad_categories"
+        ),
+        F.struct(
+            F.concat(F.lit("px_"), F.col("o_custkey").cast("string")).alias("pixel_id"),
+            F.struct(
+                F.col("o_orderpriority").alias("event_name"),
+                F.when(_m("o_orderkey", 2) == 0, F.lit("YES"))
+                .otherwise(F.lit("no"))
+                .alias("is_active"),
+            ).alias("custom_event"),
+        ).alias("promoted_object"),
+        F.array(
+            F.struct(
+                F.concat(F.lit("as1_"), key).alias("id"),
+                (F.col("o_totalprice") * 2).cast("string").alias("lifetime_budget"),
+                iso_end.alias("end_time"),
+            ),
+            F.struct(
+                F.concat(F.lit("as2_"), key).alias("id"),
+                (F.col("o_totalprice") + 13).cast("string").alias("lifetime_budget"),
+                iso_end.alias("end_time"),
+            ),
+        ).alias("adsets"),
+    )
+    shaped = orders.select("o_orderkey", payload.alias("payload"))
+    out = struct_rules.sanitize_payload(shaped, "payload", F.lit(CLAMP_NOW).cast("timestamp"))
+    return out.select("o_orderkey", F.to_json("payload").alias("payload_json"))
+
+
 def sanitize_campaign(orders: DataFrame) -> DataFrame:
     """The composite write-contract transform over a campaign-shaped
     projection — the engine-side equivalent of running the reference's

@@ -38,6 +38,21 @@ def last_wins_dedupe(df: DataFrame, key: str, order_col: str, tiebreak: str) -> 
     return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
 
 
+def last_wins_events(events: DataFrame) -> DataFrame:
+    """A7 golden query: plant newer duplicates for every 10th event id
+    (ts +1h, value +1), then last-wins dedupe keyed on event_id with
+    (ts, value) recency — the planted rows must win everywhere."""
+    dup = (
+        events.where(F.col("event_id") % 10 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") + 1)
+    )
+    corpus = events.select("event_id", "ts", "user_id", "event_type", "value").unionByName(
+        dup.select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    return last_wins_dedupe(corpus, "event_id", "ts", "value")
+
+
 def per_user_frequency(events: DataFrame) -> DataFrame:
     """W2 (default plan): per-user event frequency as a plain aggregate —
     one shuffle with map-side partial combine. Identical result to the

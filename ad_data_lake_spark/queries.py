@@ -551,6 +551,40 @@ _register(
 )
 
 _register(
+    "sanitize_nested_struct",
+    QuerySpec(
+        _q(sanitize_queries.sanitize_nested_struct, "orders"),
+        f"""
+        SELECT o_orderkey, to_json(struct_pack(
+            id := CAST(o_orderkey AS VARCHAR),
+            daily_budget := CAST(round(o_totalprice) AS BIGINT),
+            start_time := strftime(
+                CASE WHEN o_orderdate >= TIMESTAMP '{sanitize_queries.CLAMP_NOW}'
+                     THEN o_orderdate ELSE TIMESTAMP '{sanitize_queries.CLAMP_NOW}' END,
+                '%Y-%m-%dT%H:%M:%S') || '+00:00',
+            special_ad_categories := [o_orderpriority],
+            promoted_object := struct_pack(
+                pixel_id := 'px_' || CAST(o_custkey AS VARCHAR),
+                custom_event := struct_pack(
+                    event_name := o_orderpriority,
+                    is_active := o_orderkey % 2 = 0)),
+            adsets := [
+                struct_pack(
+                    id := 'as1_' || CAST(o_orderkey AS VARCHAR),
+                    lifetime_budget := CAST(round(o_totalprice * 2) AS BIGINT),
+                    end_time := strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+00:00'),
+                struct_pack(
+                    id := 'as2_' || CAST(o_orderkey AS VARCHAR),
+                    lifetime_budget := CAST(round(o_totalprice + 13) AS BIGINT),
+                    end_time := strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+00:00')]
+        )) AS payload_json
+        FROM orders
+        """,
+        ("sanitize", "recursive", "nested", "json"),
+    ),
+)
+
+_register(
     "sanitize_campaign_payload",
     QuerySpec(
         _q(sanitize_queries.sanitize_campaign, "orders"),
@@ -568,6 +602,216 @@ _register(
                              THEN o_orderdate
                              ELSE TIMESTAMP '{sanitize_queries.CLAMP_NOW}' END,
                         '%Y-%m-%dT%H:%M:%S') || '+00:00' AS start_time
+        FROM orders
+        """,
+        ("sanitize", "composite", "write-contract"),
+    ),
+)
+
+
+_register(
+    "agg_action_breakdown",
+    QuerySpec(
+        _q(aggregates.agg_action_breakdown, "events"),
+        """
+        SELECT a.action_type AS action_type, count(*) AS n_actions,
+               round(sum(a.v), 2) AS total_value
+        FROM (SELECT unnest([
+                  struct_pack(action_type := event_type, v := value),
+                  struct_pack(action_type := 'offsite_total', v := value * 2)]) AS a
+              FROM events)
+        GROUP BY 1
+        """,
+        ("aggregate", "explode", "nested"),
+    ),
+)
+
+_register(
+    "last_wins_dedupe",
+    QuerySpec(
+        _q(windows.last_wins_events, "events"),
+        """
+        WITH c AS (
+            SELECT event_id, ts, user_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id, ts + INTERVAL 1 HOUR, user_id, event_type, value + 1
+            FROM events WHERE event_id % 10 = 0)
+        SELECT event_id, ts, user_id, event_type, value FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY event_id ORDER BY ts DESC, value DESC) = 1
+        """,
+        ("dedupe", "window", "incremental"),
+    ),
+)
+
+_register(
+    "nested_report",
+    QuerySpec(
+        _q(hierarchy.nested_report_json, "orders", "lineitem", "customer"),
+        """
+        SELECT to_json(struct_pack(id := o_orderkey, status := o_orderstatus,
+                                   account_name := c_name)) AS campaign_json,
+               coalesce(i.ads_json, '[]') AS ads_json,
+               coalesce(i.n_ads, 0) AS n_ads
+        FROM orders o
+        LEFT JOIN (
+            SELECT l_orderkey,
+                   CAST(to_json(list(struct_pack(line := l_linenumber,
+                                                 part_id := l_partkey,
+                                                 supplier_id := l_suppkey,
+                                                 qty := l_quantity)
+                        ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity))
+                        AS VARCHAR) AS ads_json,
+                   count(*) AS n_ads
+            FROM lineitem GROUP BY 1) i ON o.o_orderkey = i.l_orderkey
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        ("nesting", "json", "report"),
+    ),
+)
+
+_register(
+    "fn_cbo_resolve",
+    QuerySpec(
+        _q(sanitize_queries.fn_cbo_resolve, "orders"),
+        """
+        SELECT o_orderkey,
+               ((CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice ELSE 0 END) > 0
+                OR (CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 ELSE 0 END) > 0)
+                   AS is_cbo,
+               coalesce(
+                   CASE WHEN o_orderkey % 3 = 0
+                        THEN CAST(round(o_totalprice) AS BIGINT) END,
+                   CASE WHEN o_orderkey % 2 = 0
+                        THEN CAST(round(o_totalprice * 2) AS BIGINT) END,
+                   500) AS resolved_budget
+        FROM orders
+        """,
+        ("creative", "golden"),
+    ),
+)
+
+_register(
+    "fn_build_cta",
+    QuerySpec(
+        _q(sanitize_queries.fn_build_cta, "part"),
+        """
+        SELECT p_partkey, to_json(struct_pack(
+            type := upper(trim('  shop_now_' || p_brand)),
+            value := struct_pack(
+                link := 'https://x/' || CAST(p_partkey AS VARCHAR)))) AS cta_json
+        FROM part
+        """,
+        ("creative", "golden", "json"),
+    ),
+)
+
+_register(
+    "fn_asset_kind",
+    QuerySpec(
+        _q(sanitize_queries.fn_asset_kind, "part"),
+        """
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 3 = 0 OR p_partkey % 4 = 0
+                    THEN 'video' ELSE 'image' END AS asset_kind
+        FROM part
+        """,
+        ("creative", "golden"),
+    ),
+)
+
+_register(
+    "fn_creative_payload",
+    QuerySpec(
+        _q(sanitize_queries.fn_creative_payload, "part"),
+        """
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 3 = 0 THEN 'single_image'
+                    WHEN p_partkey % 3 = 1 THEN 'video'
+                    ELSE 'carousel' END AS creative_type,
+               CASE WHEN p_partkey % 3 = 0 THEN
+                   to_json(struct_pack(name := p_name,
+                       object_story_spec := struct_pack(
+                           link_data := struct_pack(
+                               message := 'Buy ' || p_name,
+                               link := 'https://x/' || k,
+                               image_hash := md5(p_brand)))))
+               WHEN p_partkey % 3 = 1 THEN
+                   to_json(struct_pack(name := p_name,
+                       object_story_spec := struct_pack(
+                           video_data := struct_pack(
+                               video_id := 'v_' || k,
+                               message := 'Buy ' || p_name))))
+               ELSE
+                   to_json(struct_pack(name := p_name,
+                       object_story_spec := struct_pack(
+                           link_data := struct_pack(
+                               message := 'Buy ' || p_name,
+                               link := 'https://x/' || k,
+                               child_attachments := [
+                                   struct_pack(link := 'https://x/' || k || '/1',
+                                               image_hash := md5(p_type),
+                                               headline := p_brand),
+                                   struct_pack(link := 'https://x/' || k || '/2',
+                                               image_hash := md5(p_name),
+                                               headline := p_brand)]))))
+               END AS payload_json
+        FROM (SELECT *, CAST(p_partkey AS VARCHAR) AS k FROM part)
+        """,
+        ("creative", "golden", "nested", "json"),
+    ),
+)
+
+_register(
+    "fn_parse_targeting",
+    QuerySpec(
+        _q(sanitize_queries.fn_parse_targeting, "customer"),
+        """
+        SELECT c_custkey,
+               CASE WHEN ok THEN CAST(20 + c_custkey % 30 AS INTEGER) END AS age_min,
+               CASE WHEN ok THEN CAST(65 AS INTEGER) END AS age_max,
+               CASE WHEN ok THEN c_mktsegment END AS country0,
+               CASE WHEN ok THEN c_name END AS interest0,
+               NOT ok AS is_malformed
+        FROM (SELECT *, c_custkey % 4 <> 0 AS ok FROM customer)
+        """,
+        ("creative", "golden", "json"),
+    ),
+)
+
+_register(
+    "fn_null_strip",
+    QuerySpec(
+        _q(sanitize_queries.fn_null_strip, "orders"),
+        """
+        SELECT o_orderkey,
+               '{"id":"' || CAST(o_orderkey AS VARCHAR) || '"'
+               || CASE WHEN o_orderkey % 2 = 0
+                       THEN ',"priority":"' || o_orderpriority || '"' ELSE '' END
+               || CASE WHEN o_orderkey % 3 = 0
+                       THEN ',"status":"' || o_orderstatus || '"' ELSE '' END
+               || '}' AS payload_json
+        FROM orders
+        """,
+        ("sanitize", "golden", "write-contract"),
+    ),
+)
+
+_register(
+    "sanitize_adset_payload",
+    QuerySpec(
+        _q(sanitize_queries.sanitize_adset, "orders"),
+        f"""
+        SELECT CAST(o_orderkey AS VARCHAR) AS id,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN CAST(round(o_totalprice) AS BIGINT) END AS daily_budget,
+               CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
+                    THEN CAST(round(o_totalprice * 2) AS BIGINT) END AS lifetime_budget,
+               strftime(CASE WHEN o_orderdate >= TIMESTAMP '{sanitize_queries.CLAMP_NOW}'
+                             THEN o_orderdate
+                             ELSE TIMESTAMP '{sanitize_queries.CLAMP_NOW}' END,
+                        '%Y-%m-%dT%H:%M:%S') || '+00:00' AS start_time,
+               strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS end_time
         FROM orders
         """,
         ("sanitize", "composite", "write-contract"),
