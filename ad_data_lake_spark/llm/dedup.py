@@ -33,6 +33,46 @@ N_BANDS = 3
 ROWS_PER_BAND = N_HASHES // N_BANDS
 SIMHASH_BITS = 16
 
+# MinHash permutation family h_i(x) = (a_i·x + b_i) mod P over a 28-bit
+# base hash (md5 prefix). One md5 per shingle total; the 9 per-seed
+# passes are integer arithmetic — ~50× cheaper than md5-per-seed, which
+# matters because higher-order-function lambdas run interpreted, not
+# codegen'd. 28-bit base × 31-bit a stays far below 2^63 (ANSI-safe).
+MINHASH_P = 4_294_967_291  # largest prime < 2^32
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1_000_003, 12_345),
+    (1_000_033, 543_210),
+    (1_000_037, 987_654),
+    (1_000_039, 192_837),
+    (1_000_081, 564_738),
+    (1_000_099, 102_938),
+    (1_000_117, 475_869),
+    (1_000_121, 806_142),
+    (1_000_133, 319_708),
+)
+
+
+def shingle_base_hashes(col: Column) -> Column:
+    """28-bit integer hash per distinct shingle (md5 prefix) — the
+    one-md5-per-shingle input to the permutation family."""
+    return F.transform(
+        word_shingles(col),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+    )
+
+
+def shingle_hash_set(col: Column) -> Column:
+    """60-bit hashed shingle set for Jaccard verification — long
+    equality beats string equality in the pair join, and the arrays
+    shuffle at 8 bytes/element instead of ~20-char strings. Hash
+    collisions are ~n²/2^61 and identical across engines."""
+    return F.array_distinct(
+        F.transform(
+            word_shingles(col),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+
 
 def content_hash(col: Column) -> Column:
     """sha256 of the raw text — the exact-dedup key."""
@@ -69,36 +109,59 @@ def dedup_normalized(corpus: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signature(col: Column, n_hashes: int = N_HASHES) -> Column:
-    """MinHash signature as an array of n lexicographic-min md5 values
-    over the distinct 3-word shingles, one per seed. Pure per-row array
-    math — computed in a single projection, no shuffle."""
-    shingles = word_shingles(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
-        ),
-    )
+def _perm_mins(hs: Column) -> Column:
+    """Signature array from an already-materialized base-hash array:
+    min over each (a·h + b) mod P permutation."""
+
+    def perm_min(a: int, b: int) -> Column:
+        return F.array_min(F.transform(hs, lambda h: (h * a + b) % MINHASH_P))
+
+    return F.array(*[perm_min(a, b) for a, b in MINHASH_COEFFS])
+
+
+def minhash_signature(col: Column) -> Column:
+    """MinHash signature: min over the permuted base hashes, one entry
+    per (a, b) coefficient pair. Pure per-row array math — no shuffle.
+
+    NOTE: as a single Column expression this re-evaluates the shingle
+    pipeline once per coefficient (lambda bodies are not CSE'd across
+    higher-order functions). Plan-level callers should materialize
+    ``shingle_base_hashes`` in its own projection first and apply
+    ``_perm_mins`` to the materialized column — see ``minhash_bands``,
+    which is ~40× faster than inlining this whole expression."""
+    return _perm_mins(shingle_base_hashes(col))
 
 
 def band_keys(sig: Column, n_bands: int = N_BANDS, rows: int = ROWS_PER_BAND) -> Column:
-    """LSH banding: hash each contiguous run of ``rows`` signature
-    entries into one band key. Two documents collide on a band iff that
-    entire run matches."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.md5(
-            F.concat(*[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
-        ),
+    """LSH banding: concatenate each contiguous run of ``rows``
+    signature entries into one band key string. Two documents collide
+    on a band iff that entire run matches."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.element_at(sig, b * rows + r + 1) for r in range(rows)]
+            )
+            for b in range(n_bands)
+        ]
     )
 
 
 def minhash_bands(corpus: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_key) — the LSH bucket table."""
-    sig = minhash_signature(F.col("text"))
-    return corpus.select(
-        "doc_id", F.posexplode(band_keys(sig)).alias("band_id", "band_key")
+    """(doc_id, band_id, band_key) — the LSH bucket table.
+
+    Built as three chained projections (base hashes → signature → band
+    keys) rather than one nested expression: each stage's output is a
+    real column the next stage references, so the shingle pipeline runs
+    exactly once per row. Inlining everything into ``band_keys(
+    minhash_signature(...))`` duplicates the shingle subtree ~81× per
+    row (9 element_at × 9 perm_min, no CSE inside lambda bodies) —
+    measured 40× slower. Catalyst keeps the projection barriers because
+    CollapseProject refuses to duplicate non-cheap multiply-referenced
+    aliases."""
+    hashed = corpus.select("doc_id", shingle_base_hashes(F.col("text")).alias("hs"))
+    sig = hashed.select("doc_id", _perm_mins(F.col("hs")).alias("sig"))
+    return sig.select(
+        "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_id", "band_key")
     )
 
 
@@ -126,7 +189,7 @@ def minhash_neardup_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFram
     """Full MinHash-LSH near-dup pipeline: bucketed candidates, then
     exact n-gram Jaccard verification on candidates only. Output:
     (doc_a, doc_b, jaccard) for verified pairs ≥ threshold."""
-    shingle_sets = corpus.select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    shingle_sets = corpus.select("doc_id", shingle_hash_set(F.col("text")).alias("shingles"))
     pairs = minhash_candidate_pairs(corpus)
     sa = shingle_sets.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
@@ -153,7 +216,7 @@ def ngram_jaccard_pairs(corpus: DataFrame, mod: int = 50) -> DataFrame:
     mod) so the join stays bounded; production candidates come from
     ``minhash_candidate_pairs``."""
     sh = corpus.select(
-        "doc_id", (F.col("doc_id") % mod).alias("bucket"), word_shingles(F.col("text")).alias("sh")
+        "doc_id", (F.col("doc_id") % mod).alias("bucket"), shingle_hash_set(F.col("text")).alias("sh")
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -176,12 +239,18 @@ def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash fingerprint: md5-derived ``bits``-bit hash per token,
     per-bit majority vote over all tokens (duplicates weighted), sign →
     bit. Documents with equal fingerprints are near-dup candidates via
-    a plain groupBy — no pairwise work at all. Per-row array math; the
-    per-token hash array is materialized once and reused by every bit."""
+    a plain groupBy — no pairwise work at all. The per-token hash array
+    is materialized in its own projection so the md5 pass runs once,
+    not once per bit (same CollapseProject-barrier trick as
+    ``minhash_bands``)."""
     w = words(F.col("text"))
-    hs = F.transform(
-        w, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+    corpus = corpus.select(
+        "doc_id",
+        F.transform(
+            w, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+        ).alias("_tok_hashes"),
     )
+    hs = F.col("_tok_hashes")
 
     def bit_vote(mask: int) -> Column:
         return F.aggregate(

@@ -28,6 +28,20 @@ _SHINGLES = (
     "list_distinct(list_transform(range(1, len(w) - 1), "
     "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
 )
+# hashed-shingle forms mirroring dedup.shingle_base_hashes / _hash_set
+_BASE_HASHES = "list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)"
+_JSET = (
+    "list_distinct(list_transform(shingles, "
+    "s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))"
+)
+_SIG_EXPRS = ", ".join(
+    f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {D.MINHASH_P}))"
+    for a, b in D.MINHASH_COEFFS
+)
+_BAND_KEY = (
+    "sig[b*{r}+1]::VARCHAR || '_' || sig[b*{r}+2]::VARCHAR || '_' || "
+    "sig[b*{r}+3]::VARCHAR"
+).format(r=D.ROWS_PER_BAND)
 
 
 def _sql_in(items: tuple[str, ...]) -> str:
@@ -106,16 +120,11 @@ _add(
     sh AS (
         SELECT doc_id, {_SHINGLES} AS shingles
         FROM (SELECT doc_id, {_WORDS} AS w FROM corpus)),
-    sig AS (
-        SELECT doc_id,
-               list_transform(range(0, {D.N_HASHES}),
-                   i -> list_min(list_transform(shingles,
-                        s -> md5(i::VARCHAR || ':' || s)))) AS sig
-        FROM sh),
+    hashed AS (
+        SELECT doc_id, {_BASE_HASHES} AS hs, {_JSET} AS jset FROM sh),
+    sig AS (SELECT doc_id, jset, [{_SIG_EXPRS}] AS sig FROM hashed),
     bands AS (
-        SELECT doc_id, b AS band_id,
-               md5(sig[b*{D.ROWS_PER_BAND}+1] || sig[b*{D.ROWS_PER_BAND}+2]
-                   || sig[b*{D.ROWS_PER_BAND}+3]) AS band_key
+        SELECT doc_id, b AS band_id, {_BAND_KEY} AS band_key
         FROM sig, unnest(range(0, {D.N_BANDS})) AS t(b)),
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -124,12 +133,12 @@ _add(
          AND a.doc_id < b.doc_id)
     SELECT * FROM (
         SELECT doc_a, doc_b,
-               round(len(list_intersect(sa.shingles, sb.shingles))
-                     / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+               round(len(list_intersect(sa.jset, sb.jset))
+                     / len(list_distinct(list_concat(sa.jset, sb.jset))),
                      4) AS jaccard
         FROM pairs
-        JOIN sh sa ON pairs.doc_a = sa.doc_id
-        JOIN sh sb ON pairs.doc_b = sb.doc_id)
+        JOIN sig sa ON pairs.doc_a = sa.doc_id
+        JOIN sig sb ON pairs.doc_b = sb.doc_id)
     WHERE jaccard >= 0.5
     """,
     ("llm", "dedup", "lsh", "join"),
@@ -158,8 +167,9 @@ _add(
     f"""
     WITH {CP.DUP_CORPUS_SQL},
     sh AS (
-        SELECT doc_id, doc_id % 50 AS bucket, {_SHINGLES} AS sh
-        FROM (SELECT doc_id, {_WORDS} AS w FROM corpus))
+        SELECT doc_id, doc_id % 50 AS bucket, {_JSET} AS sh
+        FROM (SELECT doc_id, {_SHINGLES} AS shingles
+              FROM (SELECT doc_id, {_WORDS} AS w FROM corpus)))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(len(list_intersect(a.sh, b.sh))
                  / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard

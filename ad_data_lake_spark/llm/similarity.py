@@ -77,11 +77,20 @@ def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
 
 
 def _queries(embeddings: DataFrame, pred: Column) -> DataFrame:
+    qv = as_double(F.col("embedding"))
     return embeddings.where(pred).select(
         F.col("vec_id").alias("query_id"),
-        as_double(F.col("embedding")).alias("qv"),
+        qv.alias("qv"),
+        norm(qv).alias("qn"),
         F.col("label").alias("query_label"),
     )
+
+
+def _sim(qn: Column, cn: Column) -> Column:
+    """Cosine from a fresh dot product and *precomputed* norms — norms
+    are per-vector, so computing them before the pair join does 1/3 of
+    the per-pair array work the naive cosine() would."""
+    return F.round(dot(F.col("qv"), F.col("cv")) / (qn * cn), 6)
 
 
 def _ranked(pairs: DataFrame, k: int) -> DataFrame:
@@ -97,16 +106,13 @@ def topk_bruteforce(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> D
     per-query window rank. The vector table is scanned once and never
     shuffled; only the q×n scored pairs move."""
     q = _queries(embeddings, F.col("vec_id") < n_queries)
-    c = embeddings.select("vec_id", as_double(F.col("embedding")).alias("cv"))
+    cv = as_double(F.col("embedding"))
+    c = embeddings.select("vec_id", cv.alias("cv"), norm(cv).alias("cn"))
     pairs = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
-        )
+        .select("query_id", "vec_id", _sim(F.col("qn"), F.col("cn")).alias("cosine_sim"))
     )
     return _ranked(pairs, k).select("query_id", "vec_id", "cosine_sim", "rank")
 
@@ -117,16 +123,15 @@ def topk_ivf(embeddings: DataFrame, query_mod: int = 97, k: int = 5) -> DataFram
     cell count, and a cell-partitioned lake prunes whole partitions
     before the scan."""
     q = _queries(embeddings, F.col("vec_id") % query_mod == 0)
-    c = embeddings.select(
-        "vec_id", F.col("label"), as_double(F.col("embedding")).alias("cv")
-    )
+    cv = as_double(F.col("embedding"))
+    c = embeddings.select("vec_id", F.col("label"), cv.alias("cv"), norm(cv).alias("cn"))
     pairs = (
         c.join(F.broadcast(q), (q["query_label"] == c["label"]) & (q["query_id"] != c["vec_id"]))
         .select(
             "query_id",
             "label",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+            _sim(F.col("qn"), F.col("cn")).alias("cosine_sim"),
         )
     )
     return _ranked(pairs, k).select("query_id", "label", "vec_id", "cosine_sim", "rank")
@@ -155,17 +160,20 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> Data
     perturbed copies keep their source's label, so every planted
     near-dup is found); at scale the bucket key would be an LSH bucket
     or IVF cell — never all pairs."""
-    c = near_corpus(embeddings)
-    a = c.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "label")
-    b = c.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("label").alias("label_b"))
+    c = near_corpus(embeddings).select("vec_id", "v", "label", norm(F.col("v")).alias("n"))
+    a = c.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na"), "label"
+    )
+    b = c.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+        F.col("label").alias("label_b"),
+    )
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select(
-            "vec_a",
-            "vec_b",
-            "label",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
-        )
+        .select("vec_a", "vec_b", "label", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
 
@@ -191,13 +199,13 @@ def topk_lsh(embeddings: DataFrame, query_mod: int = 97, k: int = 5) -> DataFram
     number of planes; production multi-probes neighboring buckets.
     The join key is the (uniformly distributed) bucket id."""
     planes = hyperplanes()
+    cv = as_double(F.col("embedding"))
     c = embeddings.select(
-        "vec_id",
-        as_double(F.col("embedding")).alias("cv"),
+        "vec_id", cv.alias("cv"), norm(cv).alias("cn")
     ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
     q = (
         embeddings.where(F.col("vec_id") % query_mod == 0)
-        .select(F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv"))
+        .select(F.col("vec_id").alias("query_id"), cv.alias("qv"), norm(cv).alias("qn"))
         .withColumn("bucket", lsh_bucket(F.col("qv"), planes))
     )
     pairs = (
@@ -206,7 +214,7 @@ def topk_lsh(embeddings: DataFrame, query_mod: int = 97, k: int = 5) -> DataFram
             "query_id",
             c["bucket"].alias("bucket"),
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+            _sim(F.col("qn"), F.col("cn")).alias("cosine_sim"),
         )
     )
     return _ranked(pairs, k).select("query_id", "bucket", "vec_id", "cosine_sim", "rank")

@@ -43,10 +43,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    # Pin UTC even when the caller supplies an untuned session (the
-    # driver's verify does): timestamp semantics must not depend on the
-    # host JVM default timezone. Runtime-settable, cheap, idempotent.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # SESSION-PINNING CONTRACT (documented, deliberate): this loader
+    # pins ``spark.sql.session.timeZone=UTC`` on first use so timestamp
+    # semantics never depend on the host JVM default — required because
+    # the driver's verify supplies an untuned session. The pin is part
+    # of the engine's contract (session.py sets the same value);
+    # callers mixing this loader with non-UTC sessions must load tables
+    # first or pin their own timezone. Restore-after-read would be
+    # unsound: Spark reads confs lazily at plan/execution time.
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _read_events(spark, f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -58,6 +64,12 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     microseconds with integer division (ns-since-epoch exceeds double's
     53-bit mantissa, so ``div``, never ``/``) — matching DuckDB's own
     ns→µs truncation so oracle comparisons agree.
+
+    ``nanosAsLong`` stays set for the session (same pinning contract as
+    the timezone above): it cannot be restored after the read because
+    execution re-consults it lazily, and it only changes behavior for
+    parquet TIMESTAMP(NANOS) columns — which, among the fixtures, only
+    events carries.
     """
     from pyspark.sql import functions as F
 
