@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ad_data_lake_spark.llm.text import word_shingles, words
+from ad_data_lake_spark.llm.text import exploded_shingles, word_shingles, words
 
 N_HASHES = 9
 N_BANDS = 3
@@ -146,21 +146,55 @@ def band_keys(sig: Column, n_bands: int = N_BANDS, rows: int = ROWS_PER_BAND) ->
     )
 
 
-def minhash_bands(corpus: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_key) — the LSH bucket table.
+def _exploded_shingle_hashes(corpus: DataFrame) -> DataFrame:
+    """(doc_id, h28, h60): one row per shingle occurrence, both hash
+    widths derived from a single md5 call.
 
-    Built as three chained projections (base hashes → signature → band
-    keys) rather than one nested expression: each stage's output is a
-    real column the next stage references, so the shingle pipeline runs
-    exactly once per row. Inlining everything into ``band_keys(
-    minhash_signature(...))`` duplicates the shingle subtree ~81× per
-    row (9 element_at × 9 perm_min, no CSE inside lambda bodies) —
-    measured 40× slower. Catalyst keeps the projection barriers because
-    CollapseProject refuses to duplicate non-cheap multiply-referenced
-    aliases."""
-    hashed = corpus.select("doc_id", shingle_base_hashes(F.col("text")).alias("hs"))
-    sig = hashed.select("doc_id", _perm_mins(F.col("hs")).alias("sig"))
-    return sig.select(
+    Explode-to-rows is the deliberate scale shape: shingles come from
+    the codegen'd window construction (``exploded_shingles``), and
+    every downstream MinHash quantity is a multiplicity-invariant
+    aggregate (min / collect_set) over these rows — whole-stage codegen
+    with map-side partial aggregation end to end, versus per-row
+    higher-order-function lambdas, which evaluate interpreted at
+    ~1µs/element and dominated the old plan."""
+    ex = exploded_shingles(corpus)
+    m = F.md5(F.col("s"))
+    return ex.select(
+        "doc_id",
+        F.conv(F.substring(m, 1, 7), 16, 10).cast("long").alias("h28"),
+        F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("h60"),
+    )
+
+
+def minhash_prepped(corpus: DataFrame) -> DataFrame:
+    """(doc_id, sig, jset) in ONE codegen'd aggregate: the 9 signature
+    entries as min() over the permuted 28-bit hashes, and the 60-bit
+    hashed shingle set (Jaccard verification input) as collect_set —
+    one shuffle on doc_id, partial aggregation map-side. min() is
+    invariant to shingle multiplicity and collect_set is a set, so the
+    values are identical to the per-row array formulation (and to the
+    DuckDB oracle)."""
+    ex = _exploded_shingle_hashes(corpus)
+    aggs = [
+        F.min((F.col("h28") * a + b) % MINHASH_P).alias(f"_m{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    aggs.append(F.collect_set("h60").alias("jset"))
+    return (
+        ex.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"_m{i}") for i in range(len(MINHASH_COEFFS))]).alias("sig"),
+            "jset",
+        )
+    )
+
+
+def minhash_bands(corpus: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) — the LSH bucket table, derived from
+    the codegen'd ``minhash_prepped`` aggregate."""
+    return minhash_prepped(corpus).select(
         "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_id", "band_key")
     )
 
@@ -188,15 +222,30 @@ def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
 def minhash_neardup_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: bucketed candidates, then
     exact n-gram Jaccard verification on candidates only. Output:
-    (doc_a, doc_b, jaccard) for verified pairs ≥ threshold."""
-    shingle_sets = corpus.select("doc_id", shingle_hash_set(F.col("text")).alias("shingles"))
-    pairs = minhash_candidate_pairs(corpus)
-    sa = shingle_sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    (doc_a, doc_b, jaccard) for verified pairs ≥ threshold.
+
+    Signatures and shingle sets come from the same ``minhash_prepped``
+    aggregate; its four consumers (two band sides, two verify sides)
+    share one shuffle via Spark's ReuseExchange, so the document scan +
+    shingle hashing runs once."""
+    prepped = minhash_prepped(corpus)
+    bands = prepped.select(
+        "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_id", "band_key")
     )
-    sb = shingle_sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
+    sa = prepped.select(F.col("doc_id").alias("doc_a"), F.col("jset").alias("sh_a"))
+    sb = prepped.select(F.col("doc_id").alias("doc_b"), F.col("jset").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
@@ -214,24 +263,54 @@ def ngram_jaccard_pairs(corpus: DataFrame, mod: int = 50) -> DataFrame:
     the verification primitive on its own, for callers that bring their
     own candidate generator. Here candidates are id-bucketed (doc_id %
     mod) so the join stays bounded; production candidates come from
-    ``minhash_candidate_pairs``."""
-    sh = corpus.select(
-        "doc_id", (F.col("doc_id") % mod).alias("bucket"), shingle_hash_set(F.col("text")).alias("sh")
+    ``minhash_candidate_pairs``.
+
+    Set algebra as codegen'd joins instead of per-pair array ops:
+    |A∩B| = count of equal-hash matches in an exploded hash join,
+    |A∪B| = |A| + |B| − |A∩B| from per-doc set sizes. Per-pair
+    array_intersect/array_union evaluates interpreted and carries the
+    full arrays through the pair shuffle; this formulation shuffles
+    8-byte hashes once and aggregates map-side — same jaccard values
+    to the digit (set cardinalities are order- and
+    multiplicity-independent)."""
+    hs = (
+        _exploded_shingle_hashes(corpus)
+        .select("doc_id", (F.col("doc_id") % mod).alias("bucket"), "h60")
+        .distinct()
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    sizes = hs.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+    a = sizes.alias("a")
+    b = sizes.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (F.col("a.n") + F.col("b.n")).alias("n_sum"),
+    )
+    ha = hs.select(F.col("doc_id").alias("doc_a"), "bucket", "h60")
+    hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("bucket").alias("bucket_b"), F.col("h60").alias("h60_b"))
+    inter = (
+        ha.join(
+            hb,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("h60") == F.col("h60_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter / union, 4).alias("jaccard"),
-        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    joined = pairs.join(inter, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter"),
+        "n_sum",
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("n_inter") / (F.col("n_sum") - F.col("n_inter")), 4).alias("jaccard"),
     )
 
 
@@ -239,32 +318,28 @@ def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash fingerprint: md5-derived ``bits``-bit hash per token,
     per-bit majority vote over all tokens (duplicates weighted), sign →
     bit. Documents with equal fingerprints are near-dup candidates via
-    a plain groupBy — no pairwise work at all. The per-token hash array
-    is materialized in its own projection so the md5 pass runs once,
-    not once per bit (same CollapseProject-barrier trick as
-    ``minhash_bands``)."""
-    w = words(F.col("text"))
-    corpus = corpus.select(
-        "doc_id",
-        F.transform(
-            w, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
-        ).alias("_tok_hashes"),
-    )
-    hs = F.col("_tok_hashes")
+    a plain groupBy — no pairwise work at all.
 
-    def bit_vote(mask: int) -> Column:
-        return F.aggregate(
-            hs,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
-        )
-
+    Tokens are exploded to rows and the 16 bit votes run as integer
+    sum() aggregates in whole-stage codegen with map-side combine (one
+    doc_id shuffle) — integer sums are order-independent, so the
+    fingerprint is exactly the per-row array formulation's value at a
+    fraction of its interpreted-lambda cost."""
+    toks = corpus.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    hashed = toks.select("doc_id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    g = hashed.groupBy("doc_id").agg(*votes)
     fingerprint = None
     for b in range(bits):
-        mask = 1 << b
-        term = F.when(bit_vote(mask) >= 0, F.lit(mask)).otherwise(F.lit(0))
+        term = F.when(F.col(f"_v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
-    return corpus.select("doc_id", fingerprint.cast("long").alias("simhash"))
+    return g.select("doc_id", fingerprint.cast("long").alias("simhash"))
 
 
 def simhash_groups(corpus: DataFrame) -> DataFrame:

@@ -15,7 +15,7 @@ extension (SURVEY.md §7 step 8) a training-data pipeline needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword vocabularies for the n-gram/stopword
@@ -43,14 +43,47 @@ def words(col: Column) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (the unit of MinHash/Jaccard dedup).
-    Assumes ≥ n words per document (the fixture guarantees ~30+)."""
+    """Distinct n-word shingles (the unit of MinHash/Jaccard dedup) as
+    a per-row array Column. Assumes ≥ n words per document (the fixture
+    guarantees ~30+).
+
+    NOTE: higher-order functions evaluate interpreted (~0.5 ms/doc for
+    the slice-per-index construction). Plan-level operators should use
+    ``exploded_shingles`` instead — same shingle strings, built in
+    whole-stage codegen."""
     w = words(col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(w) - n),
             lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
         )
+    )
+
+
+def exploded_shingles(df: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id_col, s): one row per n-word shingle occurrence, built fully
+    in whole-stage codegen — posexplode the token array, then stitch
+    each token to its ``lead()`` neighbors inside the per-document
+    window. Emits the exact strings ``word_shingles`` produces, but NOT
+    deduplicated: downstream aggregates (min, collect_set, count over
+    distinct rows) are multiplicity-invariant, which keeps the whole
+    pipeline out of interpreted lambda territory.
+
+    Scale: one shuffle on id_col (the window); document groups are
+    small, so the per-partition sort is trivial, and the follow-up
+    groupBy on the same key reuses the partitioning without a second
+    exchange."""
+    toks = df.select(id_col, F.posexplode(words(F.col("text"))).alias("pos", "w"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
+    return (
+        toks.select(
+            id_col,
+            F.concat_ws(" ", *parts).alias("s"),
+            parts[-1].isNotNull().alias("_complete"),
+        )
+        .where(F.col("_complete"))
+        .drop("_complete")
     )
 
 
@@ -141,10 +174,20 @@ def doc_fingerprint(documents: DataFrame, k: int = 4) -> DataFrame:
     """K-min-sketch document fingerprint: the k lexicographically
     smallest md5 hashes of the distinct 3-word shingles, concatenated.
     Equal fingerprints ⇒ near-identical documents (winnowing-style);
-    the sketch is constant-size regardless of document length."""
-    hashes = F.array_sort(F.transform(word_shingles(F.col("text")), lambda s: F.md5(s)))
-    return documents.select(
+    the sketch is constant-size regardless of document length.
+
+    Built codegen-first: shingles exploded to rows (``exploded_
+    shingles``), md5 per row, then one groupBy collecting the distinct
+    hash set — sort + slice only touch the ~52-element per-doc array.
+    collect_set dedupes, so multiplicity from the non-distinct explode
+    cannot change the sketch or the count."""
+    sh = exploded_shingles(documents)
+    hashed = sh.select("doc_id", F.md5(F.col("s")).alias("h"))
+    g = hashed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("h")).alias("_hashes")
+    )
+    return g.select(
         "doc_id",
-        F.concat_ws("", F.slice(hashes, 1, k)).alias("fingerprint"),
-        F.size(hashes).alias("n_shingles"),
+        F.concat_ws("", F.slice(F.col("_hashes"), 1, k)).alias("fingerprint"),
+        F.size(F.col("_hashes")).alias("n_shingles"),
     )
