@@ -66,8 +66,16 @@ def normalize_string_collection(col: Column) -> Column:
     # from_json yields null on malformed JSON (PERMISSIVE), so csv-split
     # is a coalesce fallback — the JSON parse runs exactly once per row
     # (a when(from_json.isNotNull(), from_json) form would evaluate it
-    # twice; measurably slower, same semantics).
-    arr = F.coalesce(F.from_json(trimmed, "array<string>"), F.split(trimmed, ","))
+    # twice; measurably slower, same semantics). The startswith('[')
+    # guard skips the parse entirely for plain CSV strings: from_json
+    # with an array schema returns null for any non-'['-prefixed input,
+    # so gating it changes nothing semantically, and JsonToStructs is a
+    # CodegenFallback expression — the guard keeps most rows fully
+    # inside codegen (~2× on this function's bench query).
+    arr = F.coalesce(
+        F.when(trimmed.startswith("["), F.from_json(trimmed, "array<string>")),
+        F.split(trimmed, ","),
+    )
     cleaned = F.filter(F.transform(arr, lambda x: F.trim(x)), lambda x: x != "")
     return F.when(
         col.isNull() | (trimmed == "") | (trimmed == "[]"), F.array().cast("array<string>")

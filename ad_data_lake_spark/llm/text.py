@@ -122,12 +122,24 @@ def token_counts(documents: DataFrame) -> DataFrame:
 def lang_id(documents: DataFrame) -> DataFrame:
     """Stopword-hit language-ID heuristic: score each language by
     membership hits over the token list, argmax with deterministic
-    tie-break in LANGS order; compared against the labeled ``lang``."""
-    w = words(F.col("text"))
-    scores = {
-        lang: F.size(F.filter(w, lambda x: x.isin(*stops)))
+    tie-break in LANGS order; compared against the labeled ``lang``.
+
+    Tokens exploded to rows, the 5 language scores as conditional sums
+    in one codegen'd groupBy (map-side combine); the argmax when-chain
+    then reads the materialized score columns — the per-row
+    ``filter()`` lambda form re-evaluated the token split per score and
+    ran interpreted."""
+    toks = documents.select(
+        "doc_id", "lang", F.explode(words(F.col("text"))).alias("tok")
+    )
+    aggs = [
+        F.sum(F.when(F.col("tok").isin(*stops), 1).otherwise(0))
+        .cast("int")
+        .alias(f"score_{lang}")
         for lang, stops in LANG_STOPWORDS.items()
-    }
+    ]
+    g = toks.groupBy("doc_id", "lang").agg(*aggs)
+    scores = {lang: F.col(f"score_{lang}") for lang in LANGS}
     predicted = None
     for lang in reversed(LANGS):  # build when-chain so earliest lang wins ties
         cond = scores[lang]
@@ -145,7 +157,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
         predicted.alias("predicted_lang"),
         (predicted == F.col("lang")).alias("is_match"),
     ]
-    return documents.select(*sel)
+    return g.select(*sel)
 
 
 def quality_score(documents: DataFrame) -> DataFrame:
