@@ -68,6 +68,136 @@ def update_story_spec(spec: Column, new_message: Column, new_image_hash: Column)
     )
 
 
+def clean_retailer_ids(ids: Column) -> Column:
+    """F19 helper: trim items, drop empties, dedupe keeping first
+    occurrence (``array_distinct`` preserves encounter order) — the
+    reference's ``cleaned_retailer_ids`` loop (reference
+    pages/1_Campaign_Cloner.py:645-650)."""
+    return F.array_distinct(
+        F.filter(F.transform(ids, lambda x: F.trim(x)), lambda x: x != "")
+    )
+
+
+def update_object_story_spec(
+    spec: Column,
+    asset_key: Column,
+    asset_value: Column,
+    message: Column,
+    headline: Column,
+    link: Column,
+    retailer_item_ids: Column,
+) -> Column:
+    """F19 (full branch set): immutable rewrite of an
+    ``object_story_spec`` tree — the reference's
+    ``update_object_story_spec`` (pages/1_Campaign_Cloner.py:553-668)
+    re-expressed as one ``withField`` expression tree:
+
+    - asset swap: ``image_hash`` sets link_data/photo_data and pops
+      link_data.video_id; ``video_id`` sets link_data/video_data and
+      pops link_data.image_hash (dict-pop ≡ null field; ``to_json``
+      omits nulls, so the serialized payload drops the key exactly like
+      the reference's ``pop``);
+    - non-empty ``message`` propagates to link/video/photo_data;
+    - ``headline`` sets link_data.headline+name and video_data.title;
+    - ``link`` sets link_data.link+link_url and rewrites the
+      call_to_action.value link/link_url (building a fresh value struct
+      when the original was null, reference :617-624);
+    - retailer ids: cleaned via ``clean_retailer_ids``; non-empty →
+      stamped on link/video/template_data and the root, else popped
+      everywhere.
+
+    ``withField`` on a NULL struct stays NULL, matching the
+    reference's isinstance-dict guards. All sections are rebuilt in one
+    projection — no shuffle, no Python."""
+    has_asset = (
+        asset_key.isNotNull()
+        & (asset_key != "")
+        & asset_value.isNotNull()
+        & (asset_value != "")
+    )
+    is_img = has_asset & (asset_key == "image_hash")
+    is_vid = has_asset & (asset_key == "video_id")
+    has_msg = message.isNotNull() & (message != "")
+    has_headline = headline.isNotNull() & (headline != "")
+    has_link = link.isNotNull() & (link != "")
+    cleaned = clean_retailer_ids(retailer_item_ids)
+    has_ids = retailer_item_ids.isNotNull() & (F.size(cleaned) > 0)
+    ids_or_pop = F.when(has_ids, cleaned).otherwise(
+        F.lit(None).cast("array<string>")
+    )
+    null_str = F.lit(None).cast("string")
+
+    ld = spec.getField("link_data")
+    cta = ld.getField("call_to_action")
+    old_value = cta.getField("value")
+    new_value = F.when(
+        old_value.isNotNull(),
+        old_value.withField("link", link).withField("link_url", link),
+    ).otherwise(F.struct(link.alias("link"), null_str.alias("link_url")))
+    new_ld = (
+        ld.withField(
+            "message", F.when(has_msg, message).otherwise(ld.getField("message"))
+        )
+        .withField(
+            "image_hash",
+            F.when(is_img, asset_value)
+            .when(is_vid, null_str)
+            .otherwise(ld.getField("image_hash")),
+        )
+        .withField(
+            "video_id",
+            F.when(is_vid, asset_value)
+            .when(is_img, null_str)
+            .otherwise(ld.getField("video_id")),
+        )
+        .withField("link", F.when(has_link, link).otherwise(ld.getField("link")))
+        .withField(
+            "link_url", F.when(has_link, link).otherwise(ld.getField("link_url"))
+        )
+        .withField(
+            "headline", F.when(has_headline, headline).otherwise(ld.getField("headline"))
+        )
+        .withField(
+            "name", F.when(has_headline, headline).otherwise(ld.getField("name"))
+        )
+        .withField(
+            "call_to_action",
+            F.when(has_link & cta.isNotNull(), cta.withField("value", new_value)).otherwise(cta),
+        )
+        .withField("retailer_item_ids", ids_or_pop)
+    )
+
+    vd = spec.getField("video_data")
+    new_vd = (
+        vd.withField(
+            "video_id", F.when(is_vid, asset_value).otherwise(vd.getField("video_id"))
+        )
+        .withField(
+            "title", F.when(has_headline, headline).otherwise(vd.getField("title"))
+        )
+        .withField(
+            "message", F.when(has_msg, message).otherwise(vd.getField("message"))
+        )
+        .withField("retailer_item_ids", ids_or_pop)
+    )
+
+    pd_ = spec.getField("photo_data")
+    new_pd = pd_.withField(
+        "image_hash", F.when(is_img, asset_value).otherwise(pd_.getField("image_hash"))
+    ).withField("message", F.when(has_msg, message).otherwise(pd_.getField("message")))
+
+    td = spec.getField("template_data")
+    new_td = td.withField("retailer_item_ids", ids_or_pop)
+
+    return (
+        spec.withField("link_data", new_ld)
+        .withField("video_data", new_vd)
+        .withField("photo_data", new_pd)
+        .withField("template_data", new_td)
+        .withField("retailer_item_ids", ids_or_pop)
+    )
+
+
 def build_call_to_action(cta_type: Column, link: Column) -> Column:
     """F22: upper-case CTA type + optional link value struct (reference
     pages/3_Creative_Composer.py:45-56)."""

@@ -167,6 +167,77 @@ def fn_nested_update(part: DataFrame) -> DataFrame:
     return part.select("p_partkey", F.to_json(updated).alias("spec_json"))
 
 
+def fn_story_spec_update(part: DataFrame) -> DataFrame:
+    """F19 (full branch set) golden query: every
+    ``update_object_story_spec`` branch exercised deterministically by
+    p_partkey mods — asset image/video swap incl. the pop of the rival
+    key (mod 3), message propagation (mod 2), headline/title (mod 5),
+    link + call_to_action.value rewrite (mod 4), retailer-id
+    clean/set/pop across sections and root (mod 7). Output serialized
+    with ``to_json`` (null fields omitted, matching the reference's
+    dict pops). Reference pages/1_Campaign_Cloner.py:553-668; CTA
+    rewrites inside video/photo_data are omitted because the fixture
+    schema carries a call_to_action only under link_data (the guards
+    would be identical)."""
+    null_s = F.lit(None).cast("string")
+    orig_ids = F.array(F.col("p_type"))
+    spec = F.struct(
+        F.struct(
+            F.concat(F.lit("om_"), F.col("p_name")).alias("message"),
+            F.lit("oldimg").alias("image_hash"),
+            F.lit("oldvid").alias("video_id"),
+            F.lit("https://old").alias("link"),
+            F.lit("https://old").alias("link_url"),
+            null_s.alias("headline"),
+            null_s.alias("name"),
+            F.struct(
+                F.lit("SHOP_NOW").alias("type"),
+                F.struct(
+                    F.lit("https://old").alias("link"),
+                    null_s.alias("link_url"),
+                ).alias("value"),
+            ).alias("call_to_action"),
+            orig_ids.alias("retailer_item_ids"),
+        ).alias("link_data"),
+        F.struct(
+            F.lit("vorig").alias("video_id"),
+            null_s.alias("title"),
+            F.concat(F.lit("vm_"), F.col("p_name")).alias("message"),
+            orig_ids.alias("retailer_item_ids"),
+        ).alias("video_data"),
+        F.struct(
+            F.lit("porig").alias("image_hash"),
+            F.concat(F.lit("pm_"), F.col("p_name")).alias("message"),
+        ).alias("photo_data"),
+        F.struct(orig_ids.alias("retailer_item_ids")).alias("template_data"),
+        orig_ids.alias("retailer_item_ids"),
+    )
+    asset_key = (
+        F.when(_m("p_partkey", 3) == 0, F.lit("image_hash"))
+        .when(_m("p_partkey", 3) == 1, F.lit("video_id"))
+    )
+    asset_value = F.when(_m("p_partkey", 3) < 2, F.md5(F.col("p_name")))
+    message = F.when(_m("p_partkey", 2) == 0, F.concat(F.lit("m_"), F.col("p_name")))
+    headline = F.when(_m("p_partkey", 5) == 0, F.col("p_brand"))
+    link = F.when(
+        _m("p_partkey", 4) == 0,
+        F.concat(F.lit("https://x/"), F.col("p_partkey").cast("string")),
+    )
+    retailer_ids = F.when(
+        _m("p_partkey", 7) == 0,
+        F.array(
+            F.concat(F.lit(" "), F.col("p_brand"), F.lit(" ")),
+            F.lit(""),
+            F.col("p_brand"),
+            F.col("p_type"),
+        ),
+    )
+    updated = C.update_object_story_spec(
+        spec, asset_key, asset_value, message, headline, link, retailer_ids
+    )
+    return part.select("p_partkey", F.to_json(updated).alias("spec_json"))
+
+
 def fn_unicode_unescape(documents: DataFrame) -> DataFrame:
     # golden escapes appended so the UDF has real work on every row
     raw = F.concat(F.substring("text", 1, 20), F.lit("\\u0041\\x42"))

@@ -542,6 +542,56 @@ _register(
 )
 
 _register(
+    "fn_story_spec_update",
+    QuerySpec(
+        _q(sanitize_queries.fn_story_spec_update, "part"),
+        """
+        WITH j AS (
+            SELECT p_partkey,
+                   p_partkey % 2 AS m2, p_partkey % 3 AS m3,
+                   p_partkey % 4 AS m4, p_partkey % 5 AS m5,
+                   p_partkey % 7 AS m7,
+                   md5(p_name) AS md, p_name, p_brand,
+                   'https://x/' || CAST(p_partkey AS VARCHAR) AS newl,
+                   '["' || p_brand || '","' || p_type || '"]' AS rid
+            FROM part)
+        SELECT p_partkey,
+            '{"link_data":{"message":"'
+            || CASE WHEN m2 = 0 THEN 'm_' || p_name ELSE 'om_' || p_name END || '"'
+            || CASE WHEN m3 != 1 THEN ',"image_hash":"'
+                 || CASE WHEN m3 = 0 THEN md ELSE 'oldimg' END || '"' ELSE '' END
+            || CASE WHEN m3 != 0 THEN ',"video_id":"'
+                 || CASE WHEN m3 = 1 THEN md ELSE 'oldvid' END || '"' ELSE '' END
+            || ',"link":"' || CASE WHEN m4 = 0 THEN newl ELSE 'https://old' END || '"'
+            || ',"link_url":"' || CASE WHEN m4 = 0 THEN newl ELSE 'https://old' END || '"'
+            || CASE WHEN m5 = 0 THEN ',"headline":"' || p_brand || '","name":"' || p_brand || '"'
+                 ELSE '' END
+            || ',"call_to_action":{"type":"SHOP_NOW","value":{"link":"'
+            || CASE WHEN m4 = 0 THEN newl ELSE 'https://old' END || '"'
+            || CASE WHEN m4 = 0 THEN ',"link_url":"' || newl || '"' ELSE '' END
+            || '}}'
+            || CASE WHEN m7 = 0 THEN ',"retailer_item_ids":' || rid ELSE '' END
+            || '},"video_data":{"video_id":"'
+            || CASE WHEN m3 = 1 THEN md ELSE 'vorig' END || '"'
+            || CASE WHEN m5 = 0 THEN ',"title":"' || p_brand || '"' ELSE '' END
+            || ',"message":"'
+            || CASE WHEN m2 = 0 THEN 'm_' || p_name ELSE 'vm_' || p_name END || '"'
+            || CASE WHEN m7 = 0 THEN ',"retailer_item_ids":' || rid ELSE '' END
+            || '},"photo_data":{"image_hash":"'
+            || CASE WHEN m3 = 0 THEN md ELSE 'porig' END || '"'
+            || ',"message":"'
+            || CASE WHEN m2 = 0 THEN 'm_' || p_name ELSE 'pm_' || p_name END || '"'
+            || '},"template_data":'
+            || CASE WHEN m7 = 0 THEN '{"retailer_item_ids":' || rid || '}' ELSE '{}' END
+            || CASE WHEN m7 = 0 THEN ',"retailer_item_ids":' || rid ELSE '' END
+            || '}' AS spec_json
+        FROM j
+        """,
+        ("creative", "golden", "nested", "json"),
+    ),
+)
+
+_register(
     "fn_unicode_unescape",
     QuerySpec(
         _q(sanitize_queries.fn_unicode_unescape, "documents"),
