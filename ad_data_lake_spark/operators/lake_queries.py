@@ -1,0 +1,146 @@
+"""Oracle-checked queries over the write/incremental layer (SURVEY.md
+§2.1 S12/S15, §2.9 T1/T2/T4).
+
+Each query actually exercises the lake write path — partitioned
+parquet write, MERGE-style upsert, dynamic-partition backfill, the
+Structured Streaming daily aggregate — into a scratch dir under /tmp,
+then returns the *final table state* as a DataFrame. The DuckDB oracle
+computes the same final state directly from the source tables, so a
+hash match proves the write semantics (idempotency, partition
+replacement, streaming dedupe) end-to-end, not just the read plan.
+
+Scratch dirs are deterministic per (query, sf) and wiped at the start
+of every invocation, so re-runs can't observe stale state. The
+returned DataFrame reads lazily from the scratch path — it stays on
+disk so the caller (driver/bench) can collect after return.
+
+Scale notes: these run the exact production entry points
+(`sinks.write_partitioned`, `incremental.merge_upsert`,
+`incremental.backfill_partitions`, `streaming.streaming_daily_insights`)
+whose 100 TB design notes live on those functions; nothing here is
+test-only plumbing beyond the scratch-dir swap.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ad_data_lake_spark import incremental, sinks
+from ad_data_lake_spark.sources.tables import load_table
+from ad_data_lake_spark.streaming import run_available_now, streaming_daily_insights
+
+# Deterministic backfill/pruning day (events span 2024-01; mirrored in
+# the oracle SQL literals in queries.py).
+EVENTS_DAY = "2024-01-15"
+
+_TMP_ROOT = "/tmp/ad_data_lake_spark_lake"
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_TMP_ROOT, f"{name}-{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _events_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def lake_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: date-partitioned lake write → partition-pruned read-back.
+
+    Writes events partitioned by snapshot_date (the reference's
+    ``output/<YYYY-MM-DD>/`` layout, reference src/utils/storage.py:9-16,
+    src/main_extractor.py:363), then reads one day back through the
+    partition filter and aggregates it. The read-back scan lists only
+    the matching partition directory (partition pruning — verify with
+    ``.explain``: PartitionFilters on snapshot_date)."""
+    daily = _events_slim(spark, sf_dir).withColumn(
+        "snapshot_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = _scratch("roundtrip", sf_dir)
+    sinks.write_partitioned(daily, path, ("snapshot_date",))
+    back = sinks.read_lake(spark, path).where(
+        F.col("snapshot_date").cast("string") == EVENTS_DAY
+    )
+    return back.groupBy(
+        F.col("snapshot_date").cast("string").alias("snapshot_date"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def merge_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15/T1: MERGE-style idempotent upsert, applied twice.
+
+    Seeds the lake with events, then merges newer rows (+1h, +1 value
+    for every 10th id) TWICE — the second application must be a no-op
+    (the reference's daily re-run overwrite contract, reference
+    src/main_extractor.py:42-51,358). Returns the final table; the
+    oracle computes last-wins over the union directly, so a hash match
+    proves both upsert correctness and idempotency."""
+    events = _events_slim(spark, sf_dir)
+    target = os.path.join(_scratch("merge", sf_dir), "events")
+    incremental.merge_upsert(spark, target, events, "event_id", "ts", "value")
+    updates = (
+        events.where(F.col("event_id") % 10 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") + 1)
+    )
+    incremental.merge_upsert(spark, target, updates, "event_id", "ts", "value")
+    incremental.merge_upsert(spark, target, updates, "event_id", "ts", "value")
+    return spark.read.parquet(target)
+
+
+def backfill_partition_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: per-day backfill via dynamic partition overwrite.
+
+    Writes the full partitioned table, then reprocesses ONE day with
+    amended values (+100) — ``replaceWhere`` semantics (reference
+    src/main_extractor.py:438-508). The per-day aggregate of the final
+    table proves exactly that day was replaced (its values shifted)
+    and every other partition was untouched (counts unchanged)."""
+    daily = _events_slim(spark, sf_dir).withColumn(
+        "snapshot_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = _scratch("backfill", sf_dir)
+    sinks.write_partitioned(daily, path, ("snapshot_date",))
+    amended = daily.where(F.col("snapshot_date") == EVENTS_DAY).withColumn(
+        "value", F.col("value") + 100
+    )
+    incremental.backfill_partitions(amended, path, ("snapshot_date",))
+    back = sinks.read_lake(spark, path)
+    return back.groupBy(
+        F.col("snapshot_date").cast("string").alias("snapshot_date")
+    ).agg(
+        F.count("*").alias("events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T4: Structured Streaming daily insights with late/duplicate
+    handling.
+
+    Plants exact duplicate rows for every 10th event into a file
+    stream source, then runs readStream → watermark(1 day) →
+    dropDuplicates(event_id) → tumbling 1-day window aggregate
+    (streaming/incremental.py). The oracle is the plain per-day batch
+    aggregate over the original events — a hash match proves the
+    stream deduped the planted rows and reproduced batch semantics."""
+    events = _events_slim(spark, sf_dir)
+    src = os.path.join(_scratch("stream-src", sf_dir), "events")
+    dup = events.where(F.col("event_id") % 10 == 0)
+    events.unionByName(dup).write.mode("overwrite").parquet(src)
+    stream = streaming_daily_insights(spark, src, events.schema)
+    return run_available_now(stream, f"stream_daily_{uuid.uuid4().hex[:8]}")

@@ -870,6 +870,80 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# §2.1 S12/S15 + §2.9 T1/T2/T4: the write/incremental/streaming layer as
+# oracle-checked queries. Each one executes the real write path into a
+# scratch dir and returns the FINAL TABLE STATE; the oracle computes the
+# same state straight from the sources, so a hash match proves the write
+# semantics (idempotent MERGE, partition replacement, streaming dedupe).
+# Tagged "write": bench.py excludes them (the oracle side does no IO, so
+# a wall-clock ratio would compare a write+read pipeline to a pure agg).
+# ---------------------------------------------------------------------------
+
+from ad_data_lake_spark.operators import lake_queries  # noqa: E402
+
+_register(
+    "lake_write_roundtrip",
+    QuerySpec(
+        lake_queries.lake_write_roundtrip,
+        f"""
+        SELECT strftime(ts, '%Y-%m-%d') AS snapshot_date, event_type,
+               count(*) AS events, round(sum(value), 2) AS total_value
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '{lake_queries.EVENTS_DAY}'
+        GROUP BY 1, 2
+        """,
+        ("write", "sink", "partition-pruning"),
+    ),
+)
+
+_register(
+    "merge_upsert_idempotent",
+    QuerySpec(
+        lake_queries.merge_upsert_idempotent,
+        """
+        WITH c AS (
+            SELECT event_id, ts, user_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id, ts + INTERVAL 1 HOUR, user_id, event_type, value + 1
+            FROM events WHERE event_id % 10 = 0)
+        SELECT event_id, ts, user_id, event_type, value FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY event_id ORDER BY ts DESC, value DESC) = 1
+        """,
+        ("write", "merge", "incremental"),
+    ),
+)
+
+_register(
+    "backfill_partition_replace",
+    QuerySpec(
+        lake_queries.backfill_partition_replace,
+        f"""
+        SELECT strftime(ts, '%Y-%m-%d') AS snapshot_date,
+               count(*) AS events,
+               round(sum(value + CASE WHEN CAST(ts AS DATE) = DATE '{lake_queries.EVENTS_DAY}'
+                                      THEN 100 ELSE 0 END), 2) AS total_value
+        FROM events GROUP BY 1
+        """,
+        ("write", "backfill", "incremental"),
+    ),
+)
+
+_register(
+    "streaming_daily_insights",
+    QuerySpec(
+        lake_queries.streaming_daily,
+        """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_date, event_type,
+               count(*) AS events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+        """,
+        ("write", "streaming", "watermark"),
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # LLM-data-pipeline layer (BASELINE.json north star; SURVEY §7 step 8):
 # dedup / text analysis over documents, similarity over embeddings.
 # Specs live next to the operators (llm/registry.py) and are merged here.

@@ -34,7 +34,12 @@ def main() -> None:
     spark = get_spark("ad_data_lake_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = list(REGISTRY)
+    # "write"-tagged queries exercise the lake write path; their DuckDB
+    # oracle computes only the final state (no IO), so a wall-clock
+    # ratio would be write+read vs pure agg — correctness-gated in
+    # CORRECTNESS_r*.json but excluded from the bench headline.
+    names = [n for n, s in REGISTRY.items() if "write" not in s.tags]
+    skipped = [n for n in REGISTRY if n not in names]
     # Warm pass: JVM + codegen compile + parquet footers, per query.
     for name in names:
         _materialize(REGISTRY[name].fn(spark, sf_dir))
@@ -52,6 +57,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "skipped_write_path": skipped,
     }
     print(json.dumps(out))
     spark.stop()
