@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ad_data_lake_spark.llm.text import exploded_shingles, word_shingles, words
+from ad_data_lake_spark.sources.tables import spread
 
 N_HASHES = 9
 N_BANDS = 3
@@ -228,6 +229,7 @@ def minhash_neardup_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFram
     aggregate; its four consumers (two band sides, two verify sides)
     share one shuffle via Spark's ReuseExchange, so the document scan +
     shingle hashing runs once."""
+    corpus = spread(corpus)  # shingle explode is compute-bound; fan out the 1-split fixture scan
     prepped = minhash_prepped(corpus)
     bands = prepped.select(
         "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_id", "band_key")
@@ -273,6 +275,7 @@ def ngram_jaccard_pairs(corpus: DataFrame, mod: int = 50) -> DataFrame:
     8-byte hashes once and aggregates map-side — same jaccard values
     to the digit (set cardinalities are order- and
     multiplicity-independent)."""
+    corpus = spread(corpus)  # shingle explode is compute-bound; fan out the 1-split fixture scan
     hs = (
         _exploded_shingle_hashes(corpus)
         .select("doc_id", (F.col("doc_id") % mod).alias("bucket"), "h60")

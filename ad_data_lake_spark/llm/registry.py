@@ -20,7 +20,7 @@ from ad_data_lake_spark.llm import dedup as D
 from ad_data_lake_spark.llm import multimodal as MM
 from ad_data_lake_spark.llm import similarity as SIM
 from ad_data_lake_spark.llm import text as T
-from ad_data_lake_spark.sources.tables import load_table
+from ad_data_lake_spark.sources.tables import load_table, spread
 
 _WS = r"\s+"
 _WORDS = f"string_split_regex(trim(text), '{_WS}')"
@@ -73,6 +73,10 @@ def _simhash_terms() -> str:
 
 def _doc_q(fn: Callable[[DataFrame], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # NOT blanket-spread: only the shingle-explode operators
+        # (MinHash / n-gram Jaccard) win from an input fan-out — they
+        # call tables.spread themselves; the cheap per-row scorers
+        # measured slower behind an added exchange.
         return fn(load_table(spark, "documents", sf_dir))
 
     return run
@@ -284,6 +288,8 @@ _add(
 
 def _emb_q(fn: Callable[[DataFrame], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # NOT spread: similarity queries are join-bound (bucket/broadcast
+        # self-joins); an input exchange here measured slower, not faster
         return fn(load_table(spark, "embeddings", sf_dir))
 
     return run

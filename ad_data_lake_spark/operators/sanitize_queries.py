@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ad_data_lake_spark.functions import creative as C
 from ad_data_lake_spark.functions import sanitize as S
+from ad_data_lake_spark.sources.tables import spread
 
 CLAMP_NOW = "1998-01-01 00:00:00"
 
@@ -179,6 +180,7 @@ def fn_story_spec_update(part: DataFrame) -> DataFrame:
     rewrites inside video/photo_data are omitted because the fixture
     schema carries a call_to_action only under link_data (the guards
     would be identical)."""
+    part = spread(part)  # compute-bound: fan the 1-split fixture scan to core count
     null_s = F.lit(None).cast("string")
     orig_ids = F.array(F.col("p_type"))
     spec = F.struct(
@@ -322,6 +324,7 @@ def fn_creative_payload(part: DataFrame) -> DataFrame:
 def fn_parse_targeting(customer: DataFrame) -> DataFrame:
     """F24: JSON-string targeting → typed struct; every 4th row is
     malformed and must parse to null (the reference returns None)."""
+    customer = spread(customer)  # compute-bound: fan the 1-split fixture scan to core count
     raw = F.when(
         _m("c_custkey", 4) != 0,
         F.concat(
@@ -362,6 +365,7 @@ def fn_null_strip(orders: DataFrame) -> DataFrame:
 def sanitize_adset(orders: DataFrame) -> DataFrame:
     """F10-composite: adset-shaped sanitize — budget exclusion + the
     adset time-field set (start_time clamped, end_time normalized)."""
+    orders = spread(orders)  # compute-bound: fan the 1-split fixture scan to core count
     shaped = orders.select(
         F.col("o_orderkey").cast("string").alias("id"),
         F.when(_m("o_orderkey", 3) == 0, F.col("o_totalprice").cast("string")).alias(
@@ -385,6 +389,7 @@ def sanitize_nested_struct(orders: DataFrame) -> DataFrame:
     src/utils/api_helpers.py:268-279). Serialized to JSON for the
     oracle (both engines emit identical compact JSON).
     """
+    orders = spread(orders)  # compute-bound: fan the 1-split fixture scan to core count
     from ad_data_lake_spark.plans import struct_rules
 
     key = F.col("o_orderkey").cast("string")
@@ -427,6 +432,7 @@ def sanitize_campaign(orders: DataFrame) -> DataFrame:
     """The composite write-contract transform over a campaign-shaped
     projection — the engine-side equivalent of running the reference's
     ``sanitize_payload(payload, 'campaign')`` before a POST."""
+    orders = spread(orders)  # compute-bound: fan the 1-split fixture scan to core count
     shaped = orders.select(
         F.col("o_orderkey").cast("string").alias("id"),
         F.when(_m("o_orderkey", 3) == 0, F.col("o_totalprice").cast("string")).alias(

@@ -89,3 +89,24 @@ def register_temp_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Register every fixture table as a temp view for ``spark.sql`` use."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to session parallelism for COMPUTE-BOUND
+    transforms (heavy expression trees, sketching, Arrow UDFs).
+
+    The local fixtures are single-row-group parquet, so their scans
+    yield one task and a per-row-expensive projection runs on 1 of N
+    cores. A production lake writes ~128 MB row groups and scans split
+    naturally — the guard makes this a no-op there (no shuffle added
+    when the source already supplies >= defaultParallelism splits).
+    Even at scale the pattern is right: a CPU-bound stage should run at
+    cluster parallelism, not at input-split count, and a round-robin
+    exchange of the (narrow) input is far cheaper than the compute it
+    unlocks. Do NOT use on scan-bound or shuffle-bound queries — it
+    would add an exchange for nothing.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

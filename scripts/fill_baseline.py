@@ -48,11 +48,14 @@ def spark_timings(sf_dir: str) -> dict[str, float]:
 
     for spec in REGISTRY.values():
         mat(spec.fn(spark, sf_dir))  # warm
+    # min of two timed passes, mirroring bench.py's variance handling
     out: dict[str, float] = {}
-    for name, spec in REGISTRY.items():
-        t0 = time.perf_counter()
-        mat(spec.fn(spark, sf_dir))
-        out[name] = time.perf_counter() - t0
+    for _ in range(2):
+        for name, spec in REGISTRY.items():
+            t0 = time.perf_counter()
+            mat(spec.fn(spark, sf_dir))
+            el = time.perf_counter() - t0
+            out[name] = min(out.get(name, el), el)
     spark.stop()
     return out
 
@@ -75,14 +78,21 @@ def main() -> None:
         "| Query | DuckDB (s) | Spark (s) | Ratio | Oracle |",
         "|---|---|---|---|---|",
     ]
+    from ad_data_lake_spark.queries import REGISTRY
+
     d_tot = s_tot = 0.0
     for name, s_t in spark.items():
         d_t = duck.get(name)
-        if d_t is not None:
+        is_write = "write" in REGISTRY[name].tags
+        if d_t is not None and not is_write:
             d_tot += d_t
             s_tot += s_t
             ratio = f"{s_t / d_t:.1f}×" if d_t > 1e-4 else "—"
             lines.append(f"| {name} | {d_t:.3f} | {s_t:.3f} | {ratio} | sql |")
+        elif is_write:
+            # write-path query: Spark side does real IO (write+read), the
+            # oracle only computes final state — ratio not comparable
+            lines.append(f"| {name} | — | {s_t:.3f} | — | sql (write-path, excluded from total) |")
         else:
             lines.append(f"| {name} | — | {s_t:.3f} | — | rows-only |")
     lines.append(
