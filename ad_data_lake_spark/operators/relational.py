@@ -192,3 +192,20 @@ def union_pages(orders: DataFrame) -> DataFrame:
     page1 = orders.where(F.col("o_orderstatus") == "O")
     page2 = orders.where(F.col("o_orderstatus") == "F")
     return page1.unionByName(page2).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def stamp_parent_keys(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """S5: per-parent child fetch with parent-key stamping. The
+    reference fetches ads one adset at a time and stamps ``ad_set_id``
+    onto every child row (reference src/main_extractor.py:144-177,
+    327-334). Spark-side the child FK is already in the row; the stamp
+    proper is the parent-attribute projection after the join — here the
+    parent's account-like key (o_custkey) onto each child. Parents are
+    filtered then broadcast: the child table never shuffles.
+    """
+    parents = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.col("o_custkey").alias("parent_account")
+    )
+    return lineitem.join(
+        F.broadcast(parents), lineitem.l_orderkey == parents.o_orderkey, "inner"
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "parent_account")

@@ -338,16 +338,19 @@ def fn_parse_targeting(customer: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.lit("{not json"))
     t = C.parse_targeting(raw)
-    return customer.select(
+    # JsonToStructs is CodegenFallback (no subexpression elimination), so
+    # per-column getField would re-parse the JSON once per output column;
+    # inline(array(t)) runs the parse ONCE per row and emits the fields
+    return customer.select("c_custkey", F.inline(F.array(t))).select(
         "c_custkey",
-        t.getField("age_min").alias("age_min"),
-        t.getField("age_max").alias("age_max"),
-        F.element_at(t.getField("geo_locations").getField("countries"), 1).alias("country0"),
-        F.element_at(t.getField("interests"), 1).alias("interest0"),
+        "age_min",
+        "age_max",
+        F.element_at(F.col("geo_locations").getField("countries"), 1).alias("country0"),
+        F.element_at(F.col("interests"), 1).alias("interest0"),
         # from_json yields an all-null struct (not NULL) on malformed
         # input, so malformed-ness is probed via a required field —
         # mirroring the reference's "did parse produce a usable dict"
-        t.getField("age_min").isNull().alias("is_malformed"),
+        F.col("age_min").isNull().alias("is_malformed"),
     )
 
 
@@ -453,3 +456,73 @@ def sanitize_campaign(orders: DataFrame) -> DataFrame:
     )
     out = S.sanitize_campaign_payload(shaped, F.lit(CLAMP_NOW).cast("timestamp"))
     return out.withColumn("special_ad_categories", F.concat_ws("|", "special_ad_categories"))
+
+
+def json_decode_ingest(orders: DataFrame) -> DataFrame:
+    """S11: JSON decode at ingest. The reference converts SDK objects
+    to plain dicts at every fetch boundary (reference
+    src/extractors/api_extractor.py:12-50); the Spark-side equivalent
+    is schema'd ``from_json`` at the scan — one parse per row, typed
+    columns out, malformed rows surfacing as nulls (PERMISSIVE).
+    Payloads are built deterministically from orders, parsed with an
+    explicit nested schema, and projected back to typed columns."""
+    key = F.col("o_orderkey").cast("string")
+    raw = F.concat(
+        F.lit('{"id":"'), key,
+        F.lit('","status":"'), F.col("o_orderstatus"),
+        F.lit('","creative":{"id":"cr_'), key,
+        F.lit('","image_hash":"'), F.md5(F.col("o_orderpriority")),
+        F.lit('"},"spend":'), F.col("o_totalprice").cast("string"),
+        F.lit(',"tags":["'), F.col("o_orderpriority"), F.lit('"]}')
+    )
+    schema = (
+        "struct<id:string,status:string,"
+        "creative:struct<id:string,image_hash:string>,"
+        "spend:double,tags:array<string>>"
+    )
+    obj = F.from_json(raw, schema)
+    # parse ONCE per row via inline(array(obj)) — per-column getField on a
+    # CodegenFallback JsonToStructs re-parses per output column (5x cost)
+    orders = spread(orders)  # compute-bound: fan the 1-split fixture scan to core count
+    return orders.select("o_orderkey", F.inline(F.array(obj))).select(
+        "o_orderkey",
+        F.col("id").alias("obj_id"),
+        "status",
+        F.col("creative").getField("id").alias("creative_id"),
+        F.col("creative").getField("image_hash").alias("image_hash"),
+        F.round(F.col("spend"), 2).alias("spend"),
+        F.element_at(F.col("tags"), 1).alias("tag0"),
+    )
+
+
+def fn_brand_safety(customer: DataFrame) -> DataFrame:
+    """F6: brand-safety list coercion with pop-on-null (reference
+    src/utils/api_helpers.py:197-209). Each brand-safety field present
+    in the payload is string-collection-normalized; the reference pops
+    the key when normalization returns None (non-string, non-collection
+    input). Engine-side the pop is plan-time type dispatch — a
+    non-coercible (numeric) field compiles to a null column, and
+    ``to_json`` drops null fields, reproducing the dict pop. Null /
+    '' / '[]' inputs normalize to [] (kept), per the reference.
+    """
+    filt = (
+        F.when(
+            _m("c_custkey", 3) == 0,
+            F.concat(F.lit('[" '), F.col("c_mktsegment"), F.lit(' ","FACEBOOK"]')),
+        )
+        .when(
+            _m("c_custkey", 3) == 1,
+            F.concat(F.col("c_name"), F.lit(" , "), F.col("c_mktsegment")),
+        )
+        .otherwise(F.lit("[]"))
+    )
+    sev = F.when(_m("c_custkey", 2) == 0, F.lit(None).cast("string")).otherwise(
+        F.lit(" MEDIUM ,")
+    )
+    payload = F.struct(
+        S.normalize_string_collection(filt).alias("brand_safety_content_filter_levels"),
+        S.normalize_string_collection(sev).alias("brand_safety_content_severity_levels"),
+        # numeric-typed field → non-coercible → popped (null dropped by to_json)
+        F.lit(None).cast("array<string>").alias("excluded_brand_safety_content_types"),
+    )
+    return customer.select("c_custkey", F.to_json(payload).alias("payload_json"))

@@ -869,6 +869,65 @@ _register(
 )
 
 
+_register(
+    "stamp_parent_keys",
+    QuerySpec(
+        _q(relational.stamp_parent_keys, "lineitem", "orders"),
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity, o_custkey AS parent_account
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        """,
+        ("scan", "join", "stamping"),
+    ),
+)
+
+_register(
+    "json_decode_ingest",
+    QuerySpec(
+        _q(sanitize_queries.json_decode_ingest, "orders"),
+        """
+        WITH j AS (
+            SELECT o_orderkey,
+                   '{"id":"' || o_orderkey || '","status":"' || o_orderstatus ||
+                   '","creative":{"id":"cr_' || o_orderkey || '","image_hash":"' ||
+                   md5(o_orderpriority) || '"},"spend":' || CAST(o_totalprice AS VARCHAR) ||
+                   ',"tags":["' || o_orderpriority || '"]}' AS raw
+            FROM orders)
+        SELECT o_orderkey,
+               json_extract_string(raw, '$.id') AS obj_id,
+               json_extract_string(raw, '$.status') AS status,
+               json_extract_string(raw, '$.creative.id') AS creative_id,
+               json_extract_string(raw, '$.creative.image_hash') AS image_hash,
+               round(CAST(json_extract(raw, '$.spend') AS DOUBLE), 2) AS spend,
+               json_extract_string(raw, '$.tags[0]') AS tag0
+        FROM j
+        """,
+        ("ingest", "json", "golden"),
+    ),
+)
+
+_register(
+    "fn_brand_safety",
+    QuerySpec(
+        _q(sanitize_queries.fn_brand_safety, "customer"),
+        """
+        SELECT c_custkey,
+               '{"brand_safety_content_filter_levels":' ||
+               CASE c_custkey % 3
+                   WHEN 0 THEN '["' || c_mktsegment || '","FACEBOOK"]'
+                   WHEN 1 THEN '["' || c_name || '","' || c_mktsegment || '"]'
+                   ELSE '[]' END ||
+               ',"brand_safety_content_severity_levels":' ||
+               CASE WHEN c_custkey % 2 = 0 THEN '[]' ELSE '["MEDIUM"]' END ||
+               '}' AS payload_json
+        FROM customer
+        """,
+        ("sanitize", "golden", "json"),
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # §2.1 S12/S15 + §2.9 T1/T2/T4: the write/incremental/streaming layer as
 # oracle-checked queries. Each one executes the real write path into a
