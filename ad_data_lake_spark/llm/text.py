@@ -15,6 +15,7 @@ extension (SURVEY.md §7 step 8) a training-data pipeline needs.
 
 from __future__ import annotations
 
+from ad_data_lake_spark.sources.tables import spread
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -62,29 +63,33 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
 def exploded_shingles(df: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id_col, s): one row per n-word shingle occurrence, built fully
-    in whole-stage codegen — posexplode the token array, then stitch
-    each token to its ``lead()`` neighbors inside the per-document
-    window. Emits the exact strings ``word_shingles`` produces, but NOT
-    deduplicated: downstream aggregates (min, collect_set, count over
-    distinct rows) are multiplicity-invariant, which keeps the whole
-    pipeline out of interpreted lambda territory.
+    in whole-stage codegen — explode over the start-index range, then
+    stitch each shingle with ``element_at`` on the token array. Emits
+    the exact strings ``word_shingles`` produces, but NOT deduplicated:
+    downstream aggregates (min, collect_set, count over distinct rows)
+    are multiplicity-invariant, which keeps the whole pipeline out of
+    interpreted lambda territory.
 
-    Scale: one shuffle on id_col (the window); document groups are
-    small, so the per-partition sort is trivial, and the follow-up
-    groupBy on the same key reuses the partitioning without a second
-    exchange."""
-    toks = df.select(id_col, F.posexplode(words(F.col("text"))).alias("pos", "w"))
-    win = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
-    return (
-        toks.select(
-            id_col,
-            F.concat_ws(" ", *parts).alias("s"),
-            parts[-1].isNotNull().alias("_complete"),
-        )
-        .where(F.col("_complete"))
-        .drop("_complete")
+    Scale: ZERO shuffles — scan → explode → project pipelines inside
+    one codegen stage straight into the consumer's partial aggregate
+    (an earlier ``lead()``-window formulation paid a full shuffle +
+    per-document sort of every token row here). The size guard keeps
+    ``sequence`` from going descending on sub-``n``-token documents."""
+    df = spread(df)  # shingle construction is compute-bound and now shuffle-free
+    w = words(F.col("text"))
+    idx = df.select(
+        F.col(id_col),
+        w.alias("_w"),
+        F.explode(
+            F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("_i"),
     )
+    shingle = F.concat_ws(
+        " ", *[F.element_at("_w", F.col("_i") + k) for k in range(n)]
+    )
+    return idx.select(id_col, shingle.alias("s"))
 
 
 def text_stats(documents: DataFrame) -> DataFrame:
