@@ -1,0 +1,93 @@
+"""Physical-plan assertions — the scale contract, enforced by test.
+
+Correctness tests prove the VALUES; these prove the PLANS stay the
+shape that survives a 100 TB / 1000-executor scale-up: filters reach
+the parquet scan, dimension joins broadcast (never sort-merge a small
+dim), aggregates combine map-side, top-k never materializes a global
+sort, nothing degenerates into a cartesian product, and the MinHash
+pipeline's one heavy shuffle is computed once and reused. A future
+refactor that silently regresses a plan fails here, not in a
+100×-slower production run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ad_data_lake_spark.queries import REGISTRY
+from tests.conftest import SF_ORACLE
+
+
+def plan_of(spark, name: str) -> str:
+    return REGISTRY[name].fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+
+
+# Streaming/write queries execute real IO inside fn(); the sweep only
+# needs the read-side plans (the write paths are covered in test_lake).
+_SWEEP = [n for n, s in REGISTRY.items() if "write" not in s.tags]
+
+
+# embed_topk_bruteforce IS a deliberate broadcast cross join — the exact
+# baseline scores every (query, vector) pair by definition, with the
+# bounded query set broadcast. The scale paths are topk_ivf/topk_lsh.
+_CROSS_BY_DESIGN = {"embed_topk_bruteforce"}
+
+
+@pytest.mark.parametrize("name", _SWEEP)
+def test_no_cartesian_product(spark, name):
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p, f"{name} degenerated into a cartesian product"
+    if name not in _CROSS_BY_DESIGN:
+        assert "BroadcastNestedLoopJoin" not in p, f"{name} fell back to nested-loop join"
+
+
+def test_scan_projection_and_filter_pushdown(spark):
+    p = plan_of(spark, "scan_project")
+    assert "EqualTo(o_orderstatus,O)" in p, "status filter must reach the parquet scan"
+    # column pruning: the scan must not read unprojected columns
+    read_schema = p.split("ReadSchema: ")[1].splitlines()[0]
+    assert "o_orderpriority" not in read_schema and "o_custkey" in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    p = plan_of(spark, "broadcast_dim_join")
+    assert p.count("BroadcastHashJoin") == 2, "nation+region must broadcast"
+    assert "SortMergeJoin" not in p, "small dims must never sort-merge"
+
+
+def test_semi_join_is_broadcast_semi(spark):
+    p = plan_of(spark, "semi_join_lookup")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_hierarchy_joins_broadcast_with_pushdown(spark):
+    p = plan_of(spark, "hierarchy_flat")
+    assert p.count("BroadcastHashJoin") == 3
+    assert "EqualTo(o_orderstatus,F)" in p, "parent filter must push below the joins"
+
+
+def test_frequency_is_single_combined_aggregate(spark):
+    p = plan_of(spark, "per_user_frequency")
+    assert p.count("Exchange") == 1, "one shuffle: groupBy with map-side combine"
+    assert "partial_count" in p, "partial aggregation must run map-side"
+
+
+def test_top_k_never_global_sorts(spark):
+    p = plan_of(spark, "top_k")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange") == 0, "top-k must not materialize a global sort"
+
+
+def test_exact_dedup_single_shuffle(spark):
+    p = plan_of(spark, "dedup_exact")
+    assert p.count("Exchange") == 1 and "partial_" in p
+
+
+def test_minhash_heavy_stage_reused(spark):
+    df = REGISTRY["dedup_minhash_lsh"].fn(spark, SF_ORACLE)
+    df.collect()  # AQE decides reuse at runtime; inspect the final plan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("ReusedExchange") >= 2, (
+        "the shingle-hash aggregate must be computed once and reused by the "
+        "band and verification consumers, not re-evaluated per consumer"
+    )
