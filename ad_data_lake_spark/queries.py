@@ -1002,6 +1002,33 @@ _register(
 )
 
 
+from ad_data_lake_spark import pipeline as _pipeline  # noqa: E402
+
+_register(
+    "daily_extract_pipeline",
+    QuerySpec(
+        lambda spark, sf_dir: _pipeline.daily_extract(spark, sf_dir),
+        f"""
+        WITH camp AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'),
+             ads AS (SELECT * FROM lineitem
+                     WHERE l_orderkey IN (SELECT o_orderkey FROM camp)),
+             day_ev AS (SELECT * FROM events
+                        WHERE ts >= TIMESTAMP '{_pipeline.EVENTS_DAY}'
+                          AND ts < TIMESTAMP '{_pipeline.EVENTS_DAY}' + INTERVAL 1 DAY)
+        SELECT 'campaigns_scanned' AS stage, count(*) AS n_rows FROM camp
+        UNION ALL SELECT 'ads_fetched', count(*) FROM ads
+        UNION ALL SELECT 'creatives_fetched', count(*) FROM part
+                  WHERE p_partkey IN (SELECT l_partkey FROM ads)
+        UNION ALL SELECT 'payloads_sanitized', count(*) FROM orders
+        UNION ALL SELECT 'bronze_rows', count(*) FROM day_ev
+        UNION ALL SELECT 'insight_groups', count(DISTINCT event_type) FROM day_ev
+        UNION ALL SELECT 'silver_rows', count(DISTINCT event_id) FROM day_ev
+        """,
+        ("write", "pipeline", "composite"),
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline layer (BASELINE.json north star; SURVEY §7 step 8):
 # dedup / text analysis over documents, similarity over embeddings.
