@@ -595,7 +595,13 @@ _register(
     "fn_unicode_unescape",
     QuerySpec(
         _q(sanitize_queries.fn_unicode_unescape, "documents"),
-        None,  # pandas-UDF path; no SQL-expressible oracle (rows-only)
+        # The fixture text is printable ASCII with no backslashes (checked
+        # in test_llm_pipeline), so unicode_escape decoding only rewrites
+        # the appended golden escapes — the expected output is static SQL.
+        r"""
+        SELECT doc_id, substr(text, 1, 20) || 'AB' AS decoded
+        FROM documents
+        """,
         ("sanitize", "pandas-udf"),
     ),
 )

@@ -124,3 +124,13 @@ def test_frame_sampling_plan(spark):
     df = spark.range(1).select(F.lit(100).alias("n_frames"))
     out = df.select(MM.sample_frame_indices(F.col("n_frames"), 3).alias("idx")).collect()
     assert out[0].idx == [0, 49, 99]
+
+
+def test_document_text_is_escape_free_ascii(documents):
+    """The fn_unicode_unescape oracle assumes the fixture text contains
+    no backslashes and no non-ASCII bytes (so unicode_escape decoding
+    only rewrites the appended golden escapes). Guard that assumption."""
+    bad = documents.where(
+        F.col("text").rlike(r"[^\x20-\x7e]") | F.col("text").contains("\\")
+    ).count()
+    assert bad == 0
