@@ -1008,6 +1008,47 @@ _register(
 )
 
 
+from ad_data_lake_spark.operators import sessions as _sessions  # noqa: E402
+
+_register(
+    "sessionize_events",
+    QuerySpec(
+        _q(_sessions.sessionize, "events"),
+        f"""
+        WITH b AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > {_sessions.SESSION_GAP_MINUTES} * 60 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM b)
+        SELECT user_id, session_no,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM s GROUP BY user_id, session_no
+        """,
+        ("window", "sessionization"),
+    ),
+)
+
+_register(
+    "frequency_cap",
+    QuerySpec(
+        _q(_sessions.frequency_cap, "events"),
+        f"""
+        SELECT event_id, user_id, ts,
+               row_number() OVER w AS impression_no,
+               row_number() OVER w > {_sessions.FREQUENCY_CAP} AS capped
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        ("window", "frequency-cap"),
+    ),
+)
+
 from ad_data_lake_spark import pipeline as _pipeline  # noqa: E402
 
 _register(

@@ -57,14 +57,18 @@ def streaming_daily_insights(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drain everything currently available through the streaming plan
     into an in-memory table and return it as a batch DataFrame — the
-    test/demo harness for the incremental path."""
+    test/demo harness for the incremental path. ``output_mode`` is
+    "complete" for windowed aggregates, "append" for arbitrary-stateful
+    operators (streaming/stateful.py)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -1,0 +1,80 @@
+"""Custom stateful streaming operator: continuous per-user frequency
+capping via ``applyInPandasWithState`` (SURVEY.md §2.9/§2.10).
+
+The batch cap (``operators.sessions.frequency_cap``) ranks a bounded
+table; in production impressions arrive continuously and the cap must
+hold ACROSS micro-batches — a per-user counter that outlives any one
+batch. That is exactly Spark's arbitrary-stateful-processing surface:
+group the stream by user, keep one integer of state per user, emit each
+impression with its running number and capped flag.
+
+Scale notes:
+- state is one long per user key — the state store stays tiny at any
+  impression volume, no watermark needed for correctness (the cap is
+  monotone; a timeout could expire idle users to bound the store);
+- the groupBy(user_id) state shuffle is the same key layout as the
+  batch windows, so a user_id-bucketed fact co-locates both;
+- rows within a micro-batch are ordered inside the function (Arrow
+  batches carry no order guarantee), so stream and batch agree exactly
+  whenever event-time arrival respects batch boundaries — the
+  availableNow test drives it with everything in one batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ad_data_lake_spark.operators.sessions import FREQUENCY_CAP
+
+_OUT_SCHEMA = (
+    "event_id bigint, user_id bigint, ts timestamp, impression_no int, capped boolean"
+)
+_STATE_SCHEMA = "seen int"
+
+
+def _cap_fn(cap: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (seen,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            n = len(pdf)
+            nums = pd.RangeIndex(seen + 1, seen + n + 1).to_numpy()
+            out = pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "user_id": pdf["user_id"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "impression_no": nums.astype("int32"),
+                    "capped": nums > cap,
+                }
+            )
+            seen += n
+            yield out
+        state.update((seen,))
+
+    return fn
+
+
+def streaming_frequency_cap(stream_events: DataFrame, cap: int = FREQUENCY_CAP) -> DataFrame:
+    """readStream-side frequency cap: one state row per user, updated
+    per micro-batch, impressions emitted with running number + flag."""
+    return (
+        stream_events.select("event_id", "user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cap_fn(cap),
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -128,3 +128,57 @@ def test_streaming_matches_batch(spark, events, tmp_path):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w
+
+
+def test_streaming_frequency_cap_matches_batch(spark, events, tmp_path):
+    """The applyInPandasWithState cap must reproduce the batch window
+    cap exactly when the stream drains in one availableNow pass, and
+    state must persist across micro-batches (multi-batch variant)."""
+    from ad_data_lake_spark.operators.sessions import frequency_cap
+    from ad_data_lake_spark.streaming.stateful import streaming_frequency_cap
+
+    slim = events.select("event_id", "user_id", "ts")
+    src = str(tmp_path / "cap_src")
+    slim.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(slim.schema).parquet(src)
+    out = run_available_now(
+        streaming_frequency_cap(stream), "cap_stream", output_mode="append"
+    )
+    batch = frequency_cap(events).select(
+        "event_id", "user_id", "ts", "impression_no", "capped"
+    )
+    assert _table_hash(out) == _table_hash(batch)
+    assert out.count() == events.count()
+    # the cap actually bites: some users exceed it
+    assert out.where("capped").count() > 0
+
+
+def test_streaming_frequency_cap_state_survives_batches(spark, events, tmp_path):
+    """Split the source into two files and pace one file per trigger:
+    user counters must carry across micro-batches (a fresh-state bug
+    would restart impression_no at 1 in batch 2)."""
+    from ad_data_lake_spark.operators.sessions import frequency_cap
+    from ad_data_lake_spark.streaming.stateful import streaming_frequency_cap
+
+    slim = events.select("event_id", "user_id", "ts")
+    mid = slim.agg(F.expr("percentile_approx(ts, 0.5)").alias("m")).collect()[0].m
+    src = str(tmp_path / "cap_src2")
+    # file 1 = first half by time, file 2 = second half — with
+    # maxFilesPerTrigger=1 the halves arrive as separate micro-batches
+    slim.where(F.col("ts") <= mid).coalesce(1).write.parquet(os.path.join(src, "f1"))
+    slim.where(F.col("ts") > mid).coalesce(1).write.parquet(os.path.join(src, "f2"))
+
+    stream = (
+        spark.readStream.schema(slim.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = run_available_now(
+        streaming_frequency_cap(stream), "cap_stream2", output_mode="append"
+    )
+    batch = frequency_cap(events).select(
+        "event_id", "user_id", "ts", "impression_no", "capped"
+    )
+    assert _table_hash(out) == _table_hash(batch)
