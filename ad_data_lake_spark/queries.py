@@ -1049,6 +1049,60 @@ _register(
     ),
 )
 
+from ad_data_lake_spark.operators import temporal as _temporal  # noqa: E402
+
+_register(
+    "asof_attribution",
+    QuerySpec(
+        _q(_temporal.asof_attribution, "events"),
+        """
+        WITH t AS (
+            SELECT user_id, ts,
+                   arg_max(event_id, event_id) AS touch_event_id,
+                   arg_max(event_type, event_id) AS touch_type
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY user_id, ts),
+        c AS (
+            SELECT event_id, user_id, ts, value
+            FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id AS conv_event_id, c.user_id, c.ts AS conv_ts,
+               round(c.value, 2) AS conv_value,
+               t.touch_event_id, t.touch_type, t.ts AS touch_ts,
+               epoch_us(c.ts) - epoch_us(t.ts) AS micros_since_touch
+        FROM c ASOF LEFT JOIN t
+          ON c.user_id = t.user_id AND t.ts < c.ts
+        """,
+        ("join", "asof", "attribution"),
+    ),
+)
+
+_register(
+    "flight_window_rollup",
+    QuerySpec(
+        lambda spark, sf_dir: _temporal.flight_window_rollup(
+            load_table(spark, "events", sf_dir), _temporal.flight_dim(spark)
+        ),
+        f"""
+        WITH f AS (
+            SELECT range AS flight_id,
+                   TIMESTAMP '{_temporal.FLIGHT_EPOCH}' + range * INTERVAL 1 DAY
+                       AS flight_start,
+                   TIMESTAMP '{_temporal.FLIGHT_EPOCH}'
+                       + (range + {_temporal.FLIGHT_SPAN_DAYS}) * INTERVAL 1 DAY
+                       AS flight_end
+            FROM range({_temporal.N_FLIGHTS}))
+        SELECT f.flight_id, f.flight_start, f.flight_end,
+               count(*) AS n_events,
+               count(DISTINCT e.user_id) AS n_users,
+               round(sum(e.value), 2) AS total_value
+        FROM f JOIN events e
+          ON e.ts >= f.flight_start AND e.ts < f.flight_end
+        GROUP BY f.flight_id, f.flight_start, f.flight_end
+        """,
+        ("join", "range", "interval"),
+    ),
+)
+
 from ad_data_lake_spark import pipeline as _pipeline  # noqa: E402
 
 _register(

@@ -91,3 +91,21 @@ def test_minhash_heavy_stage_reused(spark):
         "the shingle-hash aggregate must be computed once and reused by the "
         "band and verification consumers, not re-evaluated per consumer"
     )
+
+
+def test_asof_join_is_single_pass(spark):
+    """The union-marker as-of must be ONE exchange on user_id + sorts —
+    never a range-condition join (nested-loop) or a per-row lookup."""
+    p = plan_of(spark, "asof_attribution")
+    assert "Join" not in p, "as-of must not plan a join operator at all"
+    assert p.count("Exchange hashpartitioning(user_id") <= 2, (
+        "touch dedupe + window must share the user_id partitioning"
+    )
+
+
+def test_range_join_is_binned_equi_join(spark):
+    """The flight rollup must equi-join on the day bin (broadcast here,
+    shuffle-on-bin at scale) — never nested-loop the range predicate."""
+    p = plan_of(spark, "flight_window_rollup")
+    assert "BroadcastHashJoin" in p and "day_bin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
