@@ -1,0 +1,129 @@
+"""Physical-layout management: bucketing, skew salting, small-file
+compaction.
+
+None of these change WHAT a query computes — they are the knobs that
+decide whether the same logical plan runs in one pass or falls over at
+100 TB. The reference never needs them (its "layout" is one JSON file
+per entity per day, reference src/utils/storage.py:9-16); a lake
+holding the same data at scale lives or dies by them:
+
+- **Bucketing** (``write_bucketed``): persist a table pre-hashed into
+  N buckets on its join key. Two tables bucketed the same way
+  equi-join with ZERO exchanges — the shuffle was paid once at write
+  time and amortizes over every subsequent join. This is the layout
+  the SURVEY scale notes assume for the events fact (user_id buckets
+  feeding sessionization, frequency caps, and the as-of join).
+- **Skew salting** (``salted_join``): when one join key carries a
+  disproportionate share of rows AND both sides are too big to
+  broadcast, append a deterministic salt to the fact key and explode
+  the dim side ×S so the hot key spreads over S partitions. Broadcast
+  is always the first answer for a small dim; AQE's skew-join split
+  (on by default in session.py) handles moderate sort-merge skew —
+  salting is the explicit fallback when neither applies.
+- **Compaction** (``compact_table``): incremental writers accrete
+  small files (every micro-batch/backfill day writes its own); scans
+  then pay per-file open/footer cost and lose split efficiency.
+  Rewrite a table directory into ~target-size files with ``coalesce``
+  (narrow — no shuffle) and swap atomically-enough for a local FS.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BUCKETS = 8
+N_SALTS = 8
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = N_BUCKETS,
+) -> None:
+    """Persist ``df`` as an external parquet table bucketed (and
+    sorted) by ``bucket_col``. Requires the session catalog
+    (``saveAsTable``) because bucket metadata lives there; plain
+    ``.parquet(path)`` cannot record it."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key. With both
+    sides bucketed ×N on ``key``, the plan is a SortMergeJoin with NO
+    Exchange on either side (verify: ``.explain`` shows zero exchanges
+    below the join) — the co-location came from the layout. The
+    ``merge`` hint pins the shape the layout exists for: at lake scale
+    neither side broadcasts, and SMJ-over-buckets is exactly what
+    Catalyst picks unhinted; on small fixtures it would broadcast and
+    ignore the layout."""
+    return spark.table(left_table).join(spark.table(right_table).hint("merge"), key)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_src: str,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Skew-spread equi-join: fact rows get ``salt = xxhash64(salt_src)
+    % n_salts`` (deterministic — no rand(), so retries/recomputes are
+    stable), the dim side is exploded ×n_salts, and the join runs on
+    (key, salt). A key holding X% of the fact now occupies X/n_salts
+    per partition. ``shuffle_hash`` hint pins the non-broadcast shape
+    the technique exists for; drop it and a small dim would broadcast
+    (which needs no salting in the first place)."""
+    salted_fact = fact.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_fact.join(salted_dim.hint("shuffle_hash"), [key, "salt"]).drop("salt")
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_bytes: int = 128 << 20
+) -> int:
+    """Rewrite the parquet files under ``path`` into
+    ``ceil(total_bytes / target_bytes)`` files. ``coalesce`` (not
+    ``repartition``) so the rewrite is a narrow, shuffle-free
+    read-through; each output task drains several small inputs.
+    Returns the new file count.
+
+    Local-FS directory swap; on a real lake this is Delta/Iceberg
+    ``OPTIMIZE`` (rewrite + atomic metadata commit) — same plan shape,
+    transactional swap."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_bytes))
+    tmp = path.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(path).coalesce(n_files).write.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -144,3 +144,57 @@ def streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.unionByName(dup).write.mode("overwrite").parquet(src)
     stream = streaming_daily_insights(spark, src, events.schema)
     return run_available_now(stream, f"stream_daily_{uuid.uuid4().hex[:8]}")
+
+
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout: bucketed tables co-locate their join (SURVEY §2 scale
+    notes; layout.write_bucketed).
+
+    Writes orders and customer bucketed ×8 on the customer key, joins
+    them through the catalog, and aggregates. The join plans with ZERO
+    exchanges — both sides' bucket layout satisfies the join's
+    distribution requirement (asserted in tests/test_plans.py). The
+    oracle computes the same aggregate straight from the source
+    parquet, proving the bucketed write+join changed nothing but the
+    physical plan."""
+    from ad_data_lake_spark import layout
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    base = _scratch("bucketed", sf_dir)
+    layout.write_bucketed(orders, "lake_orders_bucketed", os.path.join(base, "orders"), "o_custkey")
+    layout.write_bucketed(cust, "lake_customer_bucketed", os.path.join(base, "customer"), "o_custkey")
+    j = layout.bucketed_join(spark, "lake_orders_bucketed", "lake_customer_bucketed", "o_custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout: small-file compaction (layout.compact_table).
+
+    Fragments events into 64 files (the accreted state an incremental
+    writer leaves behind), compacts to ~target-size files with a
+    narrow coalesce rewrite, and returns the per-type aggregate of the
+    compacted table. Hash match vs the source proves the rewrite is
+    lossless; the file-count collapse itself is asserted in
+    tests/test_lake.py."""
+    from ad_data_lake_spark import layout
+
+    events = _events_slim(spark, sf_dir)
+    path = os.path.join(_scratch("compact", sf_dir), "events")
+    events.repartition(64).write.parquet(path)
+    layout.compact_table(spark, path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -1007,6 +1007,78 @@ _register(
     ),
 )
 
+_register(
+    "bucketed_join_colocated",
+    QuerySpec(
+        lake_queries.bucketed_join_colocated,
+        """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """,
+        ("write", "layout", "bucketing"),
+    ),
+)
+
+_register(
+    "compaction_roundtrip",
+    QuerySpec(
+        lake_queries.compaction_roundtrip,
+        """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type
+        """,
+        ("write", "layout", "compaction"),
+    ),
+)
+
+
+from ad_data_lake_spark import layout as _layout  # noqa: E402
+
+
+def _skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half of all events collapse onto key 0 — the hot-key shape that
+    melts one reducer at scale. salted_join spreads it ×8."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("c_custkey"),
+    )
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    return (
+        _layout.salted_join(events, cust, "c_custkey", "event_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+_register(
+    "skew_salted_agg",
+    QuerySpec(
+        _skew_salted,
+        """
+        WITH f AS (
+            SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS c_custkey,
+                   value
+            FROM events)
+        SELECT c_mktsegment, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM f JOIN customer USING (c_custkey)
+        GROUP BY c_mktsegment
+        """,
+        ("join", "layout", "skew-salting"),
+    ),
+)
+
 
 from ad_data_lake_spark.operators import sessions as _sessions  # noqa: E402
 

@@ -182,3 +182,39 @@ def test_streaming_frequency_cap_state_survives_batches(spark, events, tmp_path)
         "event_id", "user_id", "ts", "impression_no", "capped"
     )
     assert _table_hash(out) == _table_hash(batch)
+
+
+def test_compaction_collapses_files_losslessly(spark, events, tmp_path):
+    """64 accreted small files → a handful of ~target-size files, with
+    byte-identical content (hash over all rows)."""
+    from ad_data_lake_spark.layout import compact_table
+
+    path = str(tmp_path / "frag")
+    slim = events.select("event_id", "ts", "user_id", "value")
+    slim.repartition(64).write.parquet(path)
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    n_after = compact_table(spark, path, target_bytes=1 << 20)
+    assert n_before == 64 and n_after < 8
+    assert _table_hash(spark.read.parquet(path)) == _table_hash(slim)
+
+
+def test_salted_join_equals_plain_join(spark, events, tmp_path):
+    """Salting is pure physical rewrite: same rows as the unsalted
+    join, bit for bit."""
+    from ad_data_lake_spark.layout import salted_join
+
+    skewed = events.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+    )
+    dim = events.select(F.col("user_id").alias("k")).distinct().withColumn(
+        "tag", F.col("k") * 2
+    )
+    got = salted_join(skewed, dim, "k", "event_id")
+    want = skewed.join(dim, "k")
+    assert _table_hash(got.select(*sorted(got.columns))) == _table_hash(
+        want.select(*sorted(want.columns))
+    )

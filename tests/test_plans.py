@@ -109,3 +109,26 @@ def test_range_join_is_binned_equi_join(spark):
     p = plan_of(spark, "flight_window_rollup")
     assert "BroadcastHashJoin" in p and "day_bin" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_bucketed_join_has_no_exchange_below_join(spark):
+    """Both sides bucketed ×8 on the key: the SortMergeJoin's
+    distribution requirement is satisfied by the layout, so the ONLY
+    exchange in the plan is the final groupBy's."""
+    df = REGISTRY["bucketed_join_colocated"].fn(spark, SF_ORACLE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p and p.count("SelectedBucketsCount: 8 out of 8") == 2
+    assert p.count("Exchange") == 1, "join must read co-located buckets shuffle-free"
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The salted join must shuffle on (key, salt) — the hot key's rows
+    land on n_salts partitions instead of one."""
+    p = plan_of(spark, "skew_salted_agg")
+    assert "ShuffledHashJoin" in p
+    join_keys = p.split("ShuffledHashJoin")[1].splitlines()[0]
+    assert "salt" in join_keys, "join keys must include the salt"
+    assert "Exchange hashpartitioning(c_custkey" in p and ", salt" in p.split(
+        "Exchange hashpartitioning(c_custkey"
+    )[1].splitlines()[0], "fact shuffle must partition on (key, salt)"
