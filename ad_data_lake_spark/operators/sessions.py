@@ -68,3 +68,31 @@ def frequency_cap(events: DataFrame, cap: int = FREQUENCY_CAP) -> DataFrame:
         rn.alias("impression_no"),
         (rn > cap).alias("capped"),
     )
+
+
+def sessionize_native(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """Gap sessions via Spark's native ``session_window`` aggregate —
+    the preferred scale shape: ONE aggregate (no lag/running-sum window
+    passes, no per-partition sort-then-scan twice), and the same
+    operator runs unchanged under Structured Streaming with a watermark
+    (see streaming/stateful.py::streaming_sessionize).
+
+    Boundary semantics differ from ``sessionize`` by the open interval:
+    session_window closes a session when the next gap is >= the
+    timeout (window [ts, ts+gap) no longer overlaps), while the lag()
+    formulation starts a new session strictly past it (> gap). The
+    oracle SQL mirrors >= — with microsecond-random timestamps the two
+    agree except on exact-boundary gaps."""
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.groupBy(sw.alias("sw"), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )

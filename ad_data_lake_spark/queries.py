@@ -1108,6 +1108,31 @@ _register(
 )
 
 _register(
+    "sessionize_native",
+    QuerySpec(
+        _q(_sessions.sessionize_native, "events"),
+        f"""
+        WITH b AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                >= {_sessions.SESSION_GAP_MINUTES} * 60 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM b)
+        SELECT user_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM s GROUP BY user_id, session_no
+        """,
+        ("window", "sessionization", "session-window"),
+    ),
+)
+
+_register(
     "frequency_cap",
     QuerySpec(
         _q(_sessions.frequency_cap, "events"),

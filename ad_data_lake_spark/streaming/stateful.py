@@ -78,3 +78,30 @@ def streaming_frequency_cap(stream_events: DataFrame, cap: int = FREQUENCY_CAP) 
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_sessionize(
+    stream_events: DataFrame, gap_minutes: int | None = None
+) -> DataFrame:
+    """Native streaming sessionization: the SAME session_window
+    aggregate as the batch operator (operators/sessions.py::
+    sessionize_native), plus a watermark so closed sessions emit and
+    their state evicts. State per open session only — the operator a
+    lake needs to maintain live session rollups at event-time scale."""
+    from pyspark.sql import functions as F
+
+    from ad_data_lake_spark.operators import sessions as S
+
+    gap = gap_minutes if gap_minutes is not None else S.SESSION_GAP_MINUTES
+    sw = F.session_window("ts", f"{gap} minutes")
+    return (
+        stream_events.withWatermark("ts", "1 day")
+        .groupBy(sw.alias("sw"), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )

@@ -218,3 +218,21 @@ def test_salted_join_equals_plain_join(spark, events, tmp_path):
     assert _table_hash(got.select(*sorted(got.columns))) == _table_hash(
         want.select(*sorted(want.columns))
     )
+
+
+def test_streaming_sessionize_matches_batch(spark, events, tmp_path):
+    """The streaming session_window aggregate must reproduce the batch
+    sessionize_native exactly once the stream drains (availableNow,
+    complete mode: watermark only bounds state, never drops rows here)."""
+    from ad_data_lake_spark.operators.sessions import sessionize_native
+    from ad_data_lake_spark.streaming.stateful import streaming_sessionize
+
+    slim = events.select("event_id", "user_id", "ts", "value")
+    src = str(tmp_path / "sess_src")
+    slim.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(slim.schema).parquet(src)
+    got = run_available_now(streaming_sessionize(stream), "sess_stream")
+    want = sessionize_native(events)
+    assert _table_hash(got) == _table_hash(want)
+    assert got.count() > events.select("user_id").distinct().count()

@@ -132,3 +132,12 @@ def test_salted_join_spreads_hot_key(spark):
     assert "Exchange hashpartitioning(c_custkey" in p and ", salt" in p.split(
         "Exchange hashpartitioning(c_custkey"
     )[1].splitlines()[0], "fact shuffle must partition on (key, salt)"
+
+
+def test_native_sessionize_is_single_aggregate(spark):
+    """session_window sessionization must be ONE user_id exchange with
+    map-side partial session merging — no lag/running-sum window sorts."""
+    p = plan_of(spark, "sessionize_native")
+    assert p.count("Exchange") == 1
+    assert "partial_min" in p, "session merge must start map-side"
+    assert "Window" not in p, "the native form must not fall back to window passes"
