@@ -137,3 +137,40 @@ def count_summary(events: DataFrame) -> DataFrame:
     src/extractors/get_pixels.py:54; report counts
     src/tools/campaign_inspector.py:304)."""
     return events.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_action_metrics(events: DataFrame) -> DataFrame:
+    """Per-day action-type pivot: the wide per-row metric layout the
+    reference's insights rows carry (one column per action metric,
+    reference src/configs/fields_schema.py:200-231) produced from the
+    long fact.
+
+    The pivot values are DECLARED (EVENT_TYPES), not discovered — at
+    scale an undeclared pivot first runs a distinct job over the fact
+    to learn the columns; declaring them keeps this a single groupBy
+    with map-side combine, shuffling one row per (day, type)."""
+    return (
+        events.groupBy(_day().alias("event_date"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .withColumnsRenamed({t: f"n_{t}" for t in EVENT_TYPES})
+    )
+
+
+def agg_percentiles(events: DataFrame) -> DataFrame:
+    """Exact value percentiles (p50/p90/p99) per event type — the
+    distribution summary behind budget/bid diagnostics. Exact
+    ``percentile`` keeps the oracle comparable (DuckDB quantile_cont,
+    same linear interpolation); the 100 TB path swaps in
+    ``approx_percentile`` (t-digest sketch, map-side mergeable) at the
+    cost of oracle exactness."""
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.max("value"), 4).alias("p100"),
+    )

@@ -1146,6 +1146,39 @@ _register(
     ),
 )
 
+_register(
+    "pivot_action_metrics",
+    QuerySpec(
+        _q(aggregates.pivot_action_metrics, "events"),
+        """
+        SELECT date_trunc('day', ts) AS event_date,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+        FROM events GROUP BY 1
+        """,
+        ("aggregate", "pivot"),
+    ),
+)
+
+_register(
+    "agg_percentiles",
+    QuerySpec(
+        _q(aggregates.agg_percentiles, "events"),
+        """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99,
+               round(max(value), 4) AS p100
+        FROM events GROUP BY event_type
+        """,
+        ("aggregate", "percentile"),
+    ),
+)
+
 from ad_data_lake_spark.operators import temporal as _temporal  # noqa: E402
 
 _register(
