@@ -198,3 +198,22 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4+: stream-stream interval join (multi-touch attribution).
+
+    Feeds events through two file streams (clicks / purchases), joins
+    them within the 3-hour look-back under both-side watermarks, and
+    drains with availableNow. The oracle is the plain batch interval
+    join — a hash match proves the streaming join's time bounds and
+    state semantics reproduce batch exactly."""
+    from ad_data_lake_spark.streaming.incremental import streaming_attribution_join
+
+    events = _events_slim(spark, sf_dir)
+    src = os.path.join(_scratch("attr-src", sf_dir), "events")
+    events.write.mode("overwrite").parquet(src)
+    stream = streaming_attribution_join(spark, src, events.schema)
+    return run_available_now(
+        stream, f"stream_attr_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )

@@ -1008,6 +1008,22 @@ _register(
 )
 
 _register(
+    "streaming_attribution_join",
+    QuerySpec(
+        lake_queries.streaming_attribution,
+        """
+        SELECT c.event_id AS conv_event_id, c.user_id, c.ts AS conv_ts,
+               i.event_id AS touch_event_id, i.ts AS touch_ts
+        FROM events c JOIN events i
+          ON c.user_id = i.user_id
+         AND c.event_type = 'purchase' AND i.event_type = 'click'
+         AND i.ts >= c.ts - INTERVAL 3 HOUR AND i.ts < c.ts
+        """,
+        ("write", "streaming", "stream-stream-join"),
+    ),
+)
+
+_register(
     "bucketed_join_colocated",
     QuerySpec(
         lake_queries.bucketed_join_colocated,

@@ -87,3 +87,61 @@ def batch_equivalent(events: DataFrame) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+ATTRIBUTION_LOOKBACK_HOURS = 3
+
+
+def streaming_attribution_join(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    lookback_hours: int = ATTRIBUTION_LOOKBACK_HOURS,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-stream interval join: conversions (purchases) joined to
+    every click by the same user within the preceding ``lookback_hours``
+    — the multi-touch companion to the batch as-of join
+    (operators/temporal.py gives last-touch; this gives every touch).
+
+    Both sides carry a watermark and the join condition bounds touch
+    time to [conv_ts - lookback, conv_ts), so the state store retains
+    at most watermark + lookback of rows per side and evicts as event
+    time advances — the constraint that makes a stream-stream join
+    runnable indefinitely. Inner join + both-side watermarks + a
+    two-sided time bound is exactly the shape Structured Streaming
+    requires to emit appends eagerly."""
+    def reader():
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger).option(
+                "recursiveFileLookup", "true"
+            )
+        return r.parquet(source_dir)
+
+    touches = (
+        reader()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("touch_event_id"),
+            F.col("user_id").alias("touch_user_id"),
+            F.col("ts").alias("touch_ts"),
+        )
+        .withWatermark("touch_ts", "1 day")
+    )
+    convs = (
+        reader()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("conv_event_id"),
+            "user_id",
+            F.col("ts").alias("conv_ts"),
+        )
+        .withWatermark("conv_ts", "1 day")
+    )
+    return convs.join(
+        touches,
+        (F.col("user_id") == F.col("touch_user_id"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr(f"INTERVAL {lookback_hours} HOURS"))
+        & (F.col("touch_ts") < F.col("conv_ts")),
+    ).select("conv_event_id", "user_id", "conv_ts", "touch_event_id", "touch_ts")

@@ -236,3 +236,38 @@ def test_streaming_sessionize_matches_batch(spark, events, tmp_path):
     want = sessionize_native(events)
     assert _table_hash(got) == _table_hash(want)
     assert got.count() > events.select("user_id").distinct().count()
+
+
+def test_stream_stream_join_state_survives_batches(spark, events, tmp_path):
+    """Two micro-batches (one file per trigger): clicks arriving in
+    batch 1 must still join to purchases arriving in batch 2 — the
+    buffered-state contract of a stream-stream join."""
+    from ad_data_lake_spark.streaming.incremental import streaming_attribution_join
+
+    slim = events.select("event_id", "ts", "user_id", "event_type", "value")
+    mid = slim.agg(F.expr("percentile_approx(ts, 0.5)").alias("m")).collect()[0].m
+    src = str(tmp_path / "attr_src")
+    slim.where(F.col("ts") <= mid).coalesce(1).write.parquet(os.path.join(src, "f1"))
+    slim.where(F.col("ts") > mid).coalesce(1).write.parquet(os.path.join(src, "f2"))
+
+    stream = streaming_attribution_join(
+        spark, src, slim.schema, max_files_per_trigger=1
+    )
+    got = run_available_now(stream, "attr_stream", output_mode="append")
+
+    touches = slim.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("touch_event_id"),
+        F.col("user_id").alias("touch_user_id"),
+        F.col("ts").alias("touch_ts"),
+    )
+    convs = slim.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_event_id"), "user_id", F.col("ts").alias("conv_ts")
+    )
+    want = convs.join(
+        touches,
+        (F.col("user_id") == F.col("touch_user_id"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 3 HOURS"))
+        & (F.col("touch_ts") < F.col("conv_ts")),
+    ).select("conv_event_id", "user_id", "conv_ts", "touch_event_id", "touch_ts")
+    assert _table_hash(got) == _table_hash(want)
+    assert got.count() > 0
