@@ -232,6 +232,45 @@ _add(
 )
 
 _add(
+    "repetition_stats",
+    _doc_q(T.repetition_stats),
+    f"""
+    SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+           round(count(*) / sum(c), 4) AS distinct_ratio,
+           round(max(c) / sum(c), 4) AS top_token_ratio,
+           max(c) / sum(c) > {T.REPETITION_TOP_RATIO} AS repetitive
+    FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents)
+        GROUP BY doc_id, tok)
+    GROUP BY doc_id
+    """,
+    ("llm", "text", "repetition"),
+)
+
+_add(
+    "pii_redact",
+    _doc_q(T.pii_redact),
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(planted, '{T.EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(planted, '{T.PHONE_RE}')) AS n_phones,
+           sha256(regexp_replace(regexp_replace(planted, '{T.EMAIL_RE}', '[EMAIL]', 'g'),
+                                 '{T.PHONE_RE}', '[PHONE]', 'g')) AS redacted_sha,
+           length(regexp_replace(regexp_replace(planted, '{T.EMAIL_RE}', '[EMAIL]', 'g'),
+                                 '{T.PHONE_RE}', '[PHONE]', 'g')) AS redacted_len
+    FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % {T.PII_PLANT_MOD} = 0
+                    THEN text || ' contact user' || doc_id || '@example.com or +1-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS planted
+        FROM documents)
+    """,
+    ("llm", "text", "pii"),
+)
+
+_add(
     "quality_score",
     _doc_q(T.quality_score),
     f"""

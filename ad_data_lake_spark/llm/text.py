@@ -208,3 +208,69 @@ def doc_fingerprint(documents: DataFrame, k: int = 4) -> DataFrame:
         F.concat_ws("", F.slice(F.col("_hashes"), 1, k)).alias("fingerprint"),
         F.size(F.col("_hashes")).alias("n_shingles"),
     )
+
+
+REPETITION_TOP_RATIO = 0.08
+
+# Deterministic planted PII (the synthetic corpus carries none): every
+# 7th doc gains an email + phone derived from its doc_id, so the
+# redaction path has real work whose result both engines reproduce.
+PII_PLANT_MOD = 7
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Per-document repetition profile — the boilerplate/spam signal a
+    training-data filter cuts on: distinct-token ratio and the share
+    of the single most frequent token.
+
+    Two-level aggregate: (doc_id, tok) counts first (map-side partial
+    combine collapses repeated tokens inside the scan stage), then one
+    doc_id rollup — the shuffle carries one row per distinct token per
+    doc, never the raw token stream."""
+    per_tok = (
+        documents.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    top_ratio = F.max("c") / F.sum("c")
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.count("*") / F.sum("c"), 4).alias("distinct_ratio"),
+        F.round(top_ratio, 4).alias("top_token_ratio"),
+        (top_ratio > REPETITION_TOP_RATIO).alias("repetitive"),
+    )
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """PII scrub over the corpus: count then redact emails/phones to
+    [EMAIL]/[PHONE] placeholders. Pure codegen'd regex column
+    expressions — no UDF; the patterns are RE2-safe so the DuckDB
+    oracle evaluates them identically.
+
+    The fixture corpus is synthetic word-salad with no PII, so every
+    PII_PLANT_MODth document gets a deterministic planted email+phone
+    first (mirrored in the oracle) — the redaction is verified doing
+    real work, not vacuously passing on zero matches."""
+    planted = F.when(
+        F.col("doc_id") % PII_PLANT_MOD == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(planted, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(planted, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(planted, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.sha2(redacted, 256).alias("redacted_sha"),
+        F.length(redacted).alias("redacted_len"),
+    )

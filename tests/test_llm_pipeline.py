@@ -134,3 +134,23 @@ def test_document_text_is_escape_free_ascii(documents):
         F.col("text").rlike(r"[^\x20-\x7e]") | F.col("text").contains("\\")
     ).count()
     assert bad == 0
+
+
+def test_pii_redaction_scrubs_planted_pii(documents):
+    """Planted docs must report exactly one email + one phone and a
+    redacted hash that differs from the raw text's; unplanted docs
+    must be untouched."""
+    from ad_data_lake_spark.llm.text import PII_PLANT_MOD, pii_redact
+    from pyspark.sql import functions as F
+
+    out = pii_redact(documents)
+    planted = out.where(F.col("doc_id") % PII_PLANT_MOD == 0)
+    clean = out.where(F.col("doc_id") % PII_PLANT_MOD != 0)
+    assert planted.where((F.col("n_emails") != 1) | (F.col("n_phones") != 1)).count() == 0
+    assert clean.where((F.col("n_emails") != 0) | (F.col("n_phones") != 0)).count() == 0
+    # the redacted text of planted docs must not contain the literals
+    raw = documents.select("doc_id", "text").where(F.col("doc_id") % PII_PLANT_MOD == 0)
+    joined = planted.join(raw, "doc_id").where(
+        F.col("redacted_sha") == F.sha2(F.col("text"), 256)
+    )
+    assert joined.count() == 0
