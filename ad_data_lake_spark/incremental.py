@@ -55,7 +55,10 @@ def merge_upsert(
 
     staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
     deduped.write.mode("overwrite").parquet(staging)
-    # atomic-ish swap: the reader sees either old or new, never partial
+    # atomic-ish swap: a reader never sees a PARTIAL table, but between
+    # the two renames the target path briefly does not exist (a
+    # concurrent reader gets FileNotFound). True old-or-new atomicity
+    # needs a transactional table format (Delta/Iceberg metadata swap).
     old = f"{target_path}.old-{uuid.uuid4().hex[:8]}"
     if os.path.exists(target_path):
         os.rename(target_path, old)

@@ -98,14 +98,36 @@ def salted_join(
     return salted_fact.join(salted_dim.hint("shuffle_hash"), [key, "salt"]).drop("salt")
 
 
+def _partition_columns(path: str) -> list[str]:
+    """Detect Hive partition columns from ``key=value`` directory names,
+    outermost first. Only the first child chain is inspected — a valid
+    Hive layout repeats the same keys at each depth."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subdirs = [
+            d
+            for d in sorted(os.listdir(cur))
+            if os.path.isdir(os.path.join(cur, d)) and "=" in d and not d.startswith(".")
+        ]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subdirs[0])
+
+
 def compact_table(
     spark: SparkSession, path: str, target_bytes: int = 128 << 20
 ) -> int:
-    """Rewrite the parquet files under ``path`` into
-    ``ceil(total_bytes / target_bytes)`` files. ``coalesce`` (not
-    ``repartition``) so the rewrite is a narrow, shuffle-free
-    read-through; each output task drains several small inputs.
-    Returns the new file count.
+    """Rewrite the parquet files under ``path`` into ~``target_bytes``
+    files, PRESERVING any Hive partition layout (an incremental sink is
+    exactly the partitioned case — every micro-batch/backfill day writes
+    its own files under ``snapshot_date=...``; flattening it would lose
+    partition pruning). Unpartitioned input compacts with ``coalesce``
+    (narrow, shuffle-free); partitioned input re-writes with the same
+    ``partitionBy`` after a ``repartition`` on the partition columns —
+    one shuffle, so each output task holds whole partitions and each
+    partition directory lands in few files. Returns the new file count.
 
     Local-FS directory swap; on a real lake this is Delta/Iceberg
     ``OPTIMIZE`` (rewrite + atomic metadata commit) — same plan shape,
@@ -116,9 +138,18 @@ def compact_table(
             if f.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, math.ceil(total / target_bytes))
+    part_cols = _partition_columns(path)
     tmp = path.rstrip("/") + ".compacting"
     shutil.rmtree(tmp, ignore_errors=True)
-    spark.read.parquet(path).coalesce(n_files).write.parquet(tmp)
+    df = spark.read.parquet(path)
+    if part_cols:
+        (
+            df.repartition(n_files, *part_cols)
+            .write.partitionBy(*part_cols)
+            .parquet(tmp)
+        )
+    else:
+        df.coalesce(n_files).write.parquet(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)
     return sum(

@@ -45,19 +45,28 @@ def words(col: Column) -> Column:
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct n-word shingles (the unit of MinHash/Jaccard dedup) as
-    a per-row array Column. Assumes ≥ n words per document (the fixture
-    guarantees ~30+).
+    a per-row array Column. Documents with fewer than ``n`` words yield
+    an empty array (same contract as ``exploded_shingles`` and the
+    DuckDB oracle's ``range()``, which is empty for a negative span —
+    without the guard ``sequence`` would go descending and ``slice``
+    would raise on start=0).
 
     NOTE: higher-order functions evaluate interpreted (~0.5 ms/doc for
     the slice-per-index construction). Plan-level operators should use
     ``exploded_shingles`` instead — same shingle strings, built in
     whole-stage codegen."""
     w = words(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-        )
+    return F.coalesce(
+        F.when(
+            F.size(w) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - n),
+                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+                )
+            ),
+        ),
+        F.array().cast("array<string>"),
     )
 
 

@@ -147,9 +147,14 @@ def flight_window_rollup(events: DataFrame, flights: DataFrame) -> DataFrame:
 
     The residual ``ts >= start AND ts < end`` is a no-op for
     day-aligned flights but kept so arbitrary (sub-day) intervals stay
-    correct with the same plan. The bin table is broadcast — flights
-    are a dim; were the interval side large, dropping the broadcast
-    hint yields the same equi-join shape as a shuffle on day_bin."""
+    correct with the same plan: the last bin is derived from the final
+    covered INSTANT (``flight_end - 1 microsecond``), so a flight
+    ending mid-day still gets a bin for its partial last day and the
+    residual predicate trims it exactly. The bin table is broadcast —
+    flights are a dim; were the interval side large, dropping the
+    broadcast hint yields the same equi-join shape as a shuffle on
+    day_bin."""
+    last_instant = F.timestamp_add("MICROSECOND", F.lit(-1), F.col("flight_end"))
     fbins = flights.select(
         "flight_id",
         "flight_start",
@@ -157,7 +162,7 @@ def flight_window_rollup(events: DataFrame, flights: DataFrame) -> DataFrame:
         F.explode(
             F.sequence(
                 F.datediff(F.to_date("flight_start"), F.lit(FLIGHT_EPOCH).cast("date")),
-                F.datediff(F.to_date("flight_end"), F.lit(FLIGHT_EPOCH).cast("date")) - 1,
+                F.datediff(F.to_date(last_instant), F.lit(FLIGHT_EPOCH).cast("date")),
             )
         ).alias("day_bin"),
     )

@@ -14,10 +14,13 @@ Scale notes:
   monotone; a timeout could expire idle users to bound the store);
 - the groupBy(user_id) state shuffle is the same key layout as the
   batch windows, so a user_id-bucketed fact co-locates both;
-- rows within a micro-batch are ordered inside the function (Arrow
-  batches carry no order guarantee), so stream and batch agree exactly
-  whenever event-time arrival respects batch boundaries — the
-  availableNow test drives it with everything in one batch.
+- rows within a micro-batch are materialized and ordered ONCE inside
+  the function (a user's rows can span multiple Arrow chunks, which
+  carry no order guarantee — per-chunk sorting would misnumber), so
+  stream and batch agree exactly whenever event-time arrival respects
+  batch boundaries. A user's per-batch row count must fit in one
+  worker's memory; at ad-impression rates that is thousands of rows,
+  far below Arrow chunk sizing concerns.
 """
 
 from __future__ import annotations
@@ -44,11 +47,15 @@ def _cap_fn(cap: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (seen,) = state.get if state.exists else (0,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Materialize the whole group first: one user's rows can span
+        # several Arrow chunks, and numbering chunks independently after
+        # per-chunk sorts would diverge from the batch frequency_cap.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
             n = len(pdf)
             nums = pd.RangeIndex(seen + 1, seen + n + 1).to_numpy()
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     "event_id": pdf["event_id"].to_numpy(),
                     "user_id": pdf["user_id"].to_numpy(),
@@ -58,7 +65,6 @@ def _cap_fn(cap: int):
                 }
             )
             seen += n
-            yield out
         state.update((seen,))
 
     return fn

@@ -1,0 +1,143 @@
+"""Regression tests for round-3 edge-case fixes (ADVICE.md round 2):
+
+- stateful frequency cap must number correctly when one user's rows
+  span multiple Arrow chunks inside a micro-batch;
+- compact_table must preserve a Hive partition layout (and pruning);
+- flight_window_rollup must keep events in the partial final day of a
+  sub-day-aligned flight;
+- word_shingles must return an empty array (not crash) for documents
+  shorter than the shingle width.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ad_data_lake_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, "events", SF_SMOKE)
+
+
+def _table_hash(df) -> int:
+    cols = sorted(df.columns)
+    return (
+        df.select(F.xxhash64(*cols).alias("h"))
+        .agg(F.expr("bit_xor(h)").alias("t"))
+        .collect()[0]
+        .t
+    )
+
+
+def test_stateful_cap_correct_across_arrow_chunks(spark, events, tmp_path):
+    """Force tiny Arrow chunks (4 rows) so every user's group spans many
+    chunks within the single micro-batch: impression numbering must
+    still match the batch window exactly (per-chunk numbering would
+    scramble it)."""
+    from ad_data_lake_spark.operators.sessions import frequency_cap
+    from ad_data_lake_spark.streaming import run_available_now
+    from ad_data_lake_spark.streaming.stateful import streaming_frequency_cap
+
+    slim = events.select("event_id", "user_id", "ts")
+    src = str(tmp_path / "chunked_cap_src")
+    slim.write.mode("overwrite").parquet(src)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, "10000")
+    spark.conf.set(key, "4")
+    try:
+        stream = spark.readStream.schema(slim.schema).parquet(src)
+        out = run_available_now(
+            streaming_frequency_cap(stream), "cap_chunked", output_mode="append"
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+    batch = frequency_cap(events).select(
+        "event_id", "user_id", "ts", "impression_no", "capped"
+    )
+    assert _table_hash(out) == _table_hash(batch)
+
+
+def test_compact_preserves_partition_layout(spark, events, tmp_path):
+    """Compacting a snapshot_date-partitioned table must keep the
+    partition directories (pruning intact) and the exact content."""
+    from ad_data_lake_spark.layout import compact_table
+
+    path = str(tmp_path / "part_frag")
+    daily = events.select("event_id", "ts", "user_id", "value").withColumn(
+        "snapshot_date", F.to_date("ts").cast("string")
+    )
+    # fragment: many small files inside each partition dir
+    daily.repartition(16).write.partitionBy("snapshot_date").parquet(path)
+    h_before = _table_hash(spark.read.parquet(path))
+    dirs_before = sorted(d for d in os.listdir(path) if d.startswith("snapshot_date="))
+    n_files_before = sum(
+        1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+
+    n_after = compact_table(spark, path, target_bytes=8 << 20)
+
+    dirs_after = sorted(d for d in os.listdir(path) if d.startswith("snapshot_date="))
+    assert dirs_after == dirs_before  # layout survived — not flattened
+    assert n_after < n_files_before
+    back = spark.read.parquet(path)
+    assert _table_hash(back) == h_before
+    # pruning still possible: one partition reads a strict subset
+    one = back.where(F.col("snapshot_date") == dirs_after[0].split("=", 1)[1])
+    assert 0 < one.count() < back.count()
+
+
+def test_flight_rollup_counts_partial_final_day(spark, events):
+    """A flight ending at 12:00 (sub-day) must still count events in
+    [last-midnight, 12:00) — the final partial day needs a bin row."""
+    from ad_data_lake_spark.operators.temporal import flight_window_rollup
+
+    flights = spark.createDataFrame(
+        [(0,)], "flight_id long"
+    ).select(
+        "flight_id",
+        F.lit("2024-01-10 00:00:00").cast("timestamp").alias("flight_start"),
+        F.lit("2024-01-12 12:00:00").cast("timestamp").alias("flight_end"),
+    )
+    got = flight_window_rollup(events, flights)
+    naive = (
+        events.join(
+            flights,
+            (F.col("ts") >= F.col("flight_start")) & (F.col("ts") < F.col("flight_end")),
+        )
+        .groupBy("flight_id", "flight_start", "flight_end")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    assert _table_hash(got) == _table_hash(naive)
+    # the partial day is non-empty in the fixture, so the bug would bite
+    partial = events.where(
+        (F.col("ts") >= F.lit("2024-01-12 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12 12:00:00").cast("timestamp"))
+    )
+    assert partial.count() > 0
+
+
+def test_word_shingles_short_docs_yield_empty(spark):
+    """Sub-n-token documents return [] — same contract as
+    exploded_shingles and the DuckDB oracle's range()."""
+    from ad_data_lake_spark.llm.text import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "solo"), (3, ""), (4, "a b c d")], "doc_id long, text string"
+    )
+    out = df.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+    ).orderBy("doc_id")
+    rows = out.collect()
+    assert [len(r.sh) for r in rows] == [0, 0, 0, 2]
