@@ -1288,6 +1288,93 @@ for _name, (_fn, _oracle, _tags) in LLM_TEXT_QUERIES.items():
     _register(_name, QuerySpec(_fn, _oracle, tuple(_tags)))
 
 
+# ---------------------------------------------------------------------------
+# Driver-facing ordering. The driver's correctness run iterates
+# queries() in registration order and may cap how many it checks
+# (CORRECTNESS_r02.json stopped at 50 of 82): surface the newest /
+# least-proven operators FIRST — the LLM layer, temporal/session
+# windows, layout, and the write/streaming paths — and push the ~30
+# fn_* golden-pair sanitize queries (driver-proven green in rounds 1
+# AND 2, still covered by tests/test_oracle_parity.py at full width)
+# to the tail. Names not listed keep their registration order after
+# the prioritized block.
+# ---------------------------------------------------------------------------
+
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # LLM-data-pipeline layer (round 2; absent from CORRECTNESS_r02)
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ngram_jaccard_pairs",
+    "embed_topk_bruteforce",
+    "embed_topk_ivf",
+    "embed_topk_lsh",
+    "embed_neardup_pairs",
+    "doc_fingerprint",
+    "text_stats",
+    "token_counts",
+    "lang_id",
+    "quality_score",
+    "repetition_stats",
+    "pii_redact",
+    "multimodal_features",
+    # temporal / sessions / pivots (round 2; absent from CORRECTNESS_r02)
+    "asof_attribution",
+    "flight_window_rollup",
+    "sessionize_events",
+    "sessionize_native",
+    "frequency_cap",
+    "pivot_action_metrics",
+    "agg_percentiles",
+    # layout + write/incremental/streaming (round 2; absent)
+    "skew_salted_agg",
+    "bucketed_join_colocated",
+    "compaction_roundtrip",
+    "merge_upsert_idempotent",
+    "backfill_partition_replace",
+    "streaming_daily_insights",
+    "streaming_attribution_join",
+    "daily_extract_pipeline",
+    # core relational/aggregate/window spine (driver-proven, but they
+    # ARE the reference's operator inventory — keep visible next)
+    "scan_project",
+    "filter_updated_since",
+    "filter_time_range",
+    "semi_join_lookup",
+    "anti_join_missing",
+    "distinct_ids",
+    "broadcast_dim_join",
+    "hierarchy_flat",
+    "stamp_parent_keys",
+    "agg_action_type",
+    "agg_reach_frequency",
+    "agg_rollup",
+    "derived_ratio_metrics",
+    "count_summary",
+    "agg_action_breakdown",
+    "latest_snapshot_window",
+    "per_user_frequency",
+    "last_wins_dedupe",
+    "sort_by_name",
+    "top_k",
+    "union_pages",
+    "collect_list_nest",
+    "nested_report",
+    "lake_write_roundtrip",
+)
+
+
+def _driver_order(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    ordered = {n: reg[n] for n in _DRIVER_PRIORITY if n in reg}
+    ordered.update((n, s) for n, s in reg.items() if n not in ordered)
+    assert len(ordered) == len(reg)
+    return ordered
+
+
+REGISTRY = _driver_order(REGISTRY)
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
