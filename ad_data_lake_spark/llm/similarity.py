@@ -129,11 +129,19 @@ def _ranked(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
-def topk_bruteforce(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+def topk_bruteforce(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    query_pred: Column | None = None,
+) -> DataFrame:
     """Exact cosine top-k: broadcast the query set, score every vector,
     per-query window rank. The vector table is scanned once and never
-    shuffled; only the q×n scored pairs move."""
-    q = _queries(embeddings, F.col("vec_id") < n_queries)
+    shuffled; only the q×n scored pairs move. ``query_pred`` overrides
+    the default query-set predicate so the approximate indexes can be
+    recall-scored against the exact answer for the SAME queries
+    (llm/evaluation.py)."""
+    q = _queries(embeddings, query_pred if query_pred is not None else F.col("vec_id") < n_queries)
     cv = as_double(F.col("embedding"))
     c = embeddings.select("vec_id", cv.alias("cv"), norm(cv).alias("cn"))
     pairs = (
@@ -258,21 +266,57 @@ def lsh_bucket_udf(planes: list[list[float]]):
     return bucket
 
 
-def topk_lsh(embeddings: DataFrame, query_mod: int = 97, k: int = 5) -> DataFrame:
+def _probe_masks(n_planes: int, hamming: int) -> list[int]:
+    """XOR masks for multi-probe: every bit pattern of weight ≤
+    ``hamming`` over ``n_planes`` bits (weight 0 = the query's own
+    bucket). hamming=1 over 8 planes → 9 probes; 2 → 37."""
+    masks = [0]
+    if hamming >= 1:
+        masks += [1 << j for j in range(n_planes)]
+    if hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    if hamming >= 3:
+        raise ValueError("probe_hamming > 2 defeats the index; add planes instead")
+    return masks
+
+
+def topk_lsh(
+    embeddings: DataFrame,
+    query_mod: int = 97,
+    k: int = 5,
+    probe_hamming: int = 0,
+) -> DataFrame:
     """Hyperplane-LSH ANN top-k: bucket every vector by projection
-    signs, probe only the query's bucket. Recall trades against the
-    number of planes; production multi-probes neighboring buckets.
-    The join key is the (uniformly distributed) bucket id."""
+    signs, probe the query's bucket plus (``probe_hamming`` > 0) every
+    bucket within that Hamming distance — the standard multi-probe
+    recall knob: a near neighbor that lands across one hyperplane is
+    reached by flipping that bit, so probing H(≤1) buckets buys most of
+    the lost recall for 9× (not 256×) the candidate volume at 8 planes.
+    Measured on the sf fixtures by llm/evaluation.py (see REPORT.md).
+
+    The join key is the (uniformly distributed) bucket id; multi-probe
+    only fans out the tiny broadcast query side — the vector table is
+    still bucketed once and never duplicated."""
     planes = hyperplanes()
     bucket_of = lsh_bucket_udf(planes)
     cv = as_double(F.col("embedding"))
     c = embeddings.select("vec_id", cv.alias("cv")).withColumn(
         "bucket", bucket_of(F.col("cv"))
     )
+    masks = _probe_masks(len(planes), probe_hamming)
     q = (
         embeddings.where(F.col("vec_id") % query_mod == 0)
         .select(F.col("vec_id").alias("query_id"), cv.alias("qv"))
-        .withColumn("bucket", bucket_of(F.col("qv")))
+        .withColumn("own_bucket", bucket_of(F.col("qv")))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(*[F.col("own_bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
+        .drop("own_bucket")
     )
     pairs = (
         c.join(F.broadcast(q), (q["bucket"] == c["bucket"]) & (q["query_id"] != c["vec_id"]))
