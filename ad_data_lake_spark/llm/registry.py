@@ -235,7 +235,9 @@ _add(
     "repetition_stats",
     _doc_q(T.repetition_stats),
     f"""
-    SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+    -- CAST: DuckDB sum(int) is HUGEINT -> float64 in pandas, which
+    -- value-hash-mismatches Spark's bigint (CORRECTNESS_r03).
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
            round(count(*) / sum(c), 4) AS distinct_ratio,
            round(max(c) / sum(c), 4) AS top_token_ratio,
            max(c) / sum(c) > {T.REPETITION_TOP_RATIO} AS repetitive

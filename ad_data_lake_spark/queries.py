@@ -1111,8 +1111,8 @@ _register(
                         THEN 1 ELSE 0 END AS is_new
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         s AS (
-            SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                        ROWS UNBOUNDED PRECEDING) AS session_no
+            SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
             FROM b)
         SELECT user_id, session_no,
                min(ts) AS session_start, max(ts) AS session_end,
@@ -1167,12 +1167,15 @@ _register(
     QuerySpec(
         _q(aggregates.pivot_action_metrics, "events"),
         """
+        -- count FILTER, not sum(CASE): DuckDB sum(int) returns HUGEINT,
+        -- which lands as float64 in pandas and value-hash-mismatches
+        -- Spark's bigint counts (CORRECTNESS_r03 pivot_action_metrics).
         SELECT date_trunc('day', ts) AS event_date,
-               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+               count(*) FILTER (WHERE event_type = 'click') AS n_click,
+               count(*) FILTER (WHERE event_type = 'error') AS n_error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view') AS n_view
         FROM events GROUP BY 1
         """,
         ("aggregate", "pivot"),

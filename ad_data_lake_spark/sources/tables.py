@@ -55,7 +55,29 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _read_events(spark, f"{sf_dir}/{name}.parquet")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (LTZ).
+
+    Parquet written without ``isAdjustedToUTC`` is inferred as
+    TIMESTAMP_NTZ by Spark's reader, but NTZ is rejected by event-time
+    APIs the engine relies on (``withWatermark``, ``unix_micros``,
+    ``session_window``). With the session timezone pinned to UTC (see
+    ``load_table``) the cast preserves wall-clock values exactly, so
+    DuckDB — which reads the same parquet as naive timestamps — still
+    agrees value-for-value. No-op when the source already carries LTZ
+    timestamps.
+    """
+    from pyspark.sql import functions as F
+
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz_cols:
+        return df
+    return df.withColumns(
+        {c: F.col(c).cast("timestamp") for c in ntz_cols}
+    )
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
@@ -77,7 +99,7 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_ntz(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

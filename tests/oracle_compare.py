@@ -17,8 +17,11 @@ def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "∅"
-        # absorb representation noise well below the query-level rounding
-        return f"{v:.6f}".rstrip("0").rstrip(".")
+        # full shortest-round-trip repr: the driver's value hash does NOT
+        # absorb float-vs-int or last-ulp drift (CORRECTNESS_r03 caught
+        # DuckDB HUGEINT sums arriving as float64 while the old 6-decimal
+        # truncation here hid them), so the local gate must be as strict.
+        return repr(v)
     if isinstance(v, pd.Timestamp) or isinstance(v, datetime):
         return pd.Timestamp(v).tz_localize(None).isoformat() if pd.Timestamp(v).tzinfo else pd.Timestamp(v).isoformat()
     if isinstance(v, (list, tuple)) or str(type(v)).endswith("ndarray'>"):
