@@ -33,41 +33,91 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
 
 
 def ann_recalls(embeddings: DataFrame, k: int = 5, query_mod: int = QUERY_MOD) -> dict[str, float]:
-    """recall@k of the IVF and LSH indexes (single-probe and
-    multi-probe H≤1, H≤2) vs the exact brute-force baseline, same
-    query set (vec_id % query_mod == 0) for every index."""
+    """recall@k of the IVF index (nprobe 1/2/4) and the LSH index
+    (multi-probe Hamming 0/1/2) vs the exact brute-force baseline,
+    same query set (vec_id % query_mod == 0) for every index."""
     exact = sim.topk_bruteforce(
         embeddings, k=k, query_pred=F.col("vec_id") % query_mod == 0
     )
-    ivf = sim.topk_ivf(embeddings, query_mod=query_mod, k=k)
-    out = {"ivf": recall_at_k(ivf, exact)}
+    out = {}
+    for p in (1, 2, 4):
+        ivf = sim.topk_ivf(embeddings, query_mod=query_mod, k=k, nprobe=p)
+        out[f"ivf_p{p}"] = recall_at_k(ivf, exact)
     for h in (0, 1, 2):
         lsh = sim.topk_lsh(embeddings, query_mod=query_mod, k=k, probe_hamming=h)
         out[f"lsh_h{h}"] = recall_at_k(lsh, exact)
     return out
 
 
+def approx_errors(events: DataFrame) -> dict[str, float]:
+    """Max relative error of the approx aggregate paths vs their exact
+    twins — ``approx_count_distinct`` (HLL++, default 5% rsd) for reach
+    and ``approx_percentile`` (mergeable quantile sketch, accuracy
+    10000) for p50/p90/p99 — over every event_type group. These are the
+    100 TB paths (constant memory per group, map-side mergeable); the
+    exact twins exist for oracle parity."""
+    from ad_data_lake_spark.operators import aggregates as agg
+
+    ex = agg.agg_reach_frequency(events, exact=True).select(
+        "event_type", F.col("reach").alias("e")
+    )
+    ap = agg.agg_reach_frequency(events, exact=False).select(
+        "event_type", F.col("reach").alias("a")
+    )
+    reach_err = (
+        ex.join(ap, "event_type")
+        .agg(F.max(F.abs(F.col("a") - F.col("e")) / F.col("e")).alias("err"))
+        .first()["err"]
+    )
+    pcts = ("p50", "p90", "p99")
+    j = (
+        agg.agg_percentiles(events, exact=True)
+        .alias("e")
+        .join(agg.agg_percentiles(events, exact=False).alias("a"), "event_type")
+    )
+    pct_err = (
+        j.select(
+            F.greatest(
+                *[
+                    F.abs(F.col(f"a.{c}") - F.col(f"e.{c}")) / F.abs(F.col(f"e.{c}"))
+                    for c in pcts
+                ]
+            ).alias("err")
+        )
+        .agg(F.max("err").alias("err"))
+        .first()["err"]
+    )
+    return {
+        "reach_hll_max_rel_err": float(reach_err),
+        "percentile_sketch_max_rel_err": float(pct_err),
+    }
+
+
 def minhash_planted_quality(documents: DataFrame) -> dict[str, float]:
-    """Precision/recall of MinHash-LSH near-dup GROUPS against the
-    planted copies (llm/dedup.py plants one near-copy per PLANT_MOD
-    docs): a planted pair is recalled when source and copy share a
-    group; precision = fraction of same-group pairs that are planted
-    pairs (the fixture's only true near-dups)."""
+    """Precision/recall of MinHash-LSH near-dup PAIRS against the
+    planted copies (llm/corpus.py plants one exact copy per EXACT_MOD
+    docs and one suffix-perturbed near copy per NEAR_MOD docs — the
+    corpus's only true duplicates). A planted pair is recalled when
+    (source, copy) appears in ``minhash_neardup_pairs``; precision is
+    the fraction of emitted pairs that are planted."""
+    from ad_data_lake_spark.llm import corpus as cp
     from ad_data_lake_spark.llm import dedup
 
-    groups = dedup.minhash_neardup_groups(documents)
-    planted = dedup.near_corpus(documents).select(
-        F.col("doc_id").alias("a"),
-        (F.col("doc_id") + dedup.NEAR_OFFSET).alias("b"),
-        F.lit(1).alias("is_planted"),
-    ).where(F.col("b").isNotNull())
-
-    g = groups.select("doc_id", "group_id")
-    pairs = (
-        g.alias("x")
-        .join(g.alias("y"), F.col("x.group_id") == F.col("y.group_id"))
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    pairs = dedup.minhash_neardup_pairs(cp.dup_corpus(documents)).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    planted = (
+        documents.where(F.col("doc_id") % cp.EXACT_MOD == 0)
+        .select(
+            F.col("doc_id").alias("a"),
+            (F.col("doc_id") + cp.EXACT_OFFSET).alias("b"),
+        )
+        .unionByName(
+            documents.where(F.col("doc_id") % cp.NEAR_MOD == 0).select(
+                F.col("doc_id").alias("a"),
+                (F.col("doc_id") + cp.NEAR_OFFSET).alias("b"),
+            )
+        )
     )
     n_pairs = pairs.count()
     n_planted = planted.count()

@@ -369,22 +369,78 @@ _add(
     ("llm", "similarity", "ann", "bruteforce"),
 )
 
+def _ivf_sql(
+    n_cells: int = SIM.IVF_CELLS,
+    iters: int = SIM.IVF_ITERS,
+    nprobe: int = SIM.IVF_NPROBE,
+    k: int = 5,
+    query_mod: int = 97,
+) -> str:
+    """Unrolled spherical-k-means IVF as DuckDB SQL — the SAME loop
+    similarity.ivf_centroids/topk_ivf run (6-dp-rounded centroids and
+    scores, lowest-cell tie-breaks), so the value hash verifies the
+    trained quantizer itself, not just the final join."""
+    dim = SIM.DIM
+    ctes = [
+        "u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u"
+        " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))",
+        f"c0 AS (SELECT vec_id AS cell, list_transform(u, x -> round(x, 6)) AS c"
+        f" FROM u WHERE vec_id < {n_cells})",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, cell, u FROM ("
+            f"SELECT u.vec_id, cc.cell, u.u, row_number() OVER (PARTITION BY u.vec_id"
+            f" ORDER BY round(list_dot_product(u.u, cc.c), 6) DESC, cc.cell) AS rn"
+            f" FROM u, {prev} cc) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT cell, i, avg(u[i]) AS m"
+            f" FROM a{i}, range(1, {dim + 1}) t(i) GROUP BY cell, i)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT cell, list_transform(mv,"
+            f" x -> round(x / sqrt(list_dot_product(mv, mv)), 6)) AS c"
+            f" FROM (SELECT cell, list(m ORDER BY i) AS mv FROM m{i} GROUP BY cell))"
+        )
+        prev = f"c{i}"
+    ctes.append(
+        "af AS (SELECT vec_id, cell FROM ("
+        "SELECT u.vec_id, cc.cell, row_number() OVER (PARTITION BY u.vec_id"
+        f" ORDER BY round(list_dot_product(u.u, cc.c), 6) DESC, cc.cell) AS rn"
+        f" FROM u, {prev} cc) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, u AS qu FROM u WHERE vec_id % {query_mod} = 0)"
+    )
+    ctes.append(
+        "p AS (SELECT query_id, cell FROM ("
+        "SELECT q.query_id, cc.cell, row_number() OVER (PARTITION BY q.query_id"
+        f" ORDER BY round(list_dot_product(q.qu, cc.c), 6) DESC, cc.cell) AS rn"
+        f" FROM q, {prev} cc) WHERE rn <= {nprobe})"
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT query_id, cell, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT p.query_id, af.cell, af.vec_id,
+               round(list_dot_product(q.qu, u.u), 6) AS cosine_sim,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY round(list_dot_product(q.qu, u.u), 6) DESC,
+                                           af.vec_id) AS rank
+        FROM p JOIN af USING (cell)
+               JOIN u ON af.vec_id = u.vec_id
+               JOIN q ON p.query_id = q.query_id
+        WHERE p.query_id <> af.vec_id)
+    WHERE rank <= {k}
+    """
+
+
 _add(
     "embed_topk_ivf",
     _emb_q(SIM.topk_ivf),
-    f"""
-    WITH q AS (SELECT vec_id AS query_id, label AS query_label,
-                      embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id % 97 = 0),
-    c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings)
-    SELECT query_id, label, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
-    FROM (
-        SELECT query_id, label, vec_id, {_COS} AS cosine_sim,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY {_COS} DESC, vec_id) AS rank
-        FROM q JOIN c ON q.query_label = c.label AND q.query_id <> c.vec_id)
-    WHERE rank <= 5
-    """,
+    _ivf_sql(),
     ("llm", "similarity", "ann", "ivf"),
 )
 

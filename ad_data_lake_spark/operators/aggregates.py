@@ -161,16 +161,24 @@ def pivot_action_metrics(events: DataFrame) -> DataFrame:
     )
 
 
-def agg_percentiles(events: DataFrame) -> DataFrame:
-    """Exact value percentiles (p50/p90/p99) per event type — the
+def agg_percentiles(events: DataFrame, exact: bool = True) -> DataFrame:
+    """Value percentiles (p50/p90/p99) per event type — the
     distribution summary behind budget/bid diagnostics. Exact
     ``percentile`` keeps the oracle comparable (DuckDB quantile_cont,
-    same linear interpolation); the 100 TB path swaps in
-    ``approx_percentile`` (t-digest sketch, map-side mergeable) at the
-    cost of oracle exactness."""
+    same linear interpolation); ``exact=False`` is the 100 TB path —
+    ``approx_percentile`` (KLL-style sketch, map-side mergeable, one
+    pass, bounded memory) at the cost of oracle exactness. Measured
+    max relative error vs exact: 0.71% across all cells at sf0.01
+    (tests/test_approx_bounds.py; REPORT.md)."""
+
+    def pct(p: float) -> Column:
+        if exact:
+            return F.percentile("value", F.lit(p))
+        return F.approx_percentile("value", F.lit(p), F.lit(10_000))
+
     return events.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.round(pct(0.5), 4).alias("p50"),
+        F.round(pct(0.9), 4).alias("p90"),
+        F.round(pct(0.99), 4).alias("p99"),
         F.round(F.max("value"), 4).alias("p100"),
     )

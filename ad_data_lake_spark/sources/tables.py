@@ -53,6 +53,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # unsound: Spark reads confs lazily at plan/execution time.
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Same pinning contract: read naive parquet timestamps as LTZ
+    # directly instead of inferring TIMESTAMP_NTZ (which event-time APIs
+    # reject and which would put a cast node in every plan). The
+    # _normalize_ntz cast below stays as a fallback for sessions where
+    # a reader was already resolved under the inferring conf.
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None) != "false":
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         return _read_events(spark, f"{sf_dir}/{name}.parquet")
     return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
@@ -129,6 +136,30 @@ def spread(df: DataFrame) -> DataFrame:
     would add an exchange for nothing.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _estimated_scan_partitions(df) >= target:
         return df
     return df.repartition(target)
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value like '128m' / '134217728b'."""
+    v = v.strip().lower()
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if v and v[-1] in units:
+        return int(float(v[:-1]) * units[v[-1]])
+    return int(v)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Estimate how many input splits a scan yields, without touching
+    ``df.rdd`` (which forces plan conversion and materializes RDD
+    lineage just to ask a question the optimizer already answers).
+    Catalyst's plan statistics give the scan's byte size; splits follow
+    from ``spark.sql.files.maxPartitionBytes`` — the same arithmetic
+    FilePartition uses, minus the open-cost packing refinement, which
+    only makes this estimate conservative (lower), never inflated."""
+    size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    max_bytes = _parse_bytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    return max(1, -(-size // max_bytes))

@@ -1,0 +1,37 @@
+"""Error bounds for the approx aggregate paths vs their exact twins.
+
+``approx_count_distinct`` (HLL++) and ``approx_percentile`` (mergeable
+quantile sketch) are the stated 100 TB paths for reach and percentile
+summaries; these tests measure them against the exact variants on the
+same fixture so the claimed accuracy is a number, not a vibe.
+
+Pinned at sf0.01 regardless of the session test SF: the sketch returns
+an order statistic while exact ``percentile`` interpolates between
+them, so on sub-1k groups (sf0.001) the comparison measures the
+sample gap around p99 — up to ~25% on the heavy-tailed ``value``
+column — not sketch error. At sf0.01 group sizes (~20k) both effects
+are inside 1%. Measured: reach HLL 0.67%, percentile sketch 0.71%
+(REPORT.md regenerates these via scripts/quality_report.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ad_data_lake_spark.llm.evaluation import approx_errors
+from ad_data_lake_spark.sources.tables import load_table
+
+SF_APPROX = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def errors(spark):
+    return approx_errors(load_table(spark, "events", SF_APPROX))
+
+
+def test_reach_hll_within_5pct(errors):
+    assert errors["reach_hll_max_rel_err"] <= 0.05
+
+
+def test_percentile_sketch_within_1pct(errors):
+    assert errors["percentile_sketch_max_rel_err"] <= 0.01
