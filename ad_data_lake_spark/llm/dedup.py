@@ -147,9 +147,20 @@ def band_keys(sig: Column, n_bands: int = N_BANDS, rows: int = ROWS_PER_BAND) ->
     )
 
 
-def _exploded_shingle_hashes(corpus: DataFrame) -> DataFrame:
+def _exploded_shingle_hashes(corpus: DataFrame, hash_family: str = "md5") -> DataFrame:
     """(doc_id, h28, h60): one row per shingle occurrence, both hash
-    widths derived from a single md5 call.
+    widths derived from a single hash call.
+
+    ``hash_family``:
+    - ``"md5"`` (default): hex-prefix integers — cross-engine
+      reproducible, so the DuckDB oracle verifies every signature
+      value. The cost is a cryptographic hash per shingle.
+    - ``"xxhash64"``: the production family — Spark's codegen'd
+      non-cryptographic hash, ~an order of magnitude cheaper per
+      shingle and statistically equivalent for MinHash (uniform 28/60-
+      bit values); not reproducible outside the JVM, so the oracle
+      path keeps md5. Same planted-duplicate recall, measured in
+      tests/test_llm_pipeline.py::test_minhash_hash_families_agree.
 
     Explode-to-rows is the deliberate scale shape: shingles come from
     the codegen'd window construction (``exploded_shingles``), and
@@ -159,8 +170,13 @@ def _exploded_shingle_hashes(corpus: DataFrame) -> DataFrame:
     higher-order-function lambdas, which evaluate interpreted at
     ~1µs/element and dominated the old plan."""
     ex = exploded_shingles(corpus)
-    m = F.md5(F.col("s"))
-    h60 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    if hash_family == "xxhash64":
+        h60 = F.xxhash64(F.col("s")).bitwiseAND(F.lit((1 << 60) - 1))
+    elif hash_family == "md5":
+        m = F.md5(F.col("s"))
+        h60 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     return ex.select(
         "doc_id",
         # first 28 bits == first 60 bits >> 32: one conv instead of two
@@ -169,7 +185,7 @@ def _exploded_shingle_hashes(corpus: DataFrame) -> DataFrame:
     )
 
 
-def minhash_prepped(corpus: DataFrame) -> DataFrame:
+def minhash_prepped(corpus: DataFrame, hash_family: str = "md5") -> DataFrame:
     """(doc_id, sig, jset) in ONE codegen'd aggregate: the 9 signature
     entries as min() over the permuted 28-bit hashes, and the 60-bit
     hashed shingle set (Jaccard verification input) as collect_set —
@@ -177,7 +193,7 @@ def minhash_prepped(corpus: DataFrame) -> DataFrame:
     invariant to shingle multiplicity and collect_set is a set, so the
     values are identical to the per-row array formulation (and to the
     DuckDB oracle)."""
-    ex = _exploded_shingle_hashes(corpus)
+    ex = _exploded_shingle_hashes(corpus, hash_family)
     aggs = [
         F.min((F.col("h28") * a + b) % MINHASH_P).alias(f"_m{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -194,20 +210,20 @@ def minhash_prepped(corpus: DataFrame) -> DataFrame:
     )
 
 
-def minhash_bands(corpus: DataFrame) -> DataFrame:
+def minhash_bands(corpus: DataFrame, hash_family: str = "md5") -> DataFrame:
     """(doc_id, band_id, band_key) — the LSH bucket table, derived from
     the codegen'd ``minhash_prepped`` aggregate."""
-    return minhash_prepped(corpus).select(
+    return minhash_prepped(corpus, hash_family).select(
         "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_id", "band_key")
     )
 
 
-def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(corpus: DataFrame, hash_family: str = "md5") -> DataFrame:
     """Candidate near-dup pairs: self-join of the bucket table on
     (band_id, band_key) with doc_a < doc_b, distinct. This is the
     bucketed step that replaces the disqualifying all-pairs join — the
     shuffle key is the band hash, and only same-bucket rows pair up."""
-    bands = minhash_bands(corpus)
+    bands = minhash_bands(corpus, hash_family)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -222,7 +238,9 @@ def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
     )
 
 
-def minhash_neardup_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_neardup_pairs(
+    corpus: DataFrame, threshold: float = 0.5, hash_family: str = "md5"
+) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: bucketed candidates, then
     exact n-gram Jaccard verification on candidates only. Output:
     (doc_a, doc_b, jaccard) for verified pairs ≥ threshold.
@@ -232,7 +250,7 @@ def minhash_neardup_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFram
     share one shuffle via Spark's ReuseExchange, so the document scan +
     shingle hashing runs once."""
     corpus = spread(corpus)  # shingle explode is compute-bound; fan out the 1-split fixture scan
-    prepped = minhash_prepped(corpus)
+    prepped = minhash_prepped(corpus, hash_family)
     bands = prepped.select(
         "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_id", "band_key")
     )

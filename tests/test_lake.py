@@ -130,6 +130,51 @@ def test_streaming_matches_batch(spark, events, tmp_path):
     assert g == w
 
 
+def test_stream_foreachbatch_merge_replay_safe(spark, events, tmp_path):
+    """Exactly-once sink composition: foreachBatch → merge_upsert.
+    Replaying the ENTIRE stream against a fresh checkpoint (the
+    worst-case at-least-once failure: every batch redelivered) must
+    leave the table byte-identical — MERGE idempotence absorbs the
+    redelivery. A late-arriving newer row must still win."""
+    from ad_data_lake_spark.streaming.incremental import stream_merge_to_table
+
+    src = str(tmp_path / "fb_src")
+    target = str(tmp_path / "fb_table")
+    base = events.select("event_id", "ts", "user_id", "event_type", "value")
+    base.write.mode("overwrite").parquet(src)
+
+    def run(checkpoint: str) -> None:
+        stream = spark.readStream.schema(base.schema).parquet(src)
+        stream_merge_to_table(
+            stream, target, str(tmp_path / checkpoint), "event_id", "ts", "value"
+        )
+
+    run("ckpt1")
+    h0 = _table_hash(spark.read.parquet(target))
+    assert spark.read.parquet(target).count() == base.dropDuplicates(["event_id"]).count()
+
+    # full redelivery: fresh checkpoint reprocesses every source file
+    run("ckpt2")
+    assert _table_hash(spark.read.parquet(target)) == h0
+
+    # a genuinely newer version of one key must still update the table
+    upd = (
+        base.orderBy("event_id")
+        .limit(1)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 400 DAYS"))
+        .withColumn("value", F.lit(123.45))
+    )
+    upd.write.mode("overwrite").parquet(str(tmp_path / "fb_upd"))
+    stream2 = spark.readStream.schema(base.schema).parquet(str(tmp_path / "fb_upd"))
+    stream_merge_to_table(
+        stream2, target, str(tmp_path / "ckpt3"), "event_id", "ts", "value"
+    )
+    got = spark.read.parquet(target)
+    assert got.count() == base.dropDuplicates(["event_id"]).count()
+    key = upd.collect()[0].event_id
+    assert got.where(F.col("event_id") == key).collect()[0].value == 123.45
+
+
 def test_streaming_frequency_cap_matches_batch(spark, events, tmp_path):
     """The applyInPandasWithState cap must reproduce the batch window
     cap exactly when the stream drains in one availableNow pass, and

@@ -59,6 +59,27 @@ def test_minhash_lsh_recalls_planted_pairs(documents):
     assert all(j >= 0.5 for j in (r.jaccard for r in pairs))
 
 
+def test_minhash_hash_families_agree(documents):
+    """The xxhash64 production family must find what the md5 oracle
+    family finds: identical planted recall, near-identical pair sets
+    (candidate generation is probabilistic per family, but exact-copy
+    pairs collide on every band under ANY uniform hash, and verified
+    jaccard values come from 60-bit set cardinalities that collide
+    with probability ~n²/2^61)."""
+    corpus = CP.dup_corpus(documents)
+    by_family = {}
+    for fam in ("md5", "xxhash64"):
+        rows = D.minhash_neardup_pairs(corpus, hash_family=fam).collect()
+        by_family[fam] = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    md5_pairs, xx_pairs = by_family["md5"], by_family["xxhash64"]
+    n_exact = documents.where(F.col("doc_id") % CP.EXACT_MOD == 0).count()
+    assert sum(j == 1.0 for j in xx_pairs.values()) >= n_exact
+    common = set(md5_pairs) & set(xx_pairs)
+    # ≥90% pair-set agreement and identical jaccard on shared pairs
+    assert len(common) >= 0.9 * max(len(md5_pairs), len(xx_pairs))
+    assert all(md5_pairs[p] == xx_pairs[p] for p in common)
+
+
 def test_simhash_groups_planted_copies(documents):
     groups = D.simhash_groups(CP.dup_corpus(documents))
     n_exact = documents.where(F.col("doc_id") % CP.EXACT_MOD == 0).count()
