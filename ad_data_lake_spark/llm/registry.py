@@ -498,3 +498,88 @@ _add(
     """,
     ("llm", "text", "fingerprint"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Dataset curation (llm/curation.py): split / pack / contamination
+# ---------------------------------------------------------------------------
+
+from ad_data_lake_spark.llm import curation as CU  # noqa: E402
+
+_PCT = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100"
+_SPLIT_CASE = (
+    "CASE WHEN pct < 90 THEN 'train' WHEN pct < 95 THEN 'val' ELSE 'test' END"
+)
+
+_add(
+    "dataset_split",
+    _doc_q(CU.split_assign),
+    f"""
+    SELECT doc_id, pct AS split_pct, {_SPLIT_CASE} AS split
+    FROM (SELECT doc_id, {_PCT} AS pct FROM documents)
+    """,
+    ("llm", "curation", "split"),
+)
+
+_add(
+    "split_summary",
+    _doc_q(CU.split_summary),
+    f"""
+    SELECT {_SPLIT_CASE} AS split,
+           count(*) AS n_docs,
+           CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, text, {_PCT} AS pct FROM documents)
+    GROUP BY 1 ORDER BY 1
+    """,
+    ("llm", "curation", "split", "aggregate"),
+)
+
+_add(
+    "pack_sequences",
+    _doc_q(CU.pack_sequences),
+    f"""
+    WITH b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                   % {CU.PACK_SHARDS} AS shard,
+               len({_WORDS}) AS n_tokens
+        FROM documents),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tokens
+                    AS BIGINT) AS tok_start
+        FROM b)
+    SELECT doc_id, shard, n_tokens, tok_start,
+           CAST(floor(tok_start / {CU.PACK_BUDGET}) AS BIGINT) AS bin_id,
+           CAST(tok_start % {CU.PACK_BUDGET} AS BIGINT) AS bin_offset
+    FROM c
+    """,
+    ("llm", "curation", "packing", "window"),
+)
+
+_add(
+    "contamination_check",
+    _doc_q(CU.contamination_check),
+    f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % {CU.BENCHMARK_MOD} <> 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % {CU.BENCHMARK_MOD} = 0),
+    bh AS (
+        SELECT DISTINCT unnest({_JSET}) AS h60
+        FROM (SELECT {_SHINGLES} AS shingles
+              FROM (SELECT {_WORDS} AS w FROM bench))),
+    dh AS (
+        SELECT DISTINCT doc_id, unnest({_JSET}) AS h60
+        FROM (SELECT doc_id, {_SHINGLES} AS shingles
+              FROM (SELECT doc_id, {_WORDS} AS w FROM corpus))),
+    shared AS (
+        SELECT doc_id, count(*) AS n_shared
+        FROM dh WHERE h60 IN (SELECT h60 FROM bh) GROUP BY doc_id),
+    totals AS (SELECT doc_id, count(*) AS n_shingles FROM dh GROUP BY doc_id)
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(s.n_shared, 0) AS n_shared,
+           round(COALESCE(s.n_shared, 0) / t.n_shingles, 4) AS contamination
+    FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
+    """,
+    ("llm", "curation", "contamination"),
+)

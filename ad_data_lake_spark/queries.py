@@ -1308,6 +1308,11 @@ for _name, (_fn, _oracle, _tags) in LLM_TEXT_QUERIES.items():
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # dataset-curation layer (round 4; newest, never driver-checked)
+    "dataset_split",
+    "split_summary",
+    "pack_sequences",
+    "contamination_check",
     # LLM-data-pipeline layer (round 2; absent from CORRECTNESS_r02)
     "dedup_exact",
     "dedup_normalized",

@@ -1,0 +1,78 @@
+"""Semantic tests for the dataset-curation layer (llm/curation.py) —
+beyond oracle parity: is the split content-stable under subsetting, do
+packed bins respect the token budget, does a planted copy of a
+benchmark document actually get flagged.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ad_data_lake_spark.llm import curation as CU
+from ad_data_lake_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, "documents", SF_ORACLE)
+
+
+def test_split_ratios_and_stability(documents):
+    n = documents.count()
+    counts = {
+        r.split: r.n
+        for r in CU.split_assign(documents).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) <= {"train", "val", "test"}
+    # 90/5/5 by hash: allow binomial wobble on the small fixture
+    assert counts["train"] / n == pytest.approx(0.90, abs=0.06)
+    # content stability: a document's split must not depend on which
+    # other documents are present (rules out row_number-style schemes)
+    half = documents.where(F.col("doc_id") % 2 == 0)
+    full_map = dict(
+        CU.split_assign(documents).select("doc_id", "split").collect()
+    )
+    for doc_id, split in CU.split_assign(half).select("doc_id", "split").collect():
+        assert full_map[doc_id] == split
+
+
+def test_pack_sequences_invariants(documents):
+    rows = CU.pack_sequences(documents).collect()
+    budget = CU.PACK_BUDGET
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r.bin_offset == r.tok_start % budget
+        assert r.bin_id == r.tok_start // budget
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == CU.PACK_SHARDS
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        # bins are consecutive and non-decreasing in doc order, and the
+        # running offset is exactly the cumulative token count
+        cum = 0
+        for r in shard_rows:
+            assert r.tok_start == cum
+            cum += r.n_tokens
+
+
+def test_contamination_flags_planted_benchmark_copy(documents):
+    bench = documents.where(F.col("doc_id") % CU.BENCHMARK_MOD == 0)
+    clean = documents.where(F.col("doc_id") % CU.BENCHMARK_MOD != 0)
+    planted = bench.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    scored = CU.contamination_check(
+        clean.unionByName(planted), benchmark=bench
+    )
+    flagged = {r.doc_id: r.contamination for r in scored.collect()}
+    n_bench = bench.count()
+    assert n_bench > 0
+    # every verbatim copy of a benchmark doc is fully contaminated
+    for r in bench.select("doc_id").collect():
+        assert flagged[r.doc_id + 10_000_000] == 1.0
+    # the untouched corpus is mostly clean (shared boilerplate 3-grams
+    # allowed, wholesale overlap not)
+    clean_scores = [
+        v for k, v in flagged.items() if k < 10_000_000
+    ]
+    assert sum(s < 0.5 for s in clean_scores) / len(clean_scores) > 0.95
