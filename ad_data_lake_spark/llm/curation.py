@@ -155,3 +155,35 @@ def contamination_check(
             ).alias("contamination"),
         )
     )
+
+
+def curation_pipeline(documents: DataFrame) -> DataFrame:
+    """End-to-end corpus curation — the LLM-layer analogue of
+    pipeline.daily_extract_pipeline: quality-filter (keep band), exact
+    dedup (keep the min doc_id per content hash), split assignment,
+    per-split doc/token summary. One composed lazy plan: Catalyst sees
+    the whole lineage, so the quality projection fuses with the scan,
+    the dedup is one hash shuffle, and the summary is one small
+    aggregate — running the pipeline costs the same as its most
+    expensive stage, not the sum of four materialized steps."""
+    from ad_data_lake_spark.llm.dedup import content_hash
+    from ad_data_lake_spark.llm.text import quality_score
+
+    q = quality_score(documents).where(F.col("keep")).select("doc_id", "n_tokens")
+    kept = documents.select("doc_id", "text").join(q, "doc_id")
+    keep_ids = (
+        kept.select(content_hash(F.col("text")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    final = kept.join(keep_ids.select("doc_id"), "doc_id", "semi")
+    s = split_assign(final.select("doc_id", "text")).select("doc_id", "split")
+    return (
+        final.join(s, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )

@@ -583,3 +583,24 @@ _add(
     """,
     ("llm", "curation", "contamination"),
 )
+
+_add(
+    "curation_pipeline",
+    _doc_q(CU.curation_pipeline),
+    f"""
+    WITH q AS (
+        SELECT doc_id, text, len(w) AS n_tokens
+        FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents)
+        WHERE round(0.4 * (CASE WHEN len(w) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)
+              + 0.3 * (CASE WHEN len(list_filter(w, x -> x IN ({_sql_in(T.STOPWORDS_EN)}))) / len(w) >= 0.01 THEN 1.0 ELSE 0.0 END)
+              + 0.3 * (CASE WHEN length(replace(text, ' ', '')) / len(w) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END),
+              4) >= 0.7),
+    keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY sha256(text)),
+    final AS (SELECT q.* FROM q WHERE doc_id IN (SELECT doc_id FROM keep))
+    SELECT {_SPLIT_CASE} AS split, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, n_tokens, {_PCT} AS pct FROM final)
+    GROUP BY 1 ORDER BY 1
+    """,
+    ("llm", "curation", "pipeline", "aggregate"),
+)

@@ -145,3 +145,21 @@ def test_native_sessionize_is_single_aggregate(spark):
     assert p.count("Exchange") == 1
     assert "partial_min" in p, "session merge must start map-side"
     assert "Window" not in p, "the native form must not fall back to window passes"
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set is the eval-suite-sized side (MBs vs
+    TBs at scale): it must broadcast into a semi join — the corpus's
+    exploded shingles must never shuffle to meet it."""
+    p = plan_of(spark, "contamination_check")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_pack_sequences_single_shard_window(spark):
+    """Packing is one window cumsum partitioned by shard — exactly one
+    exchange (hashpartitioning on shard), no global sort."""
+    p = plan_of(spark, "pack_sequences")
+    assert p.count("Exchange hashpartitioning(shard") == 1
+    assert "Exchange rangepartitioning" not in p, "no global sort in packing"
+    assert "Window" in p
