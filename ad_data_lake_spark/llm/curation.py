@@ -137,13 +137,17 @@ def contamination_check(
     bench_hashes = (
         _exploded_shingle_hashes(benchmark).select("h60").distinct()
     )
-    doc_hashes = (
-        _exploded_shingle_hashes(corpus).select("doc_id", "h60").distinct()
-    )
+    # occurrence rows, deduped inside the aggregates: count_distinct
+    # starts its distinct set map-side, so each path pays ONE doc_id
+    # shuffle instead of a (doc_id, h60) distinct shuffle plus a
+    # second count shuffle on the same rows
+    doc_hashes = _exploded_shingle_hashes(corpus).select("doc_id", "h60")
     flagged = doc_hashes.join(
         F.broadcast(bench_hashes), "h60", "left_semi"
-    ).groupBy("doc_id").agg(F.count("*").alias("n_shared"))
-    totals = doc_hashes.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    ).groupBy("doc_id").agg(F.count_distinct("h60").alias("n_shared"))
+    totals = doc_hashes.groupBy("doc_id").agg(
+        F.count_distinct("h60").alias("n_shingles")
+    )
     return (
         totals.join(flagged, "doc_id", "left")
         .select(
