@@ -46,6 +46,11 @@ def ann_recalls(embeddings: DataFrame, k: int = 5, query_mod: int = QUERY_MOD) -
     for h in (0, 1, 2):
         lsh = sim.topk_lsh(embeddings, query_mod=query_mod, k=k, probe_hamming=h)
         out[f"lsh_h{h}"] = recall_at_k(lsh, exact)
+    for t, h in ((4, 0), (4, 1)):
+        lsh = sim.topk_lsh(
+            embeddings, query_mod=query_mod, k=k, probe_hamming=h, n_tables=t
+        )
+        out[f"lsh_t{t}_h{h}"] = recall_at_k(lsh, exact)
     return out
 
 

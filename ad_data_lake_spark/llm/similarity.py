@@ -73,14 +73,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+def hyperplanes(
+    n_planes: int = N_PLANES, dim: int = DIM, table: int = 0
+) -> list[list[float]]:
     """Deterministic ±1 hyperplanes derived from md5(j:d) parity — a
-    fixed pseudo-random basis both engines can restate as literals."""
+    fixed pseudo-random basis both engines can restate as literals.
+    ``table`` offsets the seed so multi-table LSH gets independent
+    plane sets; table 0 is the original (oracle-checked) basis."""
     planes = []
     for j in range(n_planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"{j}:{d}".encode()).hexdigest()
+            h = hashlib.md5(f"{table * n_planes + j}:{d}".encode()).hexdigest()
             row.append(float((int(h[:2], 16) % 2) * 2 - 1))
         planes.append(row)
     return planes
@@ -425,11 +429,85 @@ def _probe_masks(n_planes: int, hamming: int) -> list[int]:
     return masks
 
 
+def lsh_buckets_udf(n_tables: int, n_planes: int = N_PLANES, dim: int = DIM):
+    """Arrow-vectorized multi-table bucket assignment: ONE matmul
+    against all tables' planes per batch, split into per-table bucket
+    ids — each vector crosses Arrow once regardless of table count."""
+    from pyspark.sql.types import ArrayType
+
+    stacked = np.array(
+        [p for t in range(n_tables) for p in hyperplanes(n_planes, dim, table=t)],
+        dtype=np.float64,
+    ).T  # dim × (n_tables · n_planes)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy())
+        bits = (np.round(V @ stacked, 6) >= 0).astype(np.int64)
+        per_table = bits.reshape(len(V), n_tables, n_planes) @ weights
+        return pd.Series(list(per_table.astype("int32")))
+
+    return buckets
+
+
+def _topk_lsh_multitable(
+    embeddings: DataFrame, query_mod: int, k: int, probe_hamming: int, n_tables: int
+) -> DataFrame:
+    """Multi-table path: candidates are the UNION over L independent
+    plane sets of same-bucket (query, vector) pairs — the classic LSH
+    recall lever (each extra table is an independent chance to catch a
+    neighbor that one table's cuts separated). Ids-only until after
+    dedup: the bucket join moves (id, table, bucket) rows, the distinct
+    collapses multi-table collisions, and only then do the (few)
+    candidates pick their vectors back up via broadcast joins — the
+    vector table is never shuffled and never duplicated ×L."""
+    buckets_of = lsh_buckets_udf(n_tables)
+    cv = as_double(F.col("embedding"))
+    base = embeddings.select("vec_id", cv.alias("cv"))
+    cb = base.select(
+        "vec_id", F.posexplode(buckets_of(F.col("cv"))).alias("table", "bucket")
+    )
+    masks = _probe_masks(N_PLANES, probe_hamming)
+    qbase = base.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("cv").alias("qv")
+    )
+    qb = (
+        qbase.select(
+            "query_id", F.posexplode(buckets_of(F.col("qv"))).alias("table", "own")
+        )
+        .select(
+            "query_id",
+            "table",
+            F.explode(
+                F.array(*[F.col("own").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bucket"),
+        )
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    pairs = (
+        base.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qbase), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine6_pd(F.col("qv"), F.col("cv")).alias("cosine_sim"),
+        )
+    )
+    return _ranked(pairs, k).select("query_id", "vec_id", "cosine_sim", "rank")
+
+
 def topk_lsh(
     embeddings: DataFrame,
     query_mod: int = 97,
     k: int = 5,
     probe_hamming: int = 0,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Hyperplane-LSH ANN top-k: bucket every vector by projection
     signs, probe the query's bucket plus (``probe_hamming`` > 0) every
@@ -437,11 +515,17 @@ def topk_lsh(
     recall knob: a near neighbor that lands across one hyperplane is
     reached by flipping that bit, so probing H(≤1) buckets buys most of
     the lost recall for 9× (not 256×) the candidate volume at 8 planes.
-    Measured on the sf fixtures by llm/evaluation.py (see REPORT.md).
+    ``n_tables`` > 1 adds the other classic lever — L independent plane
+    sets whose candidates union (``_topk_lsh_multitable``; note the
+    output drops the single-table ``bucket`` column since a pair may
+    collide in any table). Both knobs measured by llm/evaluation.py
+    (REPORT.md); the single-table path is the DuckDB-oracled one.
 
     The join key is the (uniformly distributed) bucket id; multi-probe
     only fans out the tiny broadcast query side — the vector table is
     still bucketed once and never duplicated."""
+    if n_tables > 1:
+        return _topk_lsh_multitable(embeddings, query_mod, k, probe_hamming, n_tables)
     planes = hyperplanes()
     bucket_of = lsh_bucket_udf(planes)
     cv = as_double(F.col("embedding"))

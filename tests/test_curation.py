@@ -76,3 +76,26 @@ def test_contamination_flags_planted_benchmark_copy(documents):
         v for k, v in flagged.items() if k < 10_000_000
     ]
     assert sum(s < 0.5 for s in clean_scores) / len(clean_scores) > 0.95
+
+
+def test_curation_ops_on_degenerate_inputs(spark, documents):
+    """Empty and sub-shingle-width inputs must flow through every
+    curation operator without crashing and with the documented
+    semantics: empty in → empty out; a doc too short to shingle is
+    absent from contamination output (it has no shingle set to score)."""
+    empty = documents.where(F.lit(False))
+    assert CU.split_assign(empty).count() == 0
+    assert CU.split_summary(empty).count() == 0
+    assert CU.pack_sequences(empty).count() == 0
+    assert CU.contamination_check(empty, benchmark=documents.limit(5)).count() == 0
+    assert CU.curation_pipeline(empty).count() == 0
+
+    short = spark.createDataFrame(
+        [(1, "too short", "en", "web"), (2, "word", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    # packing still assigns (token counts 2 and 1); contamination has
+    # no shingles to score, so both docs are absent rather than NaN
+    packed = {r.doc_id: r.n_tokens for r in CU.pack_sequences(short).collect()}
+    assert packed == {1: 2, 2: 1}
+    assert CU.contamination_check(short, benchmark=documents.limit(5)).count() == 0
