@@ -125,6 +125,89 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return with_kind.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_MAX_DIM = 384
+RESIZE_SCHEMA = (
+    "doc_id bigint, kind string, src_w bigint, src_h bigint, "
+    "out_w bigint, out_h bigint, resized_md5 string"
+)
+
+
+def fake_dims(payload_md5: str) -> tuple[int, int]:
+    """Deterministic stand-in for decoded image dimensions (the decode
+    stub can't read real headers): md5-derived (w, h) in sensor-like
+    ranges, reproducible by the DuckDB oracle."""
+    return (
+        256 + int(payload_md5[0:4], 16) % 1664,
+        144 + int(payload_md5[4:8], 16) % 936,
+    )
+
+
+def resize_dims(w: int, h: int, max_dim: int = RESIZE_MAX_DIM) -> tuple[int, int]:
+    """Aspect-preserving downscale plan in PURE INTEGER arithmetic
+    (floor division) so both engines agree to the pixel; never
+    upscales."""
+    g = max(w, h)
+    if g <= max_dim:
+        return w, h
+    return (w * max_dim) // g, (h * max_dim) // g
+
+
+def resize_assets(assets: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
+    """Resize plumbing over binary payloads via mapInPandas: per Arrow
+    batch, derive source dims (stubbed — ``fake_dims``; a real decoder
+    reads the header bytes), compute the aspect-preserving target dims,
+    and emit a deterministic stand-in for the resized payload (md5 of
+    payload-hash + out dims — the real path would re-encode pixels).
+    Same scale shape as ``extract_features``: embarrassingly parallel,
+    no shuffle, metadata math identical JVM- or Python-side because it
+    is integer-only."""
+    with_kind = assets.select(
+        "doc_id",
+        "payload",
+        infer_asset_kind(F.col("meta.mime"), F.col("meta.filename")).alias("kind"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, kind in zip(
+                pdf["doc_id"], pdf["payload"], pdf["kind"]
+            ):
+                h = hashlib.md5(bytes(payload)).hexdigest()
+                src_w, src_h = fake_dims(h)
+                out_w, out_h = resize_dims(src_w, src_h, max_dim)
+                rows.append(
+                    (
+                        doc_id,
+                        kind,
+                        src_w,
+                        src_h,
+                        out_w,
+                        out_h,
+                        hashlib.md5(f"{h}:{out_w}x{out_h}".encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "kind",
+                    "src_w",
+                    "src_h",
+                    "out_w",
+                    "out_h",
+                    "resized_md5",
+                ],
+            )
+
+    return with_kind.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def multimodal_resize(documents: DataFrame) -> DataFrame:
+    """The registered resize query: documents → asset table → resize."""
+    return resize_assets(to_asset_table(documents))
+
+
 def sample_frame_indices(n_frames: Column, k: int = 3) -> Column:
     """Video frame-sampling plan: k evenly spaced frame indices out of
     ``n_frames`` — metadata-only, stays JVM-side; the (stubbed) decoder

@@ -604,3 +604,32 @@ _add(
     """,
     ("llm", "curation", "pipeline", "aggregate"),
 )
+
+_add(
+    "multimodal_resize",
+    _doc_q(MM.multimodal_resize),
+    f"""
+    WITH a AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 2 THEN 'video' ELSE 'image' END AS kind,
+               md5(text) AS h
+        FROM documents),
+    d AS (
+        SELECT doc_id, kind, h,
+               256 + ('0x' || substr(h, 1, 4))::BIGINT % 1664 AS src_w,
+               144 + ('0x' || substr(h, 5, 4))::BIGINT % 936 AS src_h
+        FROM a),
+    r AS (
+        SELECT doc_id, kind, src_w, src_h, h,
+               CASE WHEN greatest(src_w, src_h) <= {MM.RESIZE_MAX_DIM} THEN src_w
+                    ELSE (src_w * {MM.RESIZE_MAX_DIM}) // greatest(src_w, src_h) END AS out_w,
+               CASE WHEN greatest(src_w, src_h) <= {MM.RESIZE_MAX_DIM} THEN src_h
+                    ELSE (src_h * {MM.RESIZE_MAX_DIM}) // greatest(src_w, src_h) END AS out_h
+        FROM d)
+    SELECT doc_id, kind, src_w, src_h, out_w, out_h,
+           md5(h || ':' || CAST(out_w AS VARCHAR) || 'x' || CAST(out_h AS VARCHAR))
+               AS resized_md5
+    FROM r
+    """,
+    ("llm", "multimodal", "resize"),
+)

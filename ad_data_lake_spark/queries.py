@@ -1332,6 +1332,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "repetition_stats",
     "pii_redact",
     "multimodal_features",
+    "multimodal_resize",
     # temporal / sessions / pivots (round 2; absent from CORRECTNESS_r02)
     "asof_attribution",
     "flight_window_rollup",
