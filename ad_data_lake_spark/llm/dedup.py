@@ -373,3 +373,55 @@ def simhash_groups(corpus: DataFrame) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
         .where(F.col("n_docs") > 1)
     )
+
+
+INDEX_BATCH_MOD = 10
+
+
+def minhash_index_probe(index: DataFrame, new_bands: DataFrame) -> DataFrame:
+    """Candidate pairs between a NEW document batch and the persisted
+    band index: the batch's bands join the index on (band_id,
+    band_key) — old documents are never re-shingled, never re-hashed.
+    This is the maintenance shape that makes LSH dedup viable at
+    100 TB: per-batch cost is O(batch) signature compute + one join
+    against the (bucketed) index, not O(corpus)."""
+    n = new_bands.alias("n")
+    i = index.alias("i")
+    return (
+        n.join(i, ["band_id", "band_key"])
+        .where(F.col("n.doc_id") != F.col("i.doc_id"))
+        .select(
+            F.col("i.doc_id").alias("doc_a"), F.col("n.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_index_incremental(spark, sf_dir: str) -> DataFrame:
+    """Incremental LSH index maintenance, exercised end-to-end: build
+    the persisted band index from the base corpus (doc_id %
+    INDEX_BATCH_MOD != 0), then APPEND the remaining batch's bands —
+    computing signatures only for the batch. Returns the final index
+    state; the DuckDB oracle recomputes the same table from scratch
+    over ALL documents, so a hash match proves incremental append ≡
+    full rebuild (the invariant that lets a production pipeline index
+    each day's documents without touching history).
+
+    At scale the index is written bucketed by band_key (layout.py Y1)
+    so the probe join is co-located; the scratch layout here is plain
+    parquet for the fixture."""
+    import os
+    import shutil
+
+    from ad_data_lake_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/ad_data_lake_spark_lake", f"minhash-index-{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    base = docs.where(F.col("doc_id") % INDEX_BATCH_MOD != 0)
+    batch = docs.where(F.col("doc_id") % INDEX_BATCH_MOD == 0)
+    minhash_bands(base).write.parquet(path)
+    minhash_bands(batch).write.mode("append").parquet(path)
+    return spark.read.parquet(path)

@@ -633,3 +633,18 @@ _add(
     """,
     ("llm", "multimodal", "resize"),
 )
+
+_add(
+    "minhash_index_incremental",
+    D.minhash_index_incremental,
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_WORDS} AS w FROM documents WHERE len({_WORDS}) >= 3)),
+    hashed AS (SELECT doc_id, {_BASE_HASHES} AS hs FROM sh),
+    sig AS (SELECT doc_id, [{_SIG_EXPRS}] AS sig FROM hashed)
+    SELECT doc_id, CAST(b AS INTEGER) AS band_id, {_BAND_KEY} AS band_key
+    FROM sig, unnest(range(0, {D.N_BANDS})) AS t(b)
+    """,
+    ("llm", "dedup", "lsh", "write", "incremental"),
+)

@@ -175,3 +175,21 @@ def test_pii_redaction_scrubs_planted_pii(documents):
         F.col("redacted_sha") == F.sha2(F.col("text"), 256)
     )
     assert joined.count() == 0
+
+
+def test_minhash_index_probe_finds_old_duplicates(spark, documents):
+    """Index maintenance semantics: a NEW batch containing verbatim
+    copies of already-indexed documents must surface every copy pair by
+    probing the persisted band index — without re-shingling any old
+    document."""
+    base = documents.where(F.col("doc_id") % D.INDEX_BATCH_MOD != 0)
+    index = D.minhash_bands(base)
+    seeds = base.where(F.col("doc_id") % 50 == 1)
+    new_batch = seeds.withColumn("doc_id", F.col("doc_id") + 5_000_000)
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_index_probe(index, D.minhash_bands(new_batch)).collect()
+    }
+    expected = {(r.doc_id, r.doc_id + 5_000_000) for r in seeds.select("doc_id").collect()}
+    assert expected, "fixture must contain seed docs"
+    assert expected <= cands, "every copied doc must collide with its source"
