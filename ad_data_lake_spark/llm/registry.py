@@ -648,3 +648,55 @@ _add(
     """,
     ("llm", "dedup", "lsh", "write", "incremental"),
 )
+
+
+def _ivf_index_sql(
+    n_cells: int = SIM.IVF_CELLS,
+    iters: int = SIM.IVF_ITERS,
+    batch_mod: int = SIM.IVF_INDEX_BATCH_MOD,
+) -> str:
+    """Full-rebuild oracle for the incremental IVF index: train the
+    quantizer on the SAME base subset the Spark side trains on
+    (vec_id % batch_mod != 0), then assign ALL vectors — a hash match
+    proves append-with-frozen-centroids ≡ full assignment."""
+    dim = SIM.DIM
+    ctes = [
+        "u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u"
+        " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))",
+        f"ut AS (SELECT * FROM u WHERE vec_id % {batch_mod} <> 0)",
+        f"c0 AS (SELECT vec_id AS cell, list_transform(u, x -> round(x, 6)) AS c"
+        f" FROM ut WHERE vec_id < {n_cells})",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, cell, u FROM ("
+            f"SELECT ut.vec_id, cc.cell, ut.u, row_number() OVER (PARTITION BY ut.vec_id"
+            f" ORDER BY round(list_dot_product(ut.u, cc.c), 6) DESC, cc.cell) AS rn"
+            f" FROM ut, {prev} cc) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT cell, i, avg(u[i]) AS m"
+            f" FROM a{i}, range(1, {dim + 1}) t(i) GROUP BY cell, i)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT cell, list_transform(mv,"
+            f" x -> round(x / sqrt(list_dot_product(mv, mv)), 6)) AS c"
+            f" FROM (SELECT cell, list(m ORDER BY i) AS mv FROM m{i} GROUP BY cell))"
+        )
+        prev = f"c{i}"
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT vec_id, cell FROM (
+        SELECT u.vec_id, cc.cell, row_number() OVER (PARTITION BY u.vec_id
+               ORDER BY round(list_dot_product(u.u, cc.c), 6) DESC, cc.cell) AS rn
+        FROM u, {prev} cc) WHERE rn = 1
+    """
+
+
+_add(
+    "ivf_index_incremental",
+    SIM.ivf_index_incremental,
+    _ivf_index_sql(),
+    ("llm", "similarity", "ann", "ivf", "write", "incremental"),
+)

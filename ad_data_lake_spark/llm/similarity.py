@@ -5,10 +5,11 @@ Operators:
 - brute-force cosine top-k — the exactness baseline: broadcast the
   (small) query set against every vector; correct at any scale but
   O(n·q), so it's the yardstick, not the production path;
-- IVF-style bucketed top-k — restrict the probe to the query's
-  coarse cell (here the ``label`` column plays the cluster-assignment
-  role); the candidate set shrinks by the number of cells, and on a
-  partitioned lake the cell predicate prunes partitions;
+- IVF top-k — spherical-k-means coarse quantizer (trained in-plan,
+  6-dp-rounded so the oracle reproduces it); the probe scores only the
+  query's ``nprobe`` nearest cells, and on a cell-partitioned lake the
+  cell predicate prunes partitions; ``ivf_assign`` is the incremental
+  index-maintenance primitive (new vectors vs frozen centroids);
 - hyperplane-LSH bucketed top-k — sign-of-projection bits onto fixed
   ±1 hyperplanes form the bucket key; probing joins on the bucket;
 - cosine near-dup pairs — within-bucket pairs above a threshold
@@ -555,3 +556,48 @@ def topk_lsh(
         )
     )
     return _ranked(pairs, k).select("query_id", "bucket", "vec_id", "cosine_sim", "rank")
+
+
+def ivf_assign(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell) assignment against an EXISTING packed centroid
+    row — the index-maintenance primitive: new vectors join the index
+    by scoring the broadcast centroids (zero shuffle), the quantizer is
+    not retrained. Production practice retrains periodically when cell
+    balance drifts; between retrains this is the whole per-batch cost."""
+    u = unit_vectors(embeddings)
+    best = F.array_max(_cell_scores(F.col("u")))
+    return u.crossJoin(F.broadcast(cents)).select(
+        "vec_id", (-best["nc"]).alias("cell")
+    )
+
+
+IVF_INDEX_BATCH_MOD = 10
+
+
+def ivf_index_incremental(spark, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance, end-to-end: train the coarse
+    quantizer on the base vectors (vec_id % IVF_INDEX_BATCH_MOD != 0),
+    persist their cell assignments, then APPEND the new batch's
+    assignments against the SAME frozen centroids. Returns the final
+    index state; the DuckDB oracle trains on the identical base subset
+    and assigns all vectors from scratch, so a hash match proves
+    append-with-frozen-centroids ≡ full assignment — the invariant
+    that lets a production pipeline index each day's embeddings
+    without touching history (and the measurable contract a periodic
+    retrain must re-establish)."""
+    import os
+    import shutil
+
+    from ad_data_lake_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/ad_data_lake_spark_lake", f"ivf-index-{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    base = emb.where(F.col("vec_id") % IVF_INDEX_BATCH_MOD != 0)
+    batch = emb.where(F.col("vec_id") % IVF_INDEX_BATCH_MOD == 0)
+    cents = ivf_centroids(base)
+    ivf_assign(base, cents).write.parquet(path)
+    ivf_assign(batch, cents).write.mode("append").parquet(path)
+    return spark.read.parquet(path)
