@@ -191,3 +191,37 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# keep-rate (percent) by source tier (tier = source index // 5): the
+# domain-mixture weights a pretraining recipe assigns — oversample the
+# high-quality tier, heavily downsample the bulk tail
+MIXTURE_RATES: tuple[int, ...] = (100, 50, 20, 5)
+
+
+def mixture_sample(documents: DataFrame) -> DataFrame:
+    """Weighted domain-mixture sampling: each source tier keeps a
+    deterministic hash fraction of its documents (doc-stable — the
+    same md5 pct bucket as ``split_assign``, so a doc's inclusion
+    never depends on which other docs are present). Returns the
+    per-source audit sheet (rate, total, kept); the row-level keep
+    predicate is the same ``pct < rate`` projection.
+
+    Scale: a pure projection + one small aggregate — the mixture is
+    applied at scan time (predicate on a computed column), never by
+    materializing intermediate samples."""
+    idx = F.substring(F.col("source"), 4, 10).cast("int")
+    tier = F.least(F.floor(idx / 5).cast("int"), F.lit(len(MIXTURE_RATES) - 1))
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in MIXTURE_RATES]), tier + F.lit(1)
+    )
+    pct = _id_hash_pct(F.col("doc_id"))
+    return (
+        documents.select("source", rate.alias("rate"), pct.alias("pct"))
+        .groupBy("source", "rate")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("pct") < F.col("rate")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -700,3 +700,23 @@ _add(
     _ivf_index_sql(),
     ("llm", "similarity", "ann", "ivf", "write", "incremental"),
 )
+
+_MIX_RATE = (
+    "CASE least(CAST(floor(CAST(substr(source, 4) AS INT) / 5) AS INT), 3) "
+    + " ".join(
+        f"WHEN {i} THEN {r}" for i, r in enumerate(CU.MIXTURE_RATES)
+    )
+    + " END"
+)
+
+_add(
+    "mixture_sample",
+    _doc_q(CU.mixture_sample),
+    f"""
+    SELECT source, rate, count(*) AS n_docs,
+           count(*) FILTER (WHERE pct < rate) AS n_kept
+    FROM (SELECT source, {_MIX_RATE} AS rate, {_PCT} AS pct FROM documents)
+    GROUP BY source, rate ORDER BY source
+    """,
+    ("llm", "curation", "sampling", "aggregate"),
+)

@@ -1310,6 +1310,7 @@ for _name, (_fn, _oracle, _tags) in LLM_TEXT_QUERIES.items():
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # dataset-curation layer (round 4; newest, never driver-checked)
     "curation_pipeline",
+    "mixture_sample",
     "minhash_index_incremental",
     "ivf_index_incremental",
     "dataset_split",

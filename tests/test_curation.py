@@ -99,3 +99,22 @@ def test_curation_ops_on_degenerate_inputs(spark, documents):
     packed = {r.doc_id: r.n_tokens for r in CU.pack_sequences(short).collect()}
     assert packed == {1: 2, 2: 1}
     assert CU.contamination_check(short, benchmark=documents.limit(5)).count() == 0
+
+
+def test_mixture_sample_tracks_rates(documents):
+    """Each source tier's kept fraction must track its configured rate
+    (binomial wobble allowed at 25-docs-per-source fixture scale), and
+    the keep decision must be doc-stable (hash pct, not row order)."""
+    rows = CU.mixture_sample(documents).collect()
+    assert {r.rate for r in rows} <= set(CU.MIXTURE_RATES)
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+        if r.rate == 100:
+            assert r.n_kept == r.n_docs
+    by_rate: dict[int, list] = {}
+    for r in rows:
+        by_rate.setdefault(r.rate, []).append(r)
+    for rate, rs in by_rate.items():
+        kept = sum(r.n_kept for r in rs)
+        total = sum(r.n_docs for r in rs)
+        assert abs(kept / total - rate / 100) < 0.25
