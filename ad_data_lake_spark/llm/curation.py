@@ -225,3 +225,44 @@ def mixture_sample(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document's token
+    stream into ``chunk_tokens``-sized windows stepping by
+    ``chunk_tokens - overlap`` — the RAG/pretraining windowing op.
+    Chunk count uses pure integer arithmetic (ceil-div via
+    ``(n - overlap + step - 1) div step``, floored at 1) so both
+    engines cut identical windows; the final chunk may be short.
+
+    Pure per-row array work (sequence + posexplode + slice): no
+    shuffle, no Python — output row count is Σ chunks, each row
+    carrying only its own window's text."""
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    w = words(F.col("text"))
+    base = documents.select("doc_id", w.alias("w"), F.size(w).alias("n")).withColumn(
+        "nc",
+        F.greatest(F.expr(f"(n - {overlap} + {step - 1}) div {step}"), F.lit(1)),
+    )
+    exploded = base.select(
+        "doc_id",
+        "w",
+        F.posexplode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id", "_c"),
+    )
+    chunk = F.slice(F.col("w"), F.col("chunk_id") * step + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

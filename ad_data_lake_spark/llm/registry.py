@@ -720,3 +720,25 @@ _add(
     """,
     ("llm", "curation", "sampling", "aggregate"),
 )
+
+_add(
+    "chunk_documents",
+    _doc_q(CU.chunk_documents),
+    f"""
+    WITH b AS (
+        SELECT doc_id, w, len(w) AS n,
+               greatest((len(w) - {CU.CHUNK_OVERLAP}
+                         + {CU.CHUNK_TOKENS - CU.CHUNK_OVERLAP - 1})
+                        // {CU.CHUNK_TOKENS - CU.CHUNK_OVERLAP}, 1) AS nc
+        FROM (SELECT doc_id, {_WORDS} AS w FROM documents)),
+    e AS (
+        SELECT doc_id, w, CAST(c AS INTEGER) AS chunk_id,
+               w[c * {CU.CHUNK_TOKENS - CU.CHUNK_OVERLAP} + 1 :
+                 c * {CU.CHUNK_TOKENS - CU.CHUNK_OVERLAP} + {CU.CHUNK_TOKENS}] AS chunk
+        FROM b, unnest(range(0, nc)) AS t(c))
+    SELECT doc_id, chunk_id, len(chunk) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM e
+    """,
+    ("llm", "curation", "chunking"),
+)

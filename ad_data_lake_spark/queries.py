@@ -1311,6 +1311,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # dataset-curation layer (round 4; newest, never driver-checked)
     "curation_pipeline",
     "mixture_sample",
+    "chunk_documents",
     "minhash_index_incremental",
     "ivf_index_incremental",
     "dataset_split",

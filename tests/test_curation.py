@@ -118,3 +118,34 @@ def test_mixture_sample_tracks_rates(documents):
         kept = sum(r.n_kept for r in rs)
         total = sum(r.n_docs for r in rs)
         assert abs(kept / total - rate / 100) < 0.25
+
+
+def test_chunk_documents_window_properties(spark, documents):
+    """Sliding-window chunking invariants: stepping by (chunk - overlap)
+    from token 0; every chunk ≤ chunk_tokens; consecutive full chunks
+    share exactly `overlap` tokens; the union of de-overlapped chunks
+    reproduces the document's token stream."""
+    from ad_data_lake_spark.llm.text import words
+
+    step = CU.CHUNK_TOKENS - CU.CHUNK_OVERLAP
+    chunks = CU.chunk_documents(documents).collect()
+    toks = {
+        r.doc_id: r.t
+        for r in documents.select("doc_id", words(F.col("text")).alias("t")).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        assert 1 <= r.n_tokens <= CU.CHUNK_TOKENS
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(toks)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_id)
+        full = toks[doc_id]
+        for r in rs:
+            start = r.chunk_id * step
+            assert r.chunk_text.split(" ") == full[start : start + CU.CHUNK_TOKENS]
+        # de-overlapped reconstruction covers every token exactly
+        rebuilt = rs[0].chunk_text.split(" ")
+        for r in rs[1:]:
+            rebuilt += r.chunk_text.split(" ")[CU.CHUNK_OVERLAP :]
+        assert rebuilt == full
