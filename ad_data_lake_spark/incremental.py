@@ -6,22 +6,39 @@ with ``updated_time`` above a cutoff (reference
 src/main_extractor.py:42-51,358) and re-writes whole dated folders per
 backfill day (reference src/main_extractor.py:438-508) — re-running a
 day must be idempotent. On Delta these are ``MERGE INTO`` and
-``replaceWhere``; this container has no Delta jars, so:
+``replaceWhere``; this container has no Delta jars, so the same
+contracts are carried by an explicit bucketed + versioned layout:
 
-- ``merge_upsert`` = read current ∪ updates → last-wins window dedupe
-  → write to a staging dir → atomic directory swap. Same semantics as
-  ``MERGE INTO t USING u ON t.id = u.id WHEN MATCHED UPDATE WHEN NOT
-  MATCHED INSERT``, with a deterministic recency rule instead of
-  arrival order (SURVEY §7 risk register: Spark needs an explicit
-  tiebreak where the reference relied on dict overwrite order).
+- ``merge_upsert`` = **bucket-scoped MERGE**. The table lives as
+  hash-bucket directories (``_mb=N``, N = pmod(xxhash64(key))) under a
+  version directory, with a ``_CURRENT`` pointer file naming the live
+  version. A merge reads ONLY the buckets that contain update keys
+  (partition pruning on ``_mb``), last-wins-dedupes current ∪ updates
+  within those buckets, writes them to a NEW version directory,
+  hardlinks every untouched bucket across (O(1) per file — no data
+  copied, bytes shared with the previous version), and atomically
+  repoints ``_CURRENT`` (``os.replace``). Semantics = ``MERGE INTO t
+  USING u ON t.id = u.id WHEN MATCHED UPDATE WHEN NOT MATCHED
+  INSERT`` with a deterministic recency rule (SURVEY §7 risk register:
+  Spark needs an explicit tiebreak where the reference relied on dict
+  overwrite order). Cost is O(affected buckets), not O(table) — the
+  Delta/Iceberg cost model — and readers resolve the pointer, so they
+  see strictly old-version-or-new-version, never a partial or missing
+  table. The previous version is retained for in-flight readers and
+  GC'd on the NEXT merge (the standard snapshot-retention trade-off;
+  a real lake tunes the retention window, here it is one version).
+- ``read_merged`` = the pointer-resolving reader (falls back to a
+  plain parquet read for unbucketed directories).
 - ``backfill_partitions`` = dynamic partition overwrite — only the
   partitions present in the incoming frame are replaced, everything
   else untouched: exactly ``replaceWhere`` for the written keys.
 
 Scale notes: the MERGE shuffle is one hash partition by key (the
-window dedupe), and at 100 TB you'd bucket the target by the merge key
-so the window never re-shuffles; backfill writes touch only the
-affected date directories.
+window dedupe) over the AFFECTED buckets only; ``n_buckets`` should
+scale with table size (buckets ≈ table_bytes / target_rewrite_bytes)
+so a daily merge touching k keys rewrites ~k/n_buckets of the table.
+A legacy unbucketed target (plain parquet dir, no ``_CURRENT``) takes
+the old full-rewrite + directory-swap path, kept as a fallback.
 """
 
 from __future__ import annotations
@@ -31,8 +48,69 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ad_data_lake_spark.operators.windows import last_wins_dedupe
+
+N_MERGE_BUCKETS = 8
+_BUCKET = "_mb"
+_PTR = "_CURRENT"
+
+
+def _bucket_expr(key: str, n_buckets: int):
+    """Deterministic bucket id for a merge key. Cast-to-string first so
+    the bucket of a key never depends on its physical type; xxhash64 is
+    stable across sessions/versions (recomputes agree at any time)."""
+    return F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def _current_version(target_path: str) -> str | None:
+    try:
+        with open(os.path.join(target_path, _PTR)) as f:
+            return f.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
+def read_merged(spark: SparkSession, target_path: str) -> DataFrame:
+    """Resolve the ``_CURRENT`` pointer and read the live version.
+    Readers never observe a mid-merge state: the pointer flips
+    atomically (``os.replace``) from one complete version directory to
+    another. Unbucketed legacy directories read as plain parquet."""
+    version = _current_version(target_path)
+    if version is None:
+        return spark.read.parquet(target_path)
+    return spark.read.parquet(os.path.join(target_path, version)).drop(_BUCKET)
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hardlink a bucket directory into the new version (fall back to
+    copy on filesystems without link support). Linked files share
+    bytes with — and are trivially byte-identical to — the previous
+    version's files."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        tgt = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(tgt, exist_ok=True)
+        for f in files:
+            try:
+                os.link(os.path.join(root, f), os.path.join(tgt, f))
+            except OSError:
+                shutil.copy2(os.path.join(root, f), os.path.join(tgt, f))
+
+
+def _publish(target_path: str, new_version: str, prev_version: str | None) -> None:
+    """Atomically repoint ``_CURRENT`` at ``new_version``, retain the
+    immediately-previous version for in-flight readers, GC everything
+    older."""
+    tmp = os.path.join(target_path, f".{_PTR}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(new_version)
+    os.replace(tmp, os.path.join(target_path, _PTR))
+    retain = {new_version, prev_version}
+    for d in os.listdir(target_path):
+        if d.startswith("v-") and d not in retain:
+            shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
 
 
 def merge_upsert(
@@ -42,30 +120,73 @@ def merge_upsert(
     key: str,
     order_col: str,
     tiebreak: str,
+    n_buckets: int = N_MERGE_BUCKETS,
 ) -> None:
-    """Idempotent upsert: rows in ``updates`` win over the current
-    table when newer by (order_col, tiebreak); unseen keys insert.
-    Applying the same updates twice yields a byte-identical table."""
-    if os.path.exists(target_path):
-        current = spark.read.parquet(target_path)
-        merged = current.unionByName(updates)
-    else:
-        merged = updates
-    deduped = last_wins_dedupe(merged, key, order_col, tiebreak)
+    """Idempotent bucket-scoped upsert: rows in ``updates`` win over
+    the current table when newer by (order_col, tiebreak); unseen keys
+    insert. Applying the same updates twice yields an identical table.
+    Only buckets containing update keys are rewritten; every other
+    bucket's files carry over by hardlink, untouched."""
+    prev_version = _current_version(target_path)
+    if prev_version is None and os.path.isdir(target_path) and os.listdir(target_path):
+        # legacy unbucketed parquet directory: full-rewrite fallback
+        _merge_unbucketed(spark, target_path, updates, key, order_col, tiebreak)
+        return
 
+    updates_b = updates.withColumn(_BUCKET, _bucket_expr(key, n_buckets))
+    new_version = f"v-{uuid.uuid4().hex[:8]}"
+    new_dir = os.path.join(target_path, new_version)
+
+    if prev_version is None:
+        # first write: every bucket materializes
+        deduped = last_wins_dedupe(updates_b, key, order_col, tiebreak)
+        deduped.repartition(_BUCKET).write.partitionBy(_BUCKET).parquet(new_dir)
+    else:
+        cur_dir = os.path.join(target_path, prev_version)
+        # the touched-bucket set is bounded by n_buckets, never by data
+        # volume — a cheap partial-aggregate job over the (small)
+        # updates side, collected so the planner can PRUNE the target
+        # scan to exactly those _mb= directories
+        touched = {
+            r[0]
+            for r in updates_b.select(_BUCKET).distinct().collect()
+        }
+        affected = spark.read.parquet(cur_dir).where(
+            F.col(_BUCKET).isin(sorted(touched))
+        )
+        deduped = last_wins_dedupe(
+            affected.unionByName(updates_b), key, order_col, tiebreak
+        )
+        deduped.repartition(_BUCKET).write.partitionBy(_BUCKET).parquet(new_dir)
+        for d in os.listdir(cur_dir):
+            if d.startswith(f"{_BUCKET}=") and int(d.split("=", 1)[1]) not in touched:
+                _link_tree(os.path.join(cur_dir, d), os.path.join(new_dir, d))
+    _publish(target_path, new_version, prev_version)
+
+
+def _merge_unbucketed(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: str,
+    order_col: str,
+    tiebreak: str,
+) -> None:
+    """Fallback for pre-existing unbucketed parquet targets: read
+    current ∪ updates → last-wins dedupe → full rewrite + directory
+    swap. O(table) per merge and a brief FileNotFound window between
+    the two renames — exactly the costs the bucketed layout exists to
+    remove; kept only so an existing plain directory still merges."""
+    current = spark.read.parquet(target_path)
+    deduped = last_wins_dedupe(
+        current.unionByName(updates), key, order_col, tiebreak
+    )
     staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
     deduped.write.mode("overwrite").parquet(staging)
-    # atomic-ish swap: a reader never sees a PARTIAL table, but between
-    # the two renames the target path briefly does not exist (a
-    # concurrent reader gets FileNotFound). True old-or-new atomicity
-    # needs a transactional table format (Delta/Iceberg metadata swap).
     old = f"{target_path}.old-{uuid.uuid4().hex[:8]}"
-    if os.path.exists(target_path):
-        os.rename(target_path, old)
-        os.rename(staging, target_path)
-        shutil.rmtree(old)
-    else:
-        os.rename(staging, target_path)
+    os.rename(target_path, old)
+    os.rename(staging, target_path)
+    shutil.rmtree(old)
 
 
 def backfill_partitions(

@@ -99,7 +99,7 @@ def merge_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     incremental.merge_upsert(spark, target, updates, "event_id", "ts", "value")
     incremental.merge_upsert(spark, target, updates, "event_id", "ts", "value")
-    return spark.read.parquet(target)
+    return incremental.read_merged(spark, target)
 
 
 def backfill_partition_replace(spark: SparkSession, sf_dir: str) -> DataFrame:

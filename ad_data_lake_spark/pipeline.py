@@ -98,7 +98,7 @@ def daily_extract(
     slim = day_events.select("event_id", "ts", "user_id", "event_type", "value")
     incremental.merge_upsert(spark, silver, slim, "event_id", "ts", "value")
     incremental.merge_upsert(spark, silver, slim, "event_id", "ts", "value")
-    silver_df = spark.read.parquet(silver)
+    silver_df = incremental.read_merged(spark, silver)
 
     return (
         _count_stage(campaigns, "campaigns_scanned")

@@ -57,7 +57,7 @@ def test_merge_upsert_is_idempotent_and_last_wins(spark, events, tmp_path):
     path = str(tmp_path / "silver_events")
     base = events.select("event_id", "ts", "user_id", "event_type", "value")
     incremental.merge_upsert(spark, path, base, "event_id", "ts", "value")
-    h0 = _table_hash(spark.read.parquet(path))
+    h0 = _table_hash(incremental.read_merged(spark, path))
 
     # updates: bump 100 rows to a newer ts and a sentinel value
     updates = (
@@ -66,7 +66,7 @@ def test_merge_upsert_is_idempotent_and_last_wins(spark, events, tmp_path):
         .withColumn("value", F.lit(9999.0))
     )
     incremental.merge_upsert(spark, path, updates, "event_id", "ts", "value")
-    merged = spark.read.parquet(path)
+    merged = incremental.read_merged(spark, path)
     assert merged.count() == base.count()  # upsert, not append
     assert merged.where(F.col("value") == 9999.0).count() == 100
     h1 = _table_hash(merged)
@@ -74,11 +74,125 @@ def test_merge_upsert_is_idempotent_and_last_wins(spark, events, tmp_path):
 
     # idempotency: same updates again -> identical table
     incremental.merge_upsert(spark, path, updates, "event_id", "ts", "value")
-    assert _table_hash(spark.read.parquet(path)) == h1
+    assert _table_hash(incremental.read_merged(spark, path)) == h1
 
     # stale updates lose: re-apply originals (older ts) -> no change
     incremental.merge_upsert(spark, path, base.orderBy("event_id").limit(100), "event_id", "ts", "value")
-    assert _table_hash(spark.read.parquet(path)) == h1
+    assert _table_hash(incremental.read_merged(spark, path)) == h1
+
+
+def test_merge_rewrites_only_touched_buckets(spark, events, tmp_path):
+    """Bucket-scoped MERGE contract: a merge touching ONE key rewrites
+    only that key's bucket; every other bucket's files carry over into
+    the new version byte-identical (hardlinked — same inode)."""
+    path = str(tmp_path / "bucketed_target")
+    base = events.select("event_id", "ts", "user_id", "event_type", "value")
+    incremental.merge_upsert(spark, path, base, "event_id", "ts", "value")
+
+    one = (
+        base.orderBy("event_id").limit(1)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+        .withColumn("value", F.lit(777.0))
+    )
+    v_old = incremental._current_version(path)
+    incremental.merge_upsert(spark, path, one, "event_id", "ts", "value")
+    v_new = incremental._current_version(path)
+    assert v_new != v_old
+
+    key_row = one.select("event_id").collect()[0]
+    touched = (
+        one.select(incremental._bucket_expr("event_id", incremental.N_MERGE_BUCKETS))
+        .collect()[0][0]
+    )
+    old_dir, new_dir = os.path.join(path, v_old), os.path.join(path, v_new)
+    bucket_dirs = sorted(d for d in os.listdir(old_dir) if d.startswith("_mb="))
+    assert len(bucket_dirs) > 1  # the contract is vacuous with one bucket
+    checked_untouched = 0
+    for d in bucket_dirs:
+        old_files = sorted(
+            f for f in os.listdir(os.path.join(old_dir, d)) if f.endswith(".parquet")
+        )
+        new_files = sorted(
+            f for f in os.listdir(os.path.join(new_dir, d)) if f.endswith(".parquet")
+        )
+        if int(d.split("=", 1)[1]) == touched:
+            # the touched bucket was genuinely rewritten
+            assert not any(
+                os.path.exists(os.path.join(new_dir, d, f))
+                and os.path.exists(os.path.join(old_dir, d, f))
+                and os.path.samefile(
+                    os.path.join(old_dir, d, f), os.path.join(new_dir, d, f)
+                )
+                for f in old_files
+            )
+        else:
+            assert old_files == new_files
+            for f in old_files:
+                assert os.path.samefile(
+                    os.path.join(old_dir, d, f), os.path.join(new_dir, d, f)
+                )
+            checked_untouched += 1
+    assert checked_untouched >= 1
+    got = incremental.read_merged(spark, path)
+    assert got.where(F.col("event_id") == key_row.event_id).collect()[0].value == 777.0
+    assert got.count() == base.count()
+
+
+def test_merge_readers_never_see_partial_state(spark, events, tmp_path):
+    """Reader atomicity: while merges run, a concurrent reader always
+    resolves _CURRENT to a COMPLETE version — full row count, no
+    FileNotFound. (The pointer flips via os.replace; the previous
+    version is retained one merge for in-flight readers.)"""
+    import threading
+
+    path = str(tmp_path / "concurrent_target")
+    base = events.select("event_id", "ts", "user_id", "event_type", "value")
+    incremental.merge_upsert(spark, path, base, "event_id", "ts", "value")
+    n = base.count()
+
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def reader() -> None:
+        while not stop.is_set():
+            try:
+                assert incremental.read_merged(spark, path).count() == n
+            except Exception as e:  # noqa: BLE001 — surfaced to the assert below
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(3):
+            upd = (
+                base.orderBy("event_id").limit(50)
+                .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i + 1} DAYS"))
+                .withColumn("value", F.lit(float(i)))
+            )
+            incremental.merge_upsert(spark, path, upd, "event_id", "ts", "value")
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors[0]
+    assert incremental.read_merged(spark, path).count() == n
+
+
+def test_merge_legacy_unbucketed_fallback(spark, events, tmp_path):
+    """A pre-existing plain parquet directory (no _CURRENT pointer)
+    still merges via the full-rewrite swap path."""
+    path = str(tmp_path / "legacy_target")
+    base = events.select("event_id", "ts", "user_id", "event_type", "value")
+    base.write.parquet(path)  # unbucketed, written outside merge_upsert
+    updates = (
+        base.orderBy("event_id").limit(10)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 DAYS"))
+        .withColumn("value", F.lit(111.0))
+    )
+    incremental.merge_upsert(spark, path, updates, "event_id", "ts", "value")
+    got = incremental.read_merged(spark, path)
+    assert got.count() == base.count()
+    assert got.where(F.col("value") == 111.0).count() == 10
 
 
 def test_backfill_replaces_only_target_partition(spark, events, tmp_path):
@@ -150,12 +264,15 @@ def test_stream_foreachbatch_merge_replay_safe(spark, events, tmp_path):
         )
 
     run("ckpt1")
-    h0 = _table_hash(spark.read.parquet(target))
-    assert spark.read.parquet(target).count() == base.dropDuplicates(["event_id"]).count()
+    h0 = _table_hash(incremental.read_merged(spark, target))
+    assert (
+        incremental.read_merged(spark, target).count()
+        == base.dropDuplicates(["event_id"]).count()
+    )
 
     # full redelivery: fresh checkpoint reprocesses every source file
     run("ckpt2")
-    assert _table_hash(spark.read.parquet(target)) == h0
+    assert _table_hash(incremental.read_merged(spark, target)) == h0
 
     # a genuinely newer version of one key must still update the table
     upd = (
@@ -169,7 +286,7 @@ def test_stream_foreachbatch_merge_replay_safe(spark, events, tmp_path):
     stream_merge_to_table(
         stream2, target, str(tmp_path / "ckpt3"), "event_id", "ts", "value"
     )
-    got = spark.read.parquet(target)
+    got = incremental.read_merged(spark, target)
     assert got.count() == base.dropDuplicates(["event_id"]).count()
     key = upd.collect()[0].event_id
     assert got.where(F.col("event_id") == key).collect()[0].value == 123.45
