@@ -45,26 +45,41 @@ def _id_hash_pct(id_col: Column) -> Column:
     )
 
 
+def _split_expr(pct: Column) -> Column:
+    """Split name for a 0–99 hash bucket — the pure expression behind
+    ``split_assign``, reusable inline wherever the split is needed
+    WITHOUT joining a projection of the same row back on doc_id."""
+    expr = F.lit(None).cast("string")
+    for name, bound in reversed(SPLIT_BOUNDS):
+        expr = F.when(pct < bound, F.lit(name)).otherwise(expr)
+    return expr
+
+
 def split_assign(documents: DataFrame) -> DataFrame:
     """Deterministic train/val/test assignment (90/5/5) by hashed
     doc_id. One projection; the per-split counts any consumer needs are
     a groupBy away (``split_summary``)."""
     pct = _id_hash_pct(F.col("doc_id"))
-    expr = F.lit(None).cast("string")
-    for name, bound in reversed(SPLIT_BOUNDS):
-        expr = F.when(pct < bound, F.lit(name)).otherwise(expr)
-    return documents.select("doc_id", pct.alias("split_pct"), expr.alias("split"))
+    return documents.select(
+        "doc_id", pct.alias("split_pct"), _split_expr(pct).alias("split")
+    )
 
 
 def split_summary(documents: DataFrame) -> DataFrame:
     """Per-split document and token totals — the sanity sheet cut
-    before training: one hash projection + one small aggregate."""
-    s = split_assign(documents).join(documents, "doc_id")
+    before training. The split is a pure projection of the same row
+    (hash of doc_id), so it computes INLINE: one scan + one small
+    aggregate, zero joins — at 100 TB the join-back this replaces was a
+    full-corpus shuffle that never needed to exist."""
     return (
-        s.groupBy("split")
+        documents.select(
+            _split_expr(_id_hash_pct(F.col("doc_id"))).alias("split"),
+            F.size(words(F.col("text"))).alias("_nt"),
+        )
+        .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.size(words(F.col("text")))).alias("n_tokens"),
+            F.sum("_nt").alias("n_tokens"),
         )
         .orderBy("split")
     )
@@ -137,26 +152,29 @@ def contamination_check(
     bench_hashes = (
         _exploded_shingle_hashes(benchmark).select("h60").distinct()
     )
-    # occurrence rows, deduped inside the aggregates: count_distinct
-    # starts its distinct set map-side, so each path pays ONE doc_id
-    # shuffle instead of a (doc_id, h60) distinct shuffle plus a
-    # second count shuffle on the same rows
+    # ONE aggregation: a broadcast LEFT join marks each corpus shingle
+    # occurrence with a hit flag, then a single doc_id groupBy computes
+    # both distinct counts (total, and hit-only via the conditional
+    # count_distinct — NULL when not hit, so unmatched shingles never
+    # count). Half the aggregate work of the former flagged/totals
+    # double-groupBy, and the doc_id join-back between them is gone.
     doc_hashes = _exploded_shingle_hashes(corpus).select("doc_id", "h60")
-    flagged = doc_hashes.join(
-        F.broadcast(bench_hashes), "h60", "left_semi"
-    ).groupBy("doc_id").agg(F.count_distinct("h60").alias("n_shared"))
-    totals = doc_hashes.groupBy("doc_id").agg(
-        F.count_distinct("h60").alias("n_shingles")
+    marked = doc_hashes.join(
+        F.broadcast(bench_hashes.withColumn("_hit", F.lit(True))), "h60", "left"
     )
     return (
-        totals.join(flagged, "doc_id", "left")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count_distinct("h60").alias("n_shingles"),
+            F.count_distinct(F.when(F.col("_hit"), F.col("h60"))).alias("n_shared"),
+        )
         .select(
             "doc_id",
             "n_shingles",
-            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
-            F.round(
-                F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_shingles"), 4
-            ).alias("contamination"),
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias(
+                "contamination"
+            ),
         )
     )
 
@@ -165,25 +183,32 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
     """End-to-end corpus curation — the LLM-layer analogue of
     pipeline.daily_extract_pipeline: quality-filter (keep band), exact
     dedup (keep the min doc_id per content hash), split assignment,
-    per-split doc/token summary. One composed lazy plan: Catalyst sees
-    the whole lineage, so the quality projection fuses with the scan,
-    the dedup is one hash shuffle, and the summary is one small
-    aggregate — running the pipeline costs the same as its most
-    expensive stage, not the sum of four materialized steps."""
+    per-split doc/token summary. One composed lazy plan, and — because
+    quality and split are pure projections of the row they describe —
+    they compute INLINE (``quality_columns``/``_split_expr``): the only
+    shuffle-join in the whole pipeline is the dedup semi join against
+    the min-doc_id-per-content-hash winners, which is the one step that
+    genuinely needs cross-row context. (Former shape joined the quality
+    and split projections back on doc_id — two full-corpus joins that
+    broadcast for free at sf0.1 and dominate at 100 TB; asserted gone
+    in tests/test_plans.py.)"""
     from ad_data_lake_spark.llm.dedup import content_hash
-    from ad_data_lake_spark.llm.text import quality_score
+    from ad_data_lake_spark.llm.text import quality_columns
 
-    q = quality_score(documents).where(F.col("keep")).select("doc_id", "n_tokens")
-    kept = documents.select("doc_id", "text").join(q, "doc_id")
+    qc = quality_columns(F.col("text"))
+    kept = documents.select(
+        "doc_id", "text", qc["n_tokens"].alias("n_tokens")
+    ).where(qc["keep"])
     keep_ids = (
         kept.select(content_hash(F.col("text")).alias("h"), "doc_id")
         .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
     )
     final = kept.join(keep_ids.select("doc_id"), "doc_id", "semi")
-    s = split_assign(final.select("doc_id", "text")).select("doc_id", "split")
     return (
-        final.join(s, "doc_id")
+        final.select(
+            _split_expr(_id_hash_pct(F.col("doc_id"))).alias("split"), "n_tokens"
+        )
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),

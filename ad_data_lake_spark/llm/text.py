@@ -174,25 +174,35 @@ def lang_id(documents: DataFrame) -> DataFrame:
     return g.select(*sel)
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
-    """Composite document-quality score in [0,1]: length band, stopword
-    band, mean-token-length band — the pre-training filter shape
-    (C4/Gopher-style heuristics) as one arithmetic expression."""
-    w = words(F.col("text"))
+def quality_columns(text: Column) -> dict[str, Column]:
+    """The quality-filter metrics as pure column expressions keyed by
+    their output name — usable both as the ``quality_score`` projection
+    and INLINE by composite pipelines (llm/curation.py), which must not
+    join a projection of the same row back on doc_id."""
+    w = words(text)
     n_tokens = F.size(w)
     stop_ratio = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS_EN))) / n_tokens
-    mean_len = F.length(F.regexp_replace(F.col("text"), " ", "")) / n_tokens
+    mean_len = F.length(F.regexp_replace(text, " ", "")) / n_tokens
     len_ok = F.when((n_tokens >= 20) & (n_tokens <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
     stop_ok = F.when(stop_ratio >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
     tok_ok = F.when((mean_len >= 2.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
     score = F.round(0.4 * len_ok + 0.3 * stop_ok + 0.3 * tok_ok, 4)
+    return {
+        "n_tokens": n_tokens,
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "mean_token_len": F.round(mean_len, 4),
+        "quality_score": score,
+        "keep": score >= 0.7,
+    }
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Composite document-quality score in [0,1]: length band, stopword
+    band, mean-token-length band — the pre-training filter shape
+    (C4/Gopher-style heuristics) as one arithmetic expression."""
+    qc = quality_columns(F.col("text"))
     return documents.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(mean_len, 4).alias("mean_token_len"),
-        score.alias("quality_score"),
-        (score >= 0.7).alias("keep"),
+        "doc_id", *(expr.alias(name) for name, expr in qc.items())
     )
 
 

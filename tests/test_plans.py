@@ -149,11 +149,25 @@ def test_native_sessionize_is_single_aggregate(spark):
 
 def test_contamination_broadcasts_benchmark_side(spark):
     """The benchmark shingle set is the eval-suite-sized side (MBs vs
-    TBs at scale): it must broadcast into a semi join — the corpus's
-    exploded shingles must never shuffle to meet it."""
+    TBs at scale): it must broadcast into ONE left join that marks hits
+    — the corpus's exploded shingles never shuffle to meet it, and the
+    former flagged/totals double-aggregate + doc_id join-back must stay
+    gone (a single join in the whole plan)."""
     p = plan_of(spark, "contamination_check")
-    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Join") == 1, "contamination must be single-join (no agg join-back)"
+
+
+def test_curation_pipeline_single_shuffle_join(spark):
+    """curation_pipeline's ONLY join is the dedup semi join (min doc_id
+    per content hash) — quality and split are projections of the same
+    row and must compute inline, never join back on doc_id. At 100 TB
+    each removed join was a full-corpus shuffle."""
+    p = plan_of(spark, "curation_pipeline")
+    assert p.count("Join") == 1 and "LeftSemi" in p
+    # split_summary is pure scan + aggregate: zero joins of any kind
+    assert plan_of(spark, "split_summary").count("Join") == 0
 
 
 def test_pack_sequences_single_shard_window(spark):
