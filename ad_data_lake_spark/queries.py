@@ -1297,73 +1297,20 @@ for _name, (_fn, _oracle, _tags) in LLM_TEXT_QUERIES.items():
 
 # ---------------------------------------------------------------------------
 # Driver-facing ordering. The driver's correctness run iterates
-# queries() in registration order and may cap how many it checks
-# (CORRECTNESS_r02.json stopped at 50 of 82): surface the newest /
-# least-proven operators FIRST — the LLM layer, temporal/session
-# windows, layout, and the write/streaming paths — and push the ~30
-# fn_* golden-pair sanitize queries (driver-proven green in rounds 1
-# AND 2, still covered by tests/test_oracle_parity.py at full width)
-# to the tail. Names not listed keep their registration order after
-# the prioritized block.
+# queries() in registration order and caps how many it checks at 50
+# (CORRECTNESS_r02/r04 both stopped there). Rotation policy: every
+# registry name must hold a green row in the UNION of the last two
+# rounds' correctness files, so each round leads with (a) the queries
+# whose latest driver check is two rounds old, then (b) anything whose
+# implementation changed this round, then the queries the previous
+# round's window already re-proved. Round 5: the 42 names below were
+# last driver-checked in round 2 (round 4's window covered the LLM /
+# curation / temporal / write layers); the changed-this-round block
+# follows them, filling the 50-query window exactly.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # dataset-curation layer (round 4; newest, never driver-checked)
-    "curation_pipeline",
-    "mixture_sample",
-    "chunk_documents",
-    "minhash_index_incremental",
-    "ivf_index_incremental",
-    "dataset_split",
-    "split_summary",
-    "pack_sequences",
-    "contamination_check",
-    # LLM-data-pipeline layer (round 2; absent from CORRECTNESS_r02)
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ngram_jaccard_pairs",
-    "embed_topk_bruteforce",
-    "embed_topk_ivf",
-    "embed_topk_lsh",
-    "embed_neardup_pairs",
-    "doc_fingerprint",
-    "text_stats",
-    "token_counts",
-    "lang_id",
-    "quality_score",
-    "repetition_stats",
-    "pii_redact",
-    "multimodal_features",
-    "multimodal_resize",
-    # temporal / sessions / pivots (round 2; absent from CORRECTNESS_r02)
-    "asof_attribution",
-    "flight_window_rollup",
-    "sessionize_events",
-    "sessionize_native",
-    "frequency_cap",
-    "pivot_action_metrics",
-    "agg_percentiles",
-    # layout + write/incremental/streaming (round 2; absent)
-    "skew_salted_agg",
-    "bucketed_join_colocated",
-    "compaction_roundtrip",
-    "merge_upsert_idempotent",
-    "backfill_partition_replace",
-    "streaming_daily_insights",
-    "streaming_attribution_join",
-    "daily_extract_pipeline",
-    # core relational/aggregate/window spine (driver-proven, but they
-    # ARE the reference's operator inventory — keep visible next)
-    "scan_project",
-    "filter_updated_since",
-    "filter_time_range",
-    "semi_join_lookup",
-    "anti_join_missing",
-    "distinct_ids",
-    "broadcast_dim_join",
-    "hierarchy_flat",
+    # --- stale since round 2: relational/aggregate/window spine ---
     "stamp_parent_keys",
     "agg_action_type",
     "agg_reach_frequency",
@@ -1380,6 +1327,85 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "collect_list_nest",
     "nested_report",
     "lake_write_roundtrip",
+    # --- stale since round 2: fn_* golden-pair / sanitize layer ---
+    "fn_positive_amount",
+    "fn_budget_exclusion",
+    "fn_spend_cap",
+    "fn_string_collection",
+    "fn_parse_datetime",
+    "fn_clamp_start_time",
+    "fn_numeric_autocast",
+    "fn_boolean_coerce",
+    "fn_actid_norm",
+    "fn_flatten_ref",
+    "fn_coalesce_spec",
+    "fn_gather_arrays",
+    "fn_nested_update",
+    "fn_story_spec_update",
+    "fn_unicode_unescape",
+    "sanitize_nested_struct",
+    "sanitize_campaign_payload",
+    "fn_cbo_resolve",
+    "fn_build_cta",
+    "fn_asset_kind",
+    "fn_creative_payload",
+    "fn_parse_targeting",
+    "fn_null_strip",
+    "sanitize_adset_payload",
+    "json_decode_ingest",
+    "fn_brand_safety",
+    # --- changed in round 5 (r4-green, but re-prove the new code) ---
+    "merge_upsert_idempotent",
+    "daily_extract_pipeline",
+    "curation_pipeline",
+    "split_summary",
+    "contamination_check",
+    "dedup_simhash",
+    "streaming_attribution_join",
+    "embed_topk_ivf",
+    # --- round-4-window queries (driver-proven last round) ---
+    "mixture_sample",
+    "chunk_documents",
+    "minhash_index_incremental",
+    "ivf_index_incremental",
+    "dataset_split",
+    "pack_sequences",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_minhash_lsh",
+    "ngram_jaccard_pairs",
+    "embed_topk_bruteforce",
+    "embed_topk_lsh",
+    "embed_neardup_pairs",
+    "doc_fingerprint",
+    "text_stats",
+    "token_counts",
+    "lang_id",
+    "quality_score",
+    "repetition_stats",
+    "pii_redact",
+    "multimodal_features",
+    "multimodal_resize",
+    "asof_attribution",
+    "flight_window_rollup",
+    "sessionize_events",
+    "sessionize_native",
+    "frequency_cap",
+    "pivot_action_metrics",
+    "agg_percentiles",
+    "skew_salted_agg",
+    "bucketed_join_colocated",
+    "compaction_roundtrip",
+    "backfill_partition_replace",
+    "streaming_daily_insights",
+    "scan_project",
+    "filter_updated_since",
+    "filter_time_range",
+    "semi_join_lookup",
+    "anti_join_missing",
+    "distinct_ids",
+    "broadcast_dim_join",
+    "hierarchy_flat",
 )
 
 
