@@ -143,7 +143,9 @@ def streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = events.where(F.col("event_id") % 10 == 0)
     events.unionByName(dup).write.mode("overwrite").parquet(src)
     stream = streaming_daily_insights(spark, src, events.schema)
-    return run_available_now(stream, f"stream_daily_{uuid.uuid4().hex[:8]}")
+    return run_available_now(
+        stream, f"stream_daily_{uuid.uuid4().hex[:8]}", shuffle_partitions=8
+    )
 
 
 def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,5 +217,8 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.write.mode("overwrite").parquet(src)
     stream = streaming_attribution_join(spark, src, events.schema)
     return run_available_now(
-        stream, f"stream_attr_{uuid.uuid4().hex[:8]}", output_mode="append"
+        stream,
+        f"stream_attr_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+        shuffle_partitions=8,
     )

@@ -58,22 +58,45 @@ def streaming_daily_insights(
 
 
 def run_available_now(
-    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain everything currently available through the streaming plan
     into an in-memory table and return it as a batch DataFrame — the
     test/demo harness for the incremental path. ``output_mode`` is
     "complete" for windowed aggregates, "append" for arbitrary-stateful
-    operators (streaming/stateful.py)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
+    operators (streaming/stateful.py).
+
+    ``shuffle_partitions`` pins the STATE-STORE partition count for
+    this query (stateful streaming ops allocate one RocksDB/HDFS state
+    store per shuffle partition, fixed at first checkpoint): a short
+    demo drain over fixture-sized data pays per-store setup ~32× under
+    the session default, so the drain queries pass 4–8 here. Sized to
+    sustained throughput — not lowered — on a production cluster,
+    where the count is immutable for the checkpoint's life. The
+    session conf is restored after the drain (conf is consulted at
+    query start, so the scoped set-then-restore is race-free for a
+    drained query)."""
+    spark = stream_df.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key) if shuffle_partitions is not None else None
+    if shuffle_partitions is not None:
+        spark.conf.set(conf_key, str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if saved is not None:
+            spark.conf.set(conf_key, saved)
+    return spark.table(query_name)
 
 
 def stream_merge_to_table(
