@@ -35,6 +35,7 @@ bounded candidates), never globally.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -42,7 +43,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, IntegerType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 N_PLANES = 8
 DIM = 64
@@ -170,53 +171,114 @@ IVF_ITERS = 2
 IVF_NPROBE = 2
 
 
+def ivf_cells_for(n_vectors: int, min_cells: int = IVF_CELLS) -> int:
+    """Scale rule for the cell count: ~√n, rounded to a power of two,
+    floored at the fixture default. With cells ≈ √n the per-cell
+    candidate lists stay ≈ √n too, so the grouped-matmul scoring
+    (``cosine_neardup_pairs``-style applyInPandas keyed on cell) never
+    concentrates the corpus into a handful of giant groups — the skew
+    failure a fixed C=8 hits as soon as n ≫ C². Pass the corpus count
+    (or a cheap estimate) here whenever the table isn't fixture-sized;
+    ``topk_ivf(..., n_cells=None)`` does exactly that."""
+    if n_vectors <= 0:
+        return min_cells
+    target = math.isqrt(n_vectors)
+    return max(min_cells, 1 << max(0, round(math.log2(max(1, target)))))
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def _unit_pd(v: pd.Series) -> pd.Series:
+    """Arrow-vectorized L2 normalize — one numpy batch per chunk. The
+    ~1e-16 pairwise-vs-sequential norm difference propagates to ≤1e-15
+    in any downstream dot product, absorbed by the 6-dp score rounding
+    every consumer applies (the ``cosine6_pd`` contract)."""
+    if len(v) == 0:
+        return pd.Series([], dtype=object)
+    V = np.vstack(v.to_numpy())
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    return pd.Series(list(U))
+
+
 def unit_vectors(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, u) with u = embedding / ||embedding|| as doubles. The
-    norm is computed once per row into a column, then divided
-    elementwise — putting ``norm`` inside the transform lambda would
-    re-fold the 64-term dot product per element."""
+    """(vec_id, u) with u = embedding / ||embedding|| as doubles.
+    Arrow-vectorized: the higher-order-function form (transform with a
+    division lambda) evaluates interpreted at ~0.7 s per corpus pass at
+    sf0.1 and is re-paid by every stage that consumes u — the numpy
+    batch is ~100× cheaper and every consumer rounds scores to 6 dp,
+    which absorbs the summation-order noise (see ``_unit_pd``)."""
     v = as_double(F.col("embedding"))
-    return (
-        embeddings.select("vec_id", v.alias("v"))
-        .withColumn("n", norm(F.col("v")))
-        .select(
-            "vec_id",
-            F.transform("v", lambda x: x / F.col("n")).alias("u"),
-        )
-    )
+    return embeddings.select("vec_id", _unit_pd(v).alias("u"))
 
 
 def _round6_arr(arr: Column) -> Column:
     return F.transform(arr, lambda x: F.round(x, 6))
 
 
-def _packed(cent: DataFrame) -> DataFrame:
-    """Pack the (cell, c) centroid table into ONE row holding
-    array<struct<cell,c>> sorted by cell — broadcastable as a literal-
-    like operand, so every downstream cell assignment is a pure
-    projection (nested higher-order functions), never a join or
-    shuffle of the vector table."""
-    return cent.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("cell", "c"))).alias("cents")
+Centroids = list[tuple[int, list[float]]]
+
+
+def _vec_lit(c: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def _cell_scores(u: Column, cents: Centroids) -> Column:
+    """array<struct<s,nc>> of (rounded cosine to centroid, -cell) over
+    the DRIVER-SIDE centroid list — 6-dp rounding + lowest-cell
+    tie-break keep assignment bit-identical to the DuckDB oracle.
+
+    Built as one plain struct expression per centroid (the list is
+    bounded: n_cells × dim doubles, the object every k-means trainer
+    holds on the driver), so the vector attribute ``u`` appears only
+    as a DIRECT child of the dot-product fold — never inside a lambda
+    body. That constraint is load-bearing: Catalyst's self-join
+    attribute de-duplication fails to rewrite references captured in
+    lambda bodies (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at bind time
+    when the assigned and query branches of topk_ivf rejoin), and a
+    literal list also truncates trainer lineage with no cache entry to
+    leak (the former one-row-frame form persisted each Lloyd state).
+    Past ~O(100) cells the expression tree stops being the right
+    carrier — store centroids in a table and broadcast-join instead.
+
+    This JVM form scores the (small) probe side; full-corpus
+    assignment uses the Arrow-vectorized ``_assign_cells_pd``."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(dot(u, _vec_lit(c)), 6).alias("s"),
+                F.lit(-int(cell)).cast("bigint").alias("nc"),
+            )
+            for cell, c in cents
+        ]
     )
 
 
-def _cell_scores(u: Column) -> Column:
-    """array<struct<s,nc>> of (rounded cosine to centroid, -cell) for
-    the packed ``cents`` column — 6-dp rounding + lowest-cell tie-break
-    keep assignment bit-identical to the DuckDB oracle."""
-    return F.transform(
-        F.col("cents"),
-        lambda s: F.struct(
-            F.round(dot(u, s["c"]), 6).alias("s"), (-s["cell"]).alias("nc")
-        ),
-    )
+def _assign_cells_pd(cents: Centroids):
+    """Arrow-vectorized nearest-centroid assignment: one numpy matmul
+    per batch against the driver-side centroid matrix, argmax with the
+    same round-to-6dp + lowest-cell tie rule as ``_cell_scores``
+    (cells ascend, ``np.argmax`` returns the first maximum). The 6-dp
+    round absorbs BLAS-vs-sequential-fold summation noise — the same
+    contract ``lsh_bucket_udf`` runs under. This is the full-corpus
+    scoring path: the interpreted JVM fold costs ~0.1 ms/vector·8
+    cells, a vectorized batch ~1 µs."""
+    C = np.array([c for _, c in cents], dtype=np.float64).T  # dim × n_cells
+    cells = np.array([cell for cell, _ in cents], dtype=np.int64)
+
+    @pandas_udf(LongType())
+    def assign(u: pd.Series) -> pd.Series:
+        if len(u) == 0:
+            return pd.Series([], dtype="int64")
+        U = np.vstack(u.to_numpy())
+        scores = np.round(U @ C, 6)
+        return pd.Series(cells[np.argmax(scores, axis=1)])
+
+    return assign
 
 
 def ivf_centroids(
     embeddings: DataFrame, n_cells: int = IVF_CELLS, iters: int = IVF_ITERS
-) -> DataFrame:
-    """Spherical k-means coarse quantizer, packed one-row form.
+) -> Centroids:
+    """Spherical k-means coarse quantizer, driver-side list form.
 
     Init = the first ``n_cells`` vectors by vec_id (deterministic
     random-init: fixture ids are hash-ordered); each Lloyd iteration
@@ -232,17 +294,25 @@ def ivf_centroids(
     the exploded components). At 100 TB you train on a sampled subset
     (pass ``embeddings.where(col('vec_id') % s == 0)``) and reuse the
     packed row for the full assignment pass — the loop itself is the
-    production trainer."""
+    production trainer.
+
+    Each Lloyd state is COLLECTED to the driver (see ``_cell_scores``
+    for why the list form is load-bearing): lineage is truncated per
+    iteration with nothing persisted — the former per-iteration
+    ``.persist()`` leaked one cache entry per training run."""
+
+    def _to_list(rows) -> Centroids:
+        return sorted((int(r.cell), list(r.c)) for r in rows)
+
     u = unit_vectors(embeddings)
-    cents = _packed(
-        u.where(F.col("vec_id") < n_cells).select(
-            F.col("vec_id").alias("cell"), _round6_arr(F.col("u")).alias("c")
-        )
+    cents = _to_list(
+        u.where(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cell"), _round6_arr(F.col("u")).alias("c"))
+        .collect()
     )
     for _ in range(iters):
-        best = F.array_max(_cell_scores(F.col("u")))
-        assigned = u.crossJoin(F.broadcast(cents)).select(
-            (-best["nc"]).alias("cell"), "u"
+        assigned = u.select(
+            _assign_cells_pd(cents)(F.col("u")).alias("cell"), "u"
         )
         # elementwise mean as ONE aggregate of dim column-wise avgs
         # (map-side combine collapses each partition to n_cells rows) —
@@ -255,12 +325,7 @@ def ivf_centroids(
             "cell",
             _round6_arr(F.transform("mv", lambda x: x / F.col("mn"))).alias("c"),
         )
-        # one row of ≤ n_cells × dim doubles: persisting each Lloyd
-        # state makes training O(iters) instead of O(iters²) lineage
-        # replay, and the final row feeds the downstream fan-out
-        # (assignment + probe) without re-deriving the trainer — the
-        # in-plan analogue of collecting centroids to the driver
-        cents = _packed(cent).persist()
+        cents = _to_list(cent.collect())
     return cents
 
 
@@ -268,7 +333,7 @@ def topk_ivf(
     embeddings: DataFrame,
     query_mod: int = 97,
     k: int = 5,
-    n_cells: int = IVF_CELLS,
+    n_cells: int | None = IVF_CELLS,
     iters: int = IVF_ITERS,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
@@ -284,12 +349,25 @@ def topk_ivf(
     Plan shape: centroid training (bounded, see ``ivf_centroids``) +
     one zero-shuffle assignment projection + a broadcast hash join on
     the cell key + a per-query ranking window — the corpus is never
-    shuffled and never self-joined."""
+    shuffled and never self-joined.
+
+    ``n_cells=None`` derives the cell count from the corpus size via
+    ``ivf_cells_for`` (√n rule) — the scale path. The explicit default
+    stays ``IVF_CELLS`` only where a FIXED count is part of the
+    contract (the oracle-checked registry query unrolls training at
+    C=8 in SQL; a production caller should pass None or a count-derived
+    value so per-cell work stays balanced)."""
+    if n_cells is None:
+        n_cells = ivf_cells_for(embeddings.count())
     u = unit_vectors(embeddings)
     cents = ivf_centroids(embeddings, n_cells, iters)
-    best = F.array_max(_cell_scores(F.col("u")))
-    assigned = u.crossJoin(F.broadcast(cents)).select(
-        "vec_id", (-best["nc"]).alias("cell"), "u"
+    # Arrow-vectorized assignment; as a bonus the ArrowEvalPython node
+    # is a pushdown barrier, so the join's inferred isnotnull(cell)
+    # predicate cannot substitute the scoring into the scan's
+    # DataFilters (with the JVM expression form that re-evaluation
+    # measured 7.1 s vs 0.9 s at sf0.1 for the pairs stage).
+    assigned = u.select(
+        "vec_id", _assign_cells_pd(cents)(F.col("u")).alias("cell"), "u"
     )
     # top-nprobe probe cells per query: sort the (small, per-row) score
     # array — struct(-s, cell) ascending == cosine desc, cell asc — and
@@ -297,7 +375,7 @@ def topk_ivf(
     probe_cells = F.slice(
         F.array_sort(
             F.transform(
-                _cell_scores(F.col("qu")),
+                _cell_scores(F.col("u"), cents),
                 lambda sc: F.struct((-sc["s"]).alias("ns"), (-sc["nc"]).alias("cell")),
             )
         ),
@@ -306,9 +384,11 @@ def topk_ivf(
     )
     q = (
         u.where(F.col("vec_id") % query_mod == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("u").alias("qu"))
-        .crossJoin(F.broadcast(cents))
-        .select("query_id", "qu", F.explode(probe_cells).alias("pc"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("u").alias("qu"),
+            F.explode(probe_cells).alias("pc"),
+        )
         .select("query_id", "qu", F.col("pc.cell").alias("cell"))
     )
     pairs = (
@@ -558,16 +638,16 @@ def topk_lsh(
     return _ranked(pairs, k).select("query_id", "bucket", "vec_id", "cosine_sim", "rank")
 
 
-def ivf_assign(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cell) assignment against an EXISTING packed centroid
-    row — the index-maintenance primitive: new vectors join the index
-    by scoring the broadcast centroids (zero shuffle), the quantizer is
-    not retrained. Production practice retrains periodically when cell
-    balance drifts; between retrains this is the whole per-batch cost."""
+def ivf_assign(embeddings: DataFrame, cents: Centroids) -> DataFrame:
+    """(vec_id, cell) assignment against an EXISTING centroid list —
+    the index-maintenance primitive: new vectors join the index by
+    scoring the literal centroids (a pure projection, zero shuffle),
+    the quantizer is not retrained. Production practice retrains
+    periodically when cell balance drifts; between retrains this is
+    the whole per-batch cost."""
     u = unit_vectors(embeddings)
-    best = F.array_max(_cell_scores(F.col("u")))
-    return u.crossJoin(F.broadcast(cents)).select(
-        "vec_id", (-best["nc"]).alias("cell")
+    return u.select(
+        "vec_id", _assign_cells_pd(cents)(F.col("u")).alias("cell")
     )
 
 

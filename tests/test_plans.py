@@ -29,12 +29,10 @@ _SWEEP = [n for n, s in REGISTRY.items() if "write" not in s.tags]
 
 # embed_topk_bruteforce IS a deliberate broadcast cross join — the exact
 # baseline scores every (query, vector) pair by definition, with the
-# bounded query set broadcast. The scale paths are topk_ivf/topk_lsh.
-# embed_topk_ivf's "cross join" is the ONE-ROW packed centroid table
-# (array<struct<cell,c>>, ≤ n_cells × dim doubles) broadcast against
-# the scan so cell assignment stays a zero-shuffle projection — a
-# literal-shaped operand, not a pair blowup.
-_CROSS_BY_DESIGN = {"embed_topk_bruteforce", "embed_topk_ivf"}
+# bounded query set broadcast. The scale paths are topk_ivf/topk_lsh
+# (topk_ivf's centroids are now a driver-side literal, so its plan
+# carries no nested-loop/cross join at all and needs no exemption).
+_CROSS_BY_DESIGN = {"embed_topk_bruteforce"}
 
 
 @pytest.mark.parametrize("name", _SWEEP)
