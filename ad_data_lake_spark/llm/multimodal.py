@@ -47,19 +47,69 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_asset_bytes(payload: bytes, mime: str):  # pragma: no cover
-    """STUB: decode an image/audio/video payload into pixels/samples.
-
-    The real implementation needs a media library that is not in this
-    container; callers in this repo use the deterministic fake features
-    below instead. Swap this body for PIL/av/soundfile when available.
-    """
-    if not HAVE_IMAGE_DECODER:
-        raise NotImplementedError(
-            "media decode requires an image/audio library not present in "
-            "this container; use fake_features() (deterministic stand-in)"
+def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
+    """Dependency-free image HEADER parse → (width, height), or None
+    for unrecognized bytes. Covers the three classic container formats
+    (PNG IHDR, GIF logical-screen descriptor, JPEG SOF0/1/2 markers) —
+    the header fields are stable public specs, so the hot-path dims
+    read needs no media library at all. Full pixel decode still
+    requires Pillow (``decode_asset_bytes``)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        return (
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
         )
-    raise NotImplementedError("real decoder wiring is out of scope for this repo")
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        return (
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+        )
+    if payload[:2] == b"\xff\xd8":  # JPEG: scan segments for a SOF marker
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2: [len p h(2) w(2)]
+                return (
+                    int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    int.from_bytes(payload[i + 5 : i + 7], "big"),
+                )
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length field
+            else:
+                i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+        return None
+    return None
+
+
+def decode_asset_bytes(payload: bytes, mime: str):
+    """Decode an image payload into a Pillow image (the real decode
+    step, import-guarded: Pillow is not in this container, so the
+    registered queries use the deterministic md5 stand-ins and the
+    Pillow branch is exercised by a skipif pytest). Audio/video decode
+    would gate on soundfile/av the same way."""
+    if mime.startswith("image/") and HAVE_IMAGE_DECODER:
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    raise NotImplementedError(
+        "media decode requires an image/audio library not present in "
+        "this container; use fake_features() (deterministic stand-in)"
+    )
+
+
+def resize_image_bytes(payload: bytes, max_dim: int = 384) -> bytes:
+    """Real aspect-preserving resize: decode via Pillow, scale with the
+    same integer ``resize_dims`` plan the stub path uses, re-encode as
+    PNG. Import-guarded like ``decode_asset_bytes``."""
+    img = decode_asset_bytes(payload, "image/any")
+    out_w, out_h = resize_dims(img.width, img.height, max_dim)
+    import io
+
+    buf = io.BytesIO()
+    img.resize((out_w, out_h)).save(buf, format="PNG")
+    return buf.getvalue()
 
 
 def fake_features(payload: bytes) -> tuple[str, list[float]]:
@@ -152,15 +202,21 @@ def resize_dims(w: int, h: int, max_dim: int = RESIZE_MAX_DIM) -> tuple[int, int
     return (w * max_dim) // g, (h * max_dim) // g
 
 
-def resize_assets(assets: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
+def resize_assets(
+    assets: DataFrame, max_dim: int = RESIZE_MAX_DIM, real_decode: bool = False
+) -> DataFrame:
     """Resize plumbing over binary payloads via mapInPandas: per Arrow
-    batch, derive source dims (stubbed — ``fake_dims``; a real decoder
-    reads the header bytes), compute the aspect-preserving target dims,
-    and emit a deterministic stand-in for the resized payload (md5 of
-    payload-hash + out dims — the real path would re-encode pixels).
-    Same scale shape as ``extract_features``: embarrassingly parallel,
-    no shuffle, metadata math identical JVM- or Python-side because it
-    is integer-only."""
+    batch, derive source dims, compute the aspect-preserving target
+    dims, and emit the resized payload's md5. Same scale shape as
+    ``extract_features``: embarrassingly parallel, no shuffle, metadata
+    math identical JVM- or Python-side because it is integer-only.
+
+    ``real_decode=False`` (the oracle-checked registered path) uses the
+    md5-derived stand-in dims and resized-hash so DuckDB reproduces
+    every value. ``real_decode=True`` header-parses actual image bytes
+    for dims (``parse_image_dims``, no library needed; md5 fallback for
+    unrecognized payloads) and, when Pillow is importable, hashes a
+    genuinely re-encoded resize (``resize_image_bytes``)."""
     with_kind = assets.select(
         "doc_id",
         "payload",
@@ -173,19 +229,21 @@ def resize_assets(assets: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame
             for doc_id, payload, kind in zip(
                 pdf["doc_id"], pdf["payload"], pdf["kind"]
             ):
-                h = hashlib.md5(bytes(payload)).hexdigest()
-                src_w, src_h = fake_dims(h)
+                b = bytes(payload)
+                h = hashlib.md5(b).hexdigest()
+                dims = parse_image_dims(b) if real_decode else None
+                src_w, src_h = dims if dims is not None else fake_dims(h)
                 out_w, out_h = resize_dims(src_w, src_h, max_dim)
+                if real_decode and dims is not None and HAVE_IMAGE_DECODER:
+                    resized_md5 = hashlib.md5(
+                        resize_image_bytes(b, max_dim)
+                    ).hexdigest()
+                else:
+                    resized_md5 = hashlib.md5(
+                        f"{h}:{out_w}x{out_h}".encode()
+                    ).hexdigest()
                 rows.append(
-                    (
-                        doc_id,
-                        kind,
-                        src_w,
-                        src_h,
-                        out_w,
-                        out_h,
-                        hashlib.md5(f"{h}:{out_w}x{out_h}".encode()).hexdigest(),
-                    )
+                    (doc_id, kind, src_w, src_h, out_w, out_h, resized_md5)
                 )
             yield pd.DataFrame(
                 rows,

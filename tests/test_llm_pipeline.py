@@ -193,3 +193,84 @@ def test_minhash_index_probe_finds_old_duplicates(spark, documents):
     expected = {(r.doc_id, r.doc_id + 5_000_000) for r in seeds.select("doc_id").collect()}
     assert expected, "fixture must contain seed docs"
     assert expected <= cands, "every copied doc must collide with its source"
+
+
+def _make_png(w: int, h: int) -> bytes:
+    """Hand-build a fully valid RGBA PNG (zlib is stdlib) — lets the
+    real-decode path be exercised with no media library installed."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00\x00\x00\xff" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_parse_image_dims_headers():
+    """Dependency-free header parse: PNG, GIF, JPEG (SOF0 after an APP0
+    segment), and graceful None on junk."""
+    assert MM.parse_image_dims(_make_png(640, 360)) == (640, 360)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert MM.parse_image_dims(gif) == (320, 200)
+    # segment length includes its own 2 bytes: 16 = 2 + len("JFIF\0") + 9
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + (480).to_bytes(2, "big")  # height
+        + (800).to_bytes(2, "big")  # width
+        + b"\x03"
+    )
+    assert MM.parse_image_dims(b"\xff\xd8" + app0 + sof0) == (800, 480)
+    assert MM.parse_image_dims(b"not an image") is None
+
+
+def test_resize_assets_real_decode_reads_headers(spark, documents):
+    """real_decode=True must take src dims from the actual payload
+    header (not the md5 stand-in) and plan the same integer resize."""
+    png = _make_png(1000, 500)
+    assets = spark.createDataFrame(
+        [(1, bytearray(png), ("image/png", "a.png", len(png)))],
+        "doc_id long, payload binary, meta struct<mime:string,filename:string,n_bytes:long>",
+    )
+    row = MM.resize_assets(assets, real_decode=True).collect()[0]
+    assert (row.src_w, row.src_h) == (1000, 500)
+    assert (row.out_w, row.out_h) == MM.resize_dims(1000, 500)  # (384, 192)
+    # non-image payloads fall back to the deterministic stand-in dims
+    blob = b"opaque bytes"
+    assets2 = spark.createDataFrame(
+        [(2, bytearray(blob), ("video/mp4", "b.bin", len(blob)))],
+        "doc_id long, payload binary, meta struct<mime:string,filename:string,n_bytes:long>",
+    )
+    row2 = MM.resize_assets(assets2, real_decode=True).collect()[0]
+    import hashlib
+
+    assert (row2.src_w, row2.src_h) == MM.fake_dims(
+        hashlib.md5(blob).hexdigest()
+    )
+
+
+@pytest.mark.skipif(not MM.HAVE_IMAGE_DECODER, reason="Pillow not installed")
+def test_resize_image_bytes_real_pixels():
+    """With Pillow present, the guarded path decodes and re-encodes a
+    real image at the planned integer dims."""
+    from PIL import Image
+    import io
+
+    out = MM.resize_image_bytes(_make_png(1000, 500), 384)
+    img = Image.open(io.BytesIO(out))
+    assert (img.width, img.height) == (384, 192)
