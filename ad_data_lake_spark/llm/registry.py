@@ -148,6 +148,23 @@ _add(
     ("llm", "dedup", "lsh", "join"),
 )
 
+# Production-path bench twin of dedup_minhash_lsh: identical pipeline on
+# the xxhash64 family (codegen'd JVM hash — no md5 hex slicing), which
+# DuckDB cannot reproduce bit-for-bit, so this row is ROWS-ONLY (no
+# oracle SQL). Family agreement is pinned separately:
+# tests/test_llm_pipeline.py asserts both families recover the same
+# planted duplicates, and the oracled md5 row stays the value gate.
+_add(
+    "dedup_minhash_lsh_xx",
+    _doc_q(
+        lambda docs: D.minhash_neardup_pairs(
+            CP.dup_corpus(docs), hash_family="xxhash64"
+        )
+    ),
+    None,
+    ("llm", "dedup", "lsh", "join", "bench-twin"),
+)
+
 _add(
     "dedup_simhash",
     _doc_q(lambda docs: D.simhash_groups(CP.dup_corpus(docs))),
