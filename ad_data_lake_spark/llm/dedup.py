@@ -439,15 +439,11 @@ def minhash_index_incremental(spark, sf_dir: str) -> DataFrame:
     At scale the index is written bucketed by band_key (layout.py Y1)
     so the probe join is co-located; the scratch layout here is plain
     parquet for the fixture."""
-    import os
-    import shutil
-
+    from ad_data_lake_spark.scratch import scratch_dir
     from ad_data_lake_spark.sources.tables import load_table
 
     docs = load_table(spark, "documents", sf_dir)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join("/tmp/ad_data_lake_spark_lake", f"minhash-index-{tag}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = scratch_dir(spark, "minhash-index", sf_dir)
 
     base = docs.where(F.col("doc_id") % INDEX_BATCH_MOD != 0)
     batch = docs.where(F.col("doc_id") % INDEX_BATCH_MOD == 0)

@@ -665,15 +665,11 @@ def ivf_index_incremental(spark, sf_dir: str) -> DataFrame:
     that lets a production pipeline index each day's embeddings
     without touching history (and the measurable contract a periodic
     retrain must re-establish)."""
-    import os
-    import shutil
-
+    from ad_data_lake_spark.scratch import scratch_dir
     from ad_data_lake_spark.sources.tables import load_table
 
     emb = load_table(spark, "embeddings", sf_dir)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join("/tmp/ad_data_lake_spark_lake", f"ivf-index-{tag}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = scratch_dir(spark, "ivf-index", sf_dir)
 
     base = emb.where(F.col("vec_id") % IVF_INDEX_BATCH_MOD != 0)
     batch = emb.where(F.col("vec_id") % IVF_INDEX_BATCH_MOD == 0)

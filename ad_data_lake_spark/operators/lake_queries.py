@@ -24,7 +24,6 @@ test-only plumbing beyond the scratch-dir swap.
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,14 +37,10 @@ from ad_data_lake_spark.streaming import run_available_now, streaming_daily_insi
 # the oracle SQL literals in queries.py).
 EVENTS_DAY = "2024-01-15"
 
-_TMP_ROOT = "/tmp/ad_data_lake_spark_lake"
+def _scratch(spark: SparkSession, name: str, sf_dir: str) -> str:
+    from ad_data_lake_spark.scratch import scratch_dir
 
-
-def _scratch(name: str, sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(_TMP_ROOT, f"{name}-{tag}")
-    shutil.rmtree(path, ignore_errors=True)
-    return path
+    return scratch_dir(spark, name, sf_dir)
 
 
 def _events_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +61,7 @@ def lake_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _events_slim(spark, sf_dir).withColumn(
         "snapshot_date", F.date_format("ts", "yyyy-MM-dd")
     )
-    path = _scratch("roundtrip", sf_dir)
+    path = _scratch(spark, "roundtrip", sf_dir)
     sinks.write_partitioned(daily, path, ("snapshot_date",))
     back = sinks.read_lake(spark, path).where(
         F.col("snapshot_date").cast("string") == EVENTS_DAY
@@ -90,7 +85,7 @@ def merge_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes last-wins over the union directly, so a hash match
     proves both upsert correctness and idempotency."""
     events = _events_slim(spark, sf_dir)
-    target = os.path.join(_scratch("merge", sf_dir), "events")
+    target = os.path.join(_scratch(spark, "merge", sf_dir), "events")
     incremental.merge_upsert(spark, target, events, "event_id", "ts", "value")
     updates = (
         events.where(F.col("event_id") % 10 == 0)
@@ -113,7 +108,7 @@ def backfill_partition_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _events_slim(spark, sf_dir).withColumn(
         "snapshot_date", F.date_format("ts", "yyyy-MM-dd")
     )
-    path = _scratch("backfill", sf_dir)
+    path = _scratch(spark, "backfill", sf_dir)
     sinks.write_partitioned(daily, path, ("snapshot_date",))
     amended = daily.where(F.col("snapshot_date") == EVENTS_DAY).withColumn(
         "value", F.col("value") + 100
@@ -139,7 +134,7 @@ def streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the original events — a hash match proves the
     stream deduped the planted rows and reproduced batch semantics."""
     events = _events_slim(spark, sf_dir)
-    src = os.path.join(_scratch("stream-src", sf_dir), "events")
+    src = os.path.join(_scratch(spark, "stream-src", sf_dir), "events")
     dup = events.where(F.col("event_id") % 10 == 0)
     events.unionByName(dup).write.mode("overwrite").parquet(src)
     stream = streaming_daily_insights(spark, src, events.schema)
@@ -167,7 +162,7 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir).select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
-    base = _scratch("bucketed", sf_dir)
+    base = _scratch(spark, "bucketed", sf_dir)
     layout.write_bucketed(orders, "lake_orders_bucketed", os.path.join(base, "orders"), "o_custkey")
     layout.write_bucketed(cust, "lake_customer_bucketed", os.path.join(base, "customer"), "o_custkey")
     j = layout.bucketed_join(spark, "lake_orders_bucketed", "lake_customer_bucketed", "o_custkey")
@@ -189,7 +184,7 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ad_data_lake_spark import layout
 
     events = _events_slim(spark, sf_dir)
-    path = os.path.join(_scratch("compact", sf_dir), "events")
+    path = os.path.join(_scratch(spark, "compact", sf_dir), "events")
     events.repartition(64).write.parquet(path)
     layout.compact_table(spark, path)
     return (
@@ -213,7 +208,7 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ad_data_lake_spark.streaming.incremental import streaming_attribution_join
 
     events = _events_slim(spark, sf_dir)
-    src = os.path.join(_scratch("attr-src", sf_dir), "events")
+    src = os.path.join(_scratch(spark, "attr-src", sf_dir), "events")
     events.write.mode("overwrite").parquet(src)
     stream = streaming_attribution_join(spark, src, events.schema)
     return run_available_now(

@@ -27,7 +27,6 @@ whole composition's row accounting end-to-end.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,9 +37,6 @@ from ad_data_lake_spark.sources.tables import load_table
 
 EVENTS_DAY = "2024-01-15"
 
-_TMP_ROOT = "/tmp/ad_data_lake_spark_pipeline"
-
-
 def _count_stage(df: DataFrame, stage: str) -> DataFrame:
     return df.agg(F.count("*").alias("n_rows")).select(F.lit(stage).alias("stage"), "n_rows")
 
@@ -50,9 +46,9 @@ def daily_extract(
 ) -> DataFrame:
     """One daily run over the fixture lake; returns the stage summary."""
     if lake_dir is None:
-        tag = os.path.basename(os.path.normpath(sf_dir))
-        lake_dir = os.path.join(_TMP_ROOT, tag)
-        shutil.rmtree(lake_dir, ignore_errors=True)
+        from ad_data_lake_spark.scratch import scratch_dir
+
+        lake_dir = scratch_dir(spark, "pipeline", sf_dir)
 
     orders = load_table(spark, "orders", sf_dir)
     lineitem = load_table(spark, "lineitem", sf_dir)

@@ -136,7 +136,8 @@ def spread(df: DataFrame) -> DataFrame:
     would add an exchange for nothing.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if _estimated_scan_partitions(df) >= target:
+    est = _estimated_scan_partitions(df)
+    if est is not None and est >= target:
         return df
     return df.repartition(target)
 
@@ -150,15 +151,34 @@ def _parse_bytes(v: str) -> int:
     return int(v)
 
 
-def _estimated_scan_partitions(df: DataFrame) -> int:
+# Logical nodes through which sizeInBytes stays file-size-derived.
+# Anything else (Join, Generate/explode, Aggregate, Window …) makes
+# Catalyst's non-CBO stats a multiplicative guess that can be wildly
+# inflated — and an inflated estimate would silently skip the fan-out
+# repartition spread() exists to add.
+_SCAN_SHAPED_NODES = frozenset(
+    {"Project", "Filter", "Union", "Relation", "LocalRelation", "LogicalRDD"}
+)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
     """Estimate how many input splits a scan yields, without touching
     ``df.rdd`` (which forces plan conversion and materializes RDD
     lineage just to ask a question the optimizer already answers).
     Catalyst's plan statistics give the scan's byte size; splits follow
     from ``spark.sql.files.maxPartitionBytes`` — the same arithmetic
     FilePartition uses, minus the open-cost packing refinement, which
-    only makes this estimate conservative (lower), never inflated."""
-    size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    only makes this estimate conservative (lower) FOR SCAN-SHAPED
+    plans. Returns None (estimate unusable → caller repartitions) when
+    the plan contains any node beyond project/filter/union-of-scans,
+    because without CBO those stats multiply out of file-size
+    territory."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for line in str(plan.toString()).splitlines():
+        node = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0].rstrip(",")
+        if node and node not in _SCAN_SHAPED_NODES:
+            return None
+    size = int(str(plan.stats().sizeInBytes()))
     max_bytes = _parse_bytes(
         df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
     )
