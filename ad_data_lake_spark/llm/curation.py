@@ -252,6 +252,89 @@ def mixture_sample(documents: DataFrame) -> DataFrame:
     )
 
 
+# n-gram boilerplate: a 3-gram appearing in >= this many DISTINCT
+# documents is corpus boilerplate; every token span it covers is
+# removed. The fixture documents are single-line with no sentence
+# punctuation (checked at sf0.01), so the classic line/sentence-level
+# dedup re-expresses at the n-gram-span level — same two-pass
+# corpus-frequency shape as C4/CCNet boilerplate cleaning.
+BOILERPLATE_MIN_DOCS = 4
+BOILERPLATE_N = 3
+
+
+def boilerplate_ngrams(
+    documents: DataFrame,
+    n: int = BOILERPLATE_N,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> DataFrame:
+    """(s, n_docs): the corpus-boilerplate n-grams — shingles seen in
+    at least ``min_docs`` distinct documents. Frequent-item output is
+    bounded (Zipf head), which is what makes the removal pass's
+    broadcast legal at any corpus size."""
+    from ad_data_lake_spark.llm.text import exploded_shingles
+
+    return (
+        exploded_shingles(documents, n=n)
+        .groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    documents: DataFrame,
+    n: int = BOILERPLATE_N,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> DataFrame:
+    """Span-level boilerplate removal, two passes:
+
+    1. corpus scan → frequent-shingle set (``boilerplate_ngrams``) —
+       small (frequent-item head), broadcast;
+    2. corpus scan → per-document matched positions → covered token
+       set (union of each match's [pos, pos+n-1]) → rebuild the text
+       from uncovered tokens.
+
+    Output: (doc_id, n_tokens, n_removed, cleaned_text). The covered
+    set is 1-based token indices; the rebuild filters by index with a
+    two-arg higher-order lambda — per-row bounded work, no Python.
+    Scale shape: one broadcast join over exploded shingles, one doc_id
+    aggregate, one corpus join on doc_id to attach the (sparse) covered
+    sets — the same two-pass contract every corpus-frequency cleaner
+    (CCNet/C4) runs; no all-pairs, no global sort."""
+    from ad_data_lake_spark.llm.text import exploded_shingles_with_pos
+
+    boiler = boilerplate_ngrams(documents, n, min_docs).select("s")
+    sh = exploded_shingles_with_pos(documents, n=n)
+    hits = (
+        sh.join(F.broadcast(boiler), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+                        )
+                    )
+                )
+            ).alias("covered")
+        )
+    )
+    toks = documents.select("doc_id", words(F.col("text")).alias("w"))
+    joined = toks.join(hits, "doc_id", "left").withColumn(
+        "covered", F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    )
+    cleaned = F.filter(
+        F.col("w"), lambda x, i: ~F.array_contains(F.col("covered"), i + 1)
+    )
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.size("covered").cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", cleaned).alias("cleaned_text"),
+    )
+
+
 CHUNK_TOKENS = 32
 CHUNK_OVERLAP = 8
 

@@ -739,6 +739,36 @@ _add(
 )
 
 _add(
+    "boilerplate_removal",
+    _doc_q(CU.remove_boilerplate),
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    sh AS (
+        SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM t, unnest(range(1, len(w) - 1)) AS u(i)),
+    boiler AS (
+        SELECT s FROM sh GROUP BY s
+        HAVING count(DISTINCT doc_id) >= {CU.BOILERPLATE_MIN_DOCS}),
+    hits AS (
+        SELECT doc_id,
+               list_sort(list_distinct(flatten(list([pos, pos + 1, pos + 2]))))
+                   AS covered
+        FROM sh JOIN boiler USING (s) GROUP BY doc_id)
+    SELECT t.doc_id,
+           len(w) AS n_tokens,
+           coalesce(len(covered), 0) AS n_removed,
+           coalesce(
+               array_to_string(
+                   list_filter(w, (x, i) ->
+                       NOT list_contains(coalesce(covered, []), CAST(i AS BIGINT))),
+                   ' '),
+               '') AS cleaned_text
+    FROM t LEFT JOIN hits USING (doc_id)
+    """,
+    ("llm", "curation", "boilerplate", "two-pass"),
+)
+
+_add(
     "chunk_documents",
     _doc_q(CU.chunk_documents),
     f"""

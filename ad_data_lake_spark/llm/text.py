@@ -101,6 +101,30 @@ def exploded_shingles(df: DataFrame, id_col: str = "doc_id", n: int = 3) -> Data
     return idx.select(id_col, shingle.alias("s"))
 
 
+def exploded_shingles_with_pos(
+    df: DataFrame, id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id_col, pos, s): like ``exploded_shingles`` but keeping each
+    occurrence's 1-based START TOKEN INDEX — the form span-level
+    consumers (boilerplate removal) need to map a shingle match back to
+    the token positions it covers. Same codegen/zero-shuffle shape."""
+    df = spread(df)
+    w = words(F.col("text"))
+    idx = df.select(
+        F.col(id_col),
+        w.alias("_w"),
+        F.explode(
+            F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("pos"),
+    )
+    shingle = F.concat_ws(
+        " ", *[F.element_at("_w", F.col("pos") + k) for k in range(n)]
+    )
+    return idx.select(id_col, "pos", shingle.alias("s"))
+
+
 def text_stats(documents: DataFrame) -> DataFrame:
     """Per-document corpus statistics: chars, whitespace tokens, mean
     token length, stopword ratio, uppercase-start flag. One projection,

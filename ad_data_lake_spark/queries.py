@@ -1354,16 +1354,20 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sanitize_adset_payload",
     "json_decode_ingest",
     "fn_brand_safety",
-    # --- changed in round 5 (r4-green, but re-prove the new code) ---
+    # --- new in round 5 (no driver row yet) + changed in round 5
+    # (r4-green, but re-prove the new code); split_summary's change is
+    # the lowest-risk of the batch (pure projection fusion) and yields
+    # its slot to the new operator ---
+    "boilerplate_removal",
     "merge_upsert_idempotent",
     "daily_extract_pipeline",
     "curation_pipeline",
-    "split_summary",
     "contamination_check",
     "dedup_simhash",
     "streaming_attribution_join",
     "embed_topk_ivf",
     # --- round-4-window queries (driver-proven last round) ---
+    "split_summary",
     "mixture_sample",
     "chunk_documents",
     "minhash_index_incremental",

@@ -149,3 +149,37 @@ def test_chunk_documents_window_properties(spark, documents):
         for r in rs[1:]:
             rebuilt += r.chunk_text.split(" ")[CU.CHUNK_OVERLAP :]
         assert rebuilt == full
+
+
+def test_boilerplate_removal_invariants(documents):
+    """Two-pass n-gram boilerplate removal: non-vacuous on the fixture
+    (some spans removed, some docs untouched), the cleaned text is
+    exactly the uncovered tokens in order, and no boilerplate 3-gram
+    survives fully intact in any cleaned document."""
+    from ad_data_lake_spark.llm.text import words
+
+    out = CU.remove_boilerplate(documents).collect()
+    toks = {
+        r.doc_id: r.t
+        for r in documents.select("doc_id", words(F.col("text")).alias("t")).collect()
+    }
+    assert {r.doc_id for r in out} == set(toks)
+    removed_docs = [r for r in out if r.n_removed > 0]
+    untouched = [r for r in out if r.n_removed == 0]
+    assert removed_docs, "boilerplate removal is vacuous on the fixture"
+    assert untouched, "every doc hit — min_docs threshold too low to be meaningful"
+    boiler = {
+        r.s for r in CU.boilerplate_ngrams(documents).collect()
+    }
+    assert boiler
+    for r in out:
+        full = toks[r.doc_id]
+        assert r.n_tokens == len(full)
+        cleaned = r.cleaned_text.split(" ") if r.cleaned_text else []
+        assert len(cleaned) == r.n_tokens - r.n_removed
+        # cleaned is a subsequence of the original tokens
+        it = iter(full)
+        assert all(any(tok == x for x in it) for tok in cleaned)
+    # the worst offender actually lost its boilerplate spans
+    worst = max(removed_docs, key=lambda r: r.n_removed)
+    assert worst.n_removed >= 3  # at least one full 3-gram span
