@@ -225,6 +225,21 @@ _add(
     ("llm", "text", "tokens"),
 )
 
+_add(
+    "token_vocab",
+    _doc_q(T.token_vocab),
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS}) AS token FROM documents)
+    SELECT token, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM toks GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT {T.VOCAB_TOP_K}
+    """,
+    ("llm", "text", "vocabulary", "top-k"),
+)
+
 _LANG_SCORES = ",\n           ".join(
     f"len(list_filter(w, x -> x IN ({_sql_in(stops)}))) AS s_{lang}"
     for lang, stops in T.LANG_STOPWORDS.items()

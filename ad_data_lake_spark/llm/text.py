@@ -157,6 +157,32 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 50
+
+
+def token_vocab(documents: DataFrame, top_k: int = VOCAB_TOP_K) -> DataFrame:
+    """Tokenizer-training vocabulary extraction: the corpus's top-K
+    tokens by total occurrences with their document frequencies — the
+    frequency table every BPE/unigram tokenizer trainer starts from
+    (and the IDF input for retrieval scoring).
+
+    One explode → one token groupBy (map-side combine collapses each
+    partition to its distinct tokens before the shuffle) → top-K via
+    sort+limit, which Spark executes as TakeOrdered (per-partition
+    heaps, no global sort materialization). Deterministic boundary:
+    ties at rank K break on the token string in both engines."""
+    toks = documents.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Stopword-hit language-ID heuristic: score each language by
     membership hits over the token list, argmax with deterministic

@@ -1359,15 +1359,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # the lowest-risk of the batch (pure projection fusion) and yields
     # its slot to the new operator ---
     "boilerplate_removal",
+    "token_vocab",
     "merge_upsert_idempotent",
-    "daily_extract_pipeline",
     "curation_pipeline",
     "contamination_check",
     "dedup_simhash",
     "streaming_attribution_join",
     "embed_topk_ivf",
-    # --- round-4-window queries (driver-proven last round) ---
+    # --- round-4-window queries (driver-proven last round;
+    # daily_extract_pipeline's round-5 change is the same merge path
+    # merge_upsert_idempotent re-proves in-window) ---
     "split_summary",
+    "daily_extract_pipeline",
     "mixture_sample",
     "chunk_documents",
     "minhash_index_incremental",

@@ -274,3 +274,25 @@ def test_resize_image_bytes_real_pixels():
     out = MM.resize_image_bytes(_make_png(1000, 500), 384)
     img = Image.open(io.BytesIO(out))
     assert (img.width, img.height) == (384, 192)
+
+
+def test_token_vocab_frequencies(documents):
+    """Vocabulary extraction: counts are consistent (doc frequency
+    never exceeds occurrences), ordering is (count desc, token asc),
+    and on the small-vocab fixture the table covers every distinct
+    token (top_k exceeds the vocabulary)."""
+    from ad_data_lake_spark.llm.text import token_vocab, words
+
+    out = token_vocab(documents).collect()
+    assert 0 < len(out) <= 50
+    n_distinct = (
+        documents.select(F.explode(words(F.col("text"))).alias("t"))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert len(out) == min(50, n_distinct)
+    for r in out:
+        assert 1 <= r.n_docs <= r.n_occurrences
+    keys = [(-r.n_occurrences, r.token) for r in out]
+    assert keys == sorted(keys)
