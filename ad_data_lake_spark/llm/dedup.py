@@ -280,6 +280,93 @@ def minhash_neardup_pairs(
     )
 
 
+CLUSTER_MAX_ITERS = 16
+
+
+def neardup_clusters(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    hash_family: str = "md5",
+    max_iters: int = CLUSTER_MAX_ITERS,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash pair graph — the step that turns pairwise matches into the
+    keep-one-per-group decision a dedup pipeline actually applies
+    (keeper = min doc_id per component, the same rule dedup_exact
+    uses). Output: one row per multi-document cluster
+    (cluster_id = min member, n_docs, sorted member array).
+
+    Algorithm: iterative min-label propagation — each round every
+    vertex takes the minimum label among itself and its neighbors, so
+    labels converge in O(component diameter) rounds (duplicate
+    clusters are near-cliques in practice: a star of copies around a
+    source, diameter ≤ 2–3). The loop runs Spark-side joins with a
+    driver-side convergence CHECK per round (one count of changed
+    labels — a scalar action, not row data) and stops at fixpoint;
+    ``max_iters`` bounds pathological chains. This is the simple
+    member of the map-reduce connected-components family
+    (small-star/large-star, Kiveris et al. "Connected Components in
+    MapReduce and Beyond" — public literature); the alternating-star
+    variant drops in when component diameters are unbounded.
+
+    Scale shape per round: one join of the (sparse) edge list against
+    the label table on the vertex key plus one min-aggregate — both
+    hash-partitioned on doc_id, no all-pairs, no global sort. The
+    DuckDB oracle computes the same components via a recursive CTE, so
+    the value hash verifies the transitive closure exactly."""
+    pairs = minhash_neardup_pairs(corpus, threshold, hash_family).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"), F.col("label").alias("nl")
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nl").alias("nbr_label"))
+            .select(F.col("doc_a").alias("doc_id"), "nbr_label")
+        )
+        updated = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+        )
+        # one scalar action per round: materialize the new labels and
+        # count changes (the fixpoint test every iterative CC runs)
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.where(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(F.col("label").alias("cluster_id"), "n_docs", "doc_ids")
+    )
+
+
 def ngram_jaccard_pairs(corpus: DataFrame, mod: int = 50) -> DataFrame:
     """Exact n-gram Jaccard over an explicit (bounded) candidate set —
     the verification primitive on its own, for callers that bring their

@@ -116,11 +116,10 @@ _add(
     ("llm", "dedup", "aggregate"),
 )
 
-_add(
-    "dedup_minhash_lsh",
-    _doc_q(lambda docs: D.minhash_neardup_pairs(CP.dup_corpus(docs))),
-    f"""
-    WITH {CP.DUP_CORPUS_SQL},
+# Shared CTE chain ending in the verified (doc_a, doc_b, jaccard) pair
+# set — consumed by the pair query and by the connected-components
+# cluster query's recursive closure.
+_MINHASH_PAIR_CTES = f"""{CP.DUP_CORPUS_SQL},
     sh AS (
         SELECT doc_id, {_SHINGLES} AS shingles
         FROM (SELECT doc_id, {_WORDS} AS w FROM corpus)),
@@ -134,18 +133,48 @@ _add(
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id)
-    SELECT * FROM (
-        SELECT doc_a, doc_b,
-               round(len(list_intersect(sa.jset, sb.jset))
-                     / len(list_distinct(list_concat(sa.jset, sb.jset))),
-                     4) AS jaccard
-        FROM pairs
-        JOIN sig sa ON pairs.doc_a = sa.doc_id
-        JOIN sig sb ON pairs.doc_b = sb.doc_id)
-    WHERE jaccard >= 0.5
+         AND a.doc_id < b.doc_id),
+    verified AS (
+        SELECT * FROM (
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(sa.jset, sb.jset))
+                         / len(list_distinct(list_concat(sa.jset, sb.jset))),
+                         4) AS jaccard
+            FROM pairs
+            JOIN sig sa ON pairs.doc_a = sa.doc_id
+            JOIN sig sb ON pairs.doc_b = sb.doc_id)
+        WHERE jaccard >= 0.5)"""
+
+_add(
+    "dedup_minhash_lsh",
+    _doc_q(lambda docs: D.minhash_neardup_pairs(CP.dup_corpus(docs))),
+    f"""
+    WITH {_MINHASH_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM verified
     """,
     ("llm", "dedup", "lsh", "join"),
+)
+
+_add(
+    "neardup_clusters",
+    _doc_q(lambda docs: D.neardup_clusters(CP.dup_corpus(docs))),
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    edges AS (
+        SELECT doc_a, doc_b FROM verified
+        UNION ALL
+        SELECT doc_b, doc_a FROM verified),
+    cc AS (
+        SELECT doc_a AS doc, doc_a AS label FROM edges
+        UNION
+        SELECT e.doc_a AS doc, cc.label
+        FROM cc JOIN edges e ON cc.doc = e.doc_b),
+    lab AS (SELECT doc, min(label) AS cluster_id FROM cc GROUP BY doc)
+    SELECT cluster_id, count(*) AS n_docs,
+           list_sort(list(doc)) AS doc_ids
+    FROM lab GROUP BY cluster_id HAVING count(*) > 1
+    """,
+    ("llm", "dedup", "clusters", "iterative", "graph"),
 )
 
 # Production-path bench twin of dedup_minhash_lsh: identical pipeline on

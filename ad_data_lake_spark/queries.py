@@ -1360,17 +1360,20 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # its slot to the new operator ---
     "boilerplate_removal",
     "token_vocab",
+    "neardup_clusters",
     "merge_upsert_idempotent",
     "curation_pipeline",
     "contamination_check",
     "dedup_simhash",
-    "streaming_attribution_join",
     "embed_topk_ivf",
     # --- round-4-window queries (driver-proven last round;
     # daily_extract_pipeline's round-5 change is the same merge path
-    # merge_upsert_idempotent re-proves in-window) ---
+    # merge_upsert_idempotent re-proves in-window, and
+    # streaming_attribution_join's is only a drain-session conf,
+    # covered by the cross-micro-batch pytest) ---
     "split_summary",
     "daily_extract_pipeline",
+    "streaming_attribution_join",
     "mixture_sample",
     "chunk_documents",
     "minhash_index_incremental",

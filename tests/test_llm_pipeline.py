@@ -296,3 +296,32 @@ def test_token_vocab_frequencies(documents):
         assert 1 <= r.n_docs <= r.n_occurrences
     keys = [(-r.n_occurrences, r.token) for r in out]
     assert keys == sorted(keys)
+
+
+def test_neardup_clusters_group_planted_copies(documents):
+    """Connected components over the verified pair graph: every planted
+    exact and near copy must land in its source's cluster with the
+    source as cluster_id (min member), and the member lists must be
+    disjoint."""
+    clusters = D.neardup_clusters(CP.dup_corpus(documents)).collect()
+    assert clusters
+    seen = set()
+    by_cluster = {}
+    for c in clusters:
+        assert c.n_docs == len(c.doc_ids) >= 2
+        assert c.cluster_id == min(c.doc_ids)
+        for d in c.doc_ids:
+            assert d not in seen  # components partition the vertices
+            seen.add(d)
+        by_cluster[c.cluster_id] = set(c.doc_ids)
+    # planted copies: base b gets exact copy b+EXACT_OFFSET and near
+    # copy b+NEAR_OFFSET; both must share b's component
+    bases = [r.doc_id for r in documents.where(
+        (F.col("doc_id") % CP.EXACT_MOD == 0) & (F.col("doc_id") % CP.NEAR_MOD == 0)
+    ).collect()]
+    assert bases
+    for b in bases:
+        cid = next((k for k, v in by_cluster.items() if b in v), None)
+        assert cid is not None, f"base {b} not clustered"
+        assert b + CP.EXACT_OFFSET in by_cluster[cid]
+        assert b + CP.NEAR_OFFSET in by_cluster[cid]
