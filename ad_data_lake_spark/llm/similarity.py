@@ -43,7 +43,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 N_PLANES = 8
 DIM = 64
@@ -240,7 +247,7 @@ def _cell_scores(u: Column, cents: Centroids) -> Column:
     carrier — store centroids in a table and broadcast-join instead.
 
     This JVM form scores the (small) probe side; full-corpus
-    assignment uses the Arrow-vectorized ``_assign_cells_pd``."""
+    assignment uses the Arrow-vectorized ``_unit_and_cell_pd``."""
     return F.array(
         *[
             F.struct(
@@ -252,27 +259,38 @@ def _cell_scores(u: Column, cents: Centroids) -> Column:
     )
 
 
-def _assign_cells_pd(cents: Centroids):
-    """Arrow-vectorized nearest-centroid assignment: one numpy matmul
-    per batch against the driver-side centroid matrix, argmax with the
-    same round-to-6dp + lowest-cell tie rule as ``_cell_scores``
-    (cells ascend, ``np.argmax`` returns the first maximum). The 6-dp
-    round absorbs BLAS-vs-sequential-fold summation noise — the same
-    contract ``lsh_bucket_udf`` runs under. This is the full-corpus
-    scoring path: the interpreted JVM fold costs ~0.1 ms/vector·8
-    cells, a vectorized batch ~1 µs."""
-    C = np.array([c for _, c in cents], dtype=np.float64).T  # dim × n_cells
+def _unit_and_cell_pd(cents: Centroids):
+    """Fused Arrow-vectorized normalize + nearest-centroid assign in
+    ONE Python round trip (a separate normalize UDF → assign UDF chain
+    would plan two ArrowEval nodes and ship the vectors to a worker
+    twice per corpus pass). One numpy matmul per batch against the
+    driver-side centroid matrix; argmax keeps the round-to-6dp +
+    lowest-cell tie rule of ``_cell_scores`` (cells ascend,
+    ``np.argmax`` returns the first maximum), and the 6-dp round
+    absorbs BLAS-vs-sequential-fold summation noise — the same
+    contract ``lsh_bucket_udf`` runs under. The interpreted JVM fold
+    costs ~0.1 ms/vector·8 cells; a vectorized batch ~1 µs."""
+    C = np.array([c for _, c in cents], dtype=np.float64).T
     cells = np.array([cell for cell, _ in cents], dtype=np.int64)
+    out_type = StructType(
+        [
+            StructField("u", ArrayType(DoubleType())),
+            StructField("cell", LongType()),
+        ]
+    )
 
-    @pandas_udf(LongType())
-    def assign(u: pd.Series) -> pd.Series:
-        if len(u) == 0:
-            return pd.Series([], dtype="int64")
-        U = np.vstack(u.to_numpy())
+    @pandas_udf(out_type)
+    def unit_cell(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"u": [], "cell": []})
+        V = np.vstack(v.to_numpy())
+        U = V / np.linalg.norm(V, axis=1, keepdims=True)
         scores = np.round(U @ C, 6)
-        return pd.Series(cells[np.argmax(scores, axis=1)])
+        return pd.DataFrame(
+            {"u": list(U), "cell": cells[np.argmax(scores, axis=1)]}
+        )
 
-    return assign
+    return unit_cell
 
 
 def ivf_centroids(
@@ -310,10 +328,11 @@ def ivf_centroids(
         .select(F.col("vec_id").alias("cell"), _round6_arr(F.col("u")).alias("c"))
         .collect()
     )
+    v = as_double(F.col("embedding"))
     for _ in range(iters):
-        assigned = u.select(
-            _assign_cells_pd(cents)(F.col("u")).alias("cell"), "u"
-        )
+        assigned = embeddings.select(
+            _unit_and_cell_pd(cents)(v).alias("uc")
+        ).select(F.col("uc.cell").alias("cell"), F.col("uc.u").alias("u"))
         # elementwise mean as ONE aggregate of dim column-wise avgs
         # (map-side combine collapses each partition to n_cells rows) —
         # a posexplode + (cell,pos) groupBy would pay a second shuffle
@@ -361,14 +380,15 @@ def topk_ivf(
         n_cells = ivf_cells_for(embeddings.count())
     u = unit_vectors(embeddings)
     cents = ivf_centroids(embeddings, n_cells, iters)
-    # Arrow-vectorized assignment; as a bonus the ArrowEvalPython node
-    # is a pushdown barrier, so the join's inferred isnotnull(cell)
-    # predicate cannot substitute the scoring into the scan's
-    # DataFilters (with the JVM expression form that re-evaluation
-    # measured 7.1 s vs 0.9 s at sf0.1 for the pairs stage).
-    assigned = u.select(
-        "vec_id", _assign_cells_pd(cents)(F.col("u")).alias("cell"), "u"
-    )
+    # Fused Arrow normalize+assign (one Python round trip); as a bonus
+    # the ArrowEvalPython node is a pushdown barrier, so the join's
+    # inferred isnotnull(cell) predicate cannot substitute the scoring
+    # into the scan's DataFilters (with the JVM expression form that
+    # re-evaluation measured 7.1 s vs 0.9 s at sf0.1 for the pairs
+    # stage).
+    assigned = embeddings.select(
+        "vec_id", _unit_and_cell_pd(cents)(as_double(F.col("embedding"))).alias("uc")
+    ).select("vec_id", F.col("uc.cell").alias("cell"), F.col("uc.u").alias("u"))
     # top-nprobe probe cells per query: sort the (small, per-row) score
     # array — struct(-s, cell) ascending == cosine desc, cell asc — and
     # explode the head; no window, no shuffle.
@@ -645,9 +665,11 @@ def ivf_assign(embeddings: DataFrame, cents: Centroids) -> DataFrame:
     the quantizer is not retrained. Production practice retrains
     periodically when cell balance drifts; between retrains this is
     the whole per-batch cost."""
-    u = unit_vectors(embeddings)
-    return u.select(
-        "vec_id", _assign_cells_pd(cents)(F.col("u")).alias("cell")
+    return embeddings.select(
+        "vec_id",
+        _unit_and_cell_pd(cents)(as_double(F.col("embedding")))["cell"].alias(
+            "cell"
+        ),
     )
 
 
