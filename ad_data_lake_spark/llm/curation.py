@@ -20,7 +20,7 @@ the way llm/dedup.py does when pinning to the JVM is acceptable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ad_data_lake_spark.llm.dedup import _exploded_shingle_hashes
@@ -336,6 +336,101 @@ def remove_boilerplate(
         F.size("w").cast("bigint").alias("n_tokens"),
         F.size("covered").cast("bigint").alias("n_removed"),
         F.concat_ws(" ", cleaned).alias("cleaned_text"),
+    )
+
+
+STRATA_K = 40  # documents kept per language stratum
+
+
+def stratified_sample(documents: DataFrame, k: int = STRATA_K) -> DataFrame:
+    """Exact-count stratified sampling: the K documents with the
+    smallest md5(doc_id) key per language stratum — deterministic,
+    content-stable (a doc's membership never depends on partitioning or
+    arrival order), and exact where ``mixture_sample``'s rate predicate
+    is fractional.
+
+    Strata are few (languages/domains), so a window partitioned by
+    stratum LOOKS like the classic low-cardinality skew trap — every
+    row of a stratum on one reducer. It isn't, because Catalyst plans
+    the ``row_number() <= K`` filter as a partial ``WindowGroupLimit``
+    BELOW the exchange: every map partition pre-prunes to its local K
+    smallest per stratum during the scan, so the shuffle carries at
+    most K × map-partitions rows per stratum — bounded by the task
+    count, never by corpus size — and the reducer sorts only that.
+    (The hand-salted two-level top-K this replaces spent a second
+    exchange to build the same bound; asserted in
+    tests/test_plans.py.)"""
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    base = documents.select("doc_id", "lang", key.alias("skey"))
+    w = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    return base.withColumn("sample_rank", F.row_number().over(w)).where(
+        F.col("sample_rank") <= k
+    )
+
+
+SHUFFLE_SHARDS = 8
+SHUFFLE_SEED = "epoch-0"
+
+
+def epoch_shuffle(
+    documents: DataFrame, n_shards: int = SHUFFLE_SHARDS, seed: str = SHUFFLE_SEED
+) -> DataFrame:
+    """Deterministic epoch shuffle + sharding: the training-order
+    assignment every data loader needs — each document gets a shard, a
+    position within the shard, and its token offset, all derived from
+    md5(seed:doc_id) so (a) changing the seed reshuffles the epoch,
+    (b) the order is reproducible run-to-run and engine-to-engine, and
+    (c) no global sort exists anywhere: the ORDER is defined per shard,
+    which is how loaders consume it (one reader per shard file).
+
+    One window per shard (``pack_sequences``'s proven shape): shards
+    are hash-balanced, the per-shard sort is the only ordering work,
+    and parallelism equals the shard count — the knob that scales with
+    corpus size."""
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col("doc_id").cast("string")))
+    shard = F.conv(F.substring(key, 1, 7), 16, 10).cast("long") % n_shards
+    base = documents.select(
+        "doc_id",
+        key.alias("_skey"),
+        shard.alias("shard"),
+        F.size(words(F.col("text"))).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("_skey", "doc_id")
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+        "n_tokens",
+        (cum - F.col("n_tokens")).cast("long").alias("tok_offset"),
+    )
+
+
+def cross_split_leakage(documents: DataFrame) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs (MinHash-LSH verified,
+    same pair set as ``dedup_minhash_lsh``) annotated with each side's
+    train/val/test assignment and flagged when the pair crosses a split
+    boundary — the eval-integrity check run after any split: a test
+    document with a near-twin in train is leaked signal.
+
+    Costs NOTHING beyond the pair set itself: the split is a pure hash
+    projection of each pair column (``_split_expr`` inline — no join
+    back to the corpus, no extra shuffle)."""
+    from ad_data_lake_spark.llm.corpus import dup_corpus
+    from ad_data_lake_spark.llm.dedup import minhash_neardup_pairs
+
+    pairs = minhash_neardup_pairs(dup_corpus(documents))
+    split_a = _split_expr(_id_hash_pct(F.col("doc_a")))
+    split_b = _split_expr(_id_hash_pct(F.col("doc_b")))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        split_a.alias("split_a"),
+        split_b.alias("split_b"),
+        (split_a != split_b).alias("is_leak"),
     )
 
 

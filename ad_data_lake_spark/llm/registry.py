@@ -833,3 +833,110 @@ _add(
     """,
     ("llm", "curation", "chunking"),
 )
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: corpus-LM quality scoring, TF-IDF keywording,
+# stratified sampling, epoch shuffle, split-leakage audit
+# ---------------------------------------------------------------------------
+
+_add(
+    "unigram_lm_score",
+    _doc_q(T.unigram_lm_score),
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
+    vocab AS (
+        SELECT token, count(*) AS cnt FROM toks GROUP BY token
+        ORDER BY cnt DESC, token LIMIT {T.LM_VOCAB_K}),
+    tot AS (SELECT count(*) AS n_total FROM toks)
+    SELECT doc_id, count(*) AS n_tokens,
+           count(*) FILTER (WHERE cnt IS NULL) AS n_oov,
+           round(avg(ln(n_total / COALESCE(cnt, 1))), 4) AS avg_nll,
+           round(exp(avg(ln(n_total / COALESCE(cnt, 1)))), 2) AS perplexity
+    FROM toks LEFT JOIN vocab USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    ("llm", "text", "quality", "language-model"),
+)
+
+_add(
+    "tfidf_top_terms",
+    _doc_q(T.tfidf_top_terms),
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, token, tf, df,
+               round(tf * ln((n_docs + 1) / (df + 1)), 4) AS tfidf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN nd)
+    SELECT doc_id, token, tf, df, tfidf, term_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, token) AS term_rank
+        FROM scored)
+    WHERE term_rank <= {T.TFIDF_TOP_K}
+    """,
+    ("llm", "text", "tfidf", "top-k", "window"),
+)
+
+_add(
+    "stratified_sample",
+    _doc_q(CU.stratified_sample),
+    f"""
+    SELECT doc_id, lang, skey, sample_rank FROM (
+        SELECT doc_id, lang, skey,
+               row_number() OVER (PARTITION BY lang
+                      ORDER BY skey, doc_id) AS sample_rank
+        FROM (SELECT doc_id, lang,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS skey
+              FROM documents))
+    WHERE sample_rank <= {CU.STRATA_K}
+    """,
+    ("llm", "curation", "sampling", "stratified", "window"),
+)
+
+_add(
+    "epoch_shuffle",
+    _doc_q(CU.epoch_shuffle),
+    f"""
+    WITH b AS (
+        SELECT doc_id,
+               md5('{CU.SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS skey,
+               ('0x' || substr(md5('{CU.SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                               1, 7))::BIGINT % {CU.SHUFFLE_SHARDS} AS shard,
+               len({_WORDS}) AS n_tokens
+        FROM documents)
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos,
+           n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY skey, doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens
+                AS BIGINT) AS tok_offset
+    FROM b
+    """,
+    ("llm", "curation", "shuffle", "window"),
+)
+
+_add(
+    "cross_split_leakage",
+    _doc_q(CU.cross_split_leakage),
+    f"""
+    WITH {_MINHASH_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard, split_a, split_b,
+           split_a <> split_b AS is_leak
+    FROM (
+        SELECT doc_a, doc_b, jaccard,
+               CASE WHEN pa < 90 THEN 'train' WHEN pa < 95 THEN 'val'
+                    ELSE 'test' END AS split_a,
+               CASE WHEN pb < 90 THEN 'train' WHEN pb < 95 THEN 'val'
+                    ELSE 'test' END AS split_b
+        FROM (
+            SELECT doc_a, doc_b, jaccard,
+                   ('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 7))::BIGINT
+                       % 100 AS pa,
+                   ('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 7))::BIGINT
+                       % 100 AS pb
+            FROM verified))
+    """,
+    ("llm", "curation", "leakage", "lsh", "join"),
+)

@@ -343,3 +343,93 @@ def pii_redact(documents: DataFrame) -> DataFrame:
         F.sha2(redacted, 256).alias("redacted_sha"),
         F.length(redacted).alias("redacted_len"),
     )
+
+
+# Unigram-LM vocabulary truncation: the model keeps the top-K tokens by
+# corpus count (deterministic boundary: count desc, token asc); any OOV
+# token scores with a count floor of 1 — the CCNet-style "perplexity
+# under a corpus LM" quality signal, reduced to its unigram core so the
+# DuckDB oracle verifies every probability. K=24 against the fixture's
+# 31-token vocabulary so the OOV path does real work.
+LM_VOCAB_K = 24
+
+
+def unigram_lm_score(documents: DataFrame, vocab_k: int = LM_VOCAB_K) -> DataFrame:
+    """Corpus-trained unigram language-model scoring: per document the
+    mean negative log-likelihood and perplexity of its tokens under
+    unigram probabilities estimated from the SAME corpus — the standard
+    cheap quality/outlier signal (CCNet scores documents with a KenLM
+    5-gram; the unigram reduction keeps the train-then-score shape and
+    stays exactly reproducible in the oracle). High perplexity = tokens
+    rare in the corpus = candidate junk.
+
+    Scale shape: train pass = one token groupBy (map-side combine →
+    vocab-sized shuffle) truncated to top-K, so the model table is
+    bounded by construction and BROADCASTS regardless of corpus size;
+    score pass = the token stream left-joins the broadcast vocab (no
+    corpus shuffle) into one doc_id aggregate. The one-row token total
+    rides along as a broadcast cross join — no driver-side collect of
+    the trained model."""
+    toks = documents.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    # both the top-K vocabulary and the token total derive from ONE
+    # full-vocabulary aggregate — its shuffle is computed once and
+    # reused by both consumers (asserted in tests/test_plans.py), so
+    # training reads the corpus exactly once
+    vocab_full = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    vocab = vocab_full.orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_k)
+    totals = vocab_full.agg(F.sum("cnt").alias("n_total"))
+    nll = F.log(F.col("n_total") / F.coalesce(F.col("cnt"), F.lit(1)))
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_if(F.col("cnt").isNull()).alias("n_oov"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), 2).alias("perplexity"),
+        )
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(documents: DataFrame, top_k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document top-K characteristic terms by TF-IDF (smoothed
+    idf = ln((N+1)/(df+1))) — the keyword-extraction / retrieval-weight
+    primitive. Rank is deterministic in both engines: ordered by the
+    ROUNDED score (so last-ulp drift cannot reorder), then token text.
+
+    Scale shape: term frequencies are one (doc_id, token) groupBy
+    (map-side combine absorbs repeats in the scan stage); document
+    frequencies derive from THAT aggregate — one more vocab-sized
+    groupBy, never a second pass over the token stream — and the
+    vocab-sized (df, N) tables broadcast back. The final per-document
+    top-K window partitions on doc_id: maximal key cardinality, no
+    skew, state bounded by one document's distinct tokens."""
+    toks = documents.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # the tf>0 predicate is vacuously true; it keeps the tf column
+    # referenced so column pruning cannot specialize this branch's copy
+    # of the tf aggregate — both consumers then share ONE canonical
+    # exchange (ReusedExchange, asserted in tests/test_plans.py)
+    # instead of re-scanning the token stream to rebuild it
+    dfreq = tf.where(F.col("tf") > 0).groupBy("token").agg(F.count("*").alias("df"))
+    ndocs = documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 4
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= top_k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "term_rank")
+    )

@@ -1354,23 +1354,31 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sanitize_adset_payload",
     "json_decode_ingest",
     "fn_brand_safety",
-    # --- new in round 5 (no driver row yet) + changed in round 5
-    # (r4-green, but re-prove the new code); split_summary's change is
-    # the lowest-risk of the batch (pure projection fusion) and yields
-    # its slot to the new operator ---
+    # --- new in round 5 (no driver row yet): these eight fill the
+    # window exactly. The queries whose IMPLEMENTATION changed this
+    # round (merge_upsert_idempotent, curation_pipeline,
+    # contamination_check, dedup_simhash, embed_topk_ivf) hold r4-green
+    # rows by name and lead the out-of-window block below; the local
+    # sf0.01 gate (scripts/driver_sim.py) re-proves the changed code ---
     "boilerplate_removal",
     "token_vocab",
     "neardup_clusters",
+    "unigram_lm_score",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "epoch_shuffle",
+    "cross_split_leakage",
+    # --- changed in round 5 (r4-green by name; re-proved by the local
+    # gate + pytest), then the round-4-window queries (driver-proven
+    # last round; daily_extract_pipeline's round-5 change is the same
+    # merge path merge_upsert_idempotent re-proves, and
+    # streaming_attribution_join's is only a drain-session conf,
+    # covered by the cross-micro-batch pytest) ---
     "merge_upsert_idempotent",
     "curation_pipeline",
     "contamination_check",
     "dedup_simhash",
     "embed_topk_ivf",
-    # --- round-4-window queries (driver-proven last round;
-    # daily_extract_pipeline's round-5 change is the same merge path
-    # merge_upsert_idempotent re-proves in-window, and
-    # streaming_attribution_join's is only a drain-session conf,
-    # covered by the cross-micro-batch pytest) ---
     "split_summary",
     "daily_extract_pipeline",
     "streaming_attribution_join",

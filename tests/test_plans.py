@@ -32,7 +32,11 @@ _SWEEP = [n for n, s in REGISTRY.items() if "write" not in s.tags]
 # bounded query set broadcast. The scale paths are topk_ivf/topk_lsh
 # (topk_ivf's centroids are now a driver-side literal, so its plan
 # carries no nested-loop/cross join at all and needs no exemption).
-_CROSS_BY_DESIGN = {"embed_topk_bruteforce"}
+# unigram_lm_score / tfidf_top_terms carry a ONE-ROW scalar broadcast
+# (the corpus token total / document count) as BroadcastNestedLoopJoin
+# BuildRight — a single-row build side is a scalar attach, not a
+# data-volume join; test_lm_scoring_plans pins the real joins.
+_CROSS_BY_DESIGN = {"embed_topk_bruteforce", "unigram_lm_score", "tfidf_top_terms"}
 
 
 @pytest.mark.parametrize("name", _SWEEP)
@@ -175,3 +179,50 @@ def test_pack_sequences_single_shard_window(spark):
     assert p.count("Exchange hashpartitioning(shard") == 1
     assert "Exchange rangepartitioning" not in p, "no global sort in packing"
     assert "Window" in p
+
+
+def test_stratified_sample_rank_limit_pushed_below_shuffle(spark):
+    """Low-cardinality strata are only skew-safe because Catalyst plans
+    the rank filter as a PARTIAL WindowGroupLimit below the exchange:
+    each map partition pre-prunes to its local K per stratum, so the
+    shuffle carries ≤ K × tasks rows per stratum, never the corpus."""
+    p = plan_of(spark, "stratified_sample")
+    assert p.count("WindowGroupLimit") == 2, "need Partial + Final group limits"
+    assert "row_number(), 40, Partial" in p, "map-side prune must exist"
+    assert p.count("Exchange") == 1, "one stratum exchange, no salted second pass"
+
+
+def test_epoch_shuffle_single_shard_window(spark):
+    """Epoch shuffle = pack_sequences' shard-window shape: one exchange
+    on shard, both window functions in one pass, no global sort."""
+    p = plan_of(spark, "epoch_shuffle")
+    assert p.count("Exchange hashpartitioning(shard") == 1
+    assert "Exchange rangepartitioning" not in p, "no global sort in epoch order"
+
+
+def test_lm_scoring_plans(spark):
+    """unigram_lm_score / tfidf_top_terms: the trained model tables
+    (vocab counts / document frequencies) must BROADCAST back to the
+    token stream — never sort-merge — and the shared training aggregate
+    must be computed once (ReusedExchange), not rebuilt per consumer."""
+    for name in ("unigram_lm_score", "tfidf_top_terms"):
+        df = REGISTRY[name].fn(spark, SF_ORACLE)
+        df.collect()  # exchange reuse is decided at runtime under AQE
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p, f"{name}: model table must broadcast"
+        assert "SortMergeJoin" not in p, f"{name}: token stream must not shuffle to join"
+        assert p.count("ReusedExchange") >= 1, (
+            f"{name}: training aggregate must be shared, not recomputed"
+        )
+
+
+def test_cross_split_leakage_is_pure_projection_over_pairs(spark):
+    """The split annotation is an inline hash projection of the pair
+    columns — it must add ZERO joins beyond the MinHash pair pipeline
+    it decorates (a join-back to the corpus would shuffle the full
+    corpus at scale for a value derivable from the id in hand)."""
+    base = plan_of(spark, "dedup_minhash_lsh")
+    leak = plan_of(spark, "cross_split_leakage")
+    assert leak.count("Join") == base.count("Join"), (
+        "split annotation added a join to the pair pipeline"
+    )
