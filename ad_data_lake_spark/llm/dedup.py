@@ -322,6 +322,12 @@ def neardup_clusters(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     )
+    # materialize the edge list ONCE: every propagation round joins it,
+    # and without this the lazy plan re-runs the whole MinHash pair
+    # pipeline (shingle→sig→band join→verify) per iteration — the edge
+    # set is the sparse pair graph, orders of magnitude smaller than
+    # the corpus that produced it
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()

@@ -296,56 +296,50 @@ def _unit_and_cell_pd(cents: Centroids):
 def ivf_centroids(
     embeddings: DataFrame, n_cells: int = IVF_CELLS, iters: int = IVF_ITERS
 ) -> Centroids:
-    """Spherical k-means coarse quantizer, driver-side list form.
+    """Spherical k-means coarse quantizer, trained IN-MEMORY on the
+    driver over the passed training set — the faiss contract: a coarse
+    quantizer trains on a bounded SAMPLE (O(100k) vectors regardless of
+    corpus size; at 100 TB pass
+    ``embeddings.where(col('vec_id') % s == 0)``), so training is one
+    bounded collect + a numpy Lloyd loop, not a Spark job per
+    iteration. The former in-plan trainer ran assignment + re-center +
+    collect per Lloyd round — 3+ sub-second jobs whose scheduling floor
+    dominated every IVF query while touching the same few thousand
+    sampled vectors a single batch holds trivially. Only ASSIGNMENT
+    (the corpus-sized pass) stays distributed (``_unit_and_cell_pd``).
 
-    Init = the first ``n_cells`` vectors by vec_id (deterministic
-    random-init: fixture ids are hash-ordered); each Lloyd iteration
-    assigns every unit vector to its nearest centroid (argmax rounded
-    cosine, ties to the lowest cell) and re-centers as the renormalized
-    elementwise mean, rounded to 6 dp so the trained centroids — and
-    therefore every downstream assignment — are bit-identical across
-    engines (the DuckDB oracle unrolls this exact loop).
-
-    Scale: assignment is a zero-shuffle projection against the
-    broadcast centroid row; the re-center shuffles only
-    partitions × cells × dim partial sums (map-side combine collapses
-    the exploded components). At 100 TB you train on a sampled subset
-    (pass ``embeddings.where(col('vec_id') % s == 0)``) and reuse the
-    packed row for the full assignment pass — the loop itself is the
-    production trainer.
-
-    Each Lloyd state is COLLECTED to the driver (see ``_cell_scores``
-    for why the list form is load-bearing): lineage is truncated per
-    iteration with nothing persisted — the former per-iteration
-    ``.persist()`` leaked one cache entry per training run."""
-
-    def _to_list(rows) -> Centroids:
-        return sorted((int(r.cell), list(r.c)) for r in rows)
-
-    u = unit_vectors(embeddings)
-    cents = _to_list(
-        u.where(F.col("vec_id") < n_cells)
-        .select(F.col("vec_id").alias("cell"), _round6_arr(F.col("u")).alias("c"))
-        .collect()
-    )
-    v = as_double(F.col("embedding"))
+    Init = the training vectors with vec_id < ``n_cells``
+    (deterministic random-init: fixture ids are hash-ordered); each
+    Lloyd iteration assigns every unit vector to its nearest centroid
+    (argmax of 6-dp-rounded cosine, ties to the lowest cell) and
+    re-centers as the renormalized elementwise mean, rounded to 6 dp —
+    the same arithmetic contract the previous distributed trainer and
+    the DuckDB oracle's unrolled SQL loop follow, so the trained
+    centroids are identical to the digit (empty cells drop, matching
+    the oracle's GROUP BY)."""
+    rows = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    V = np.array([r.v for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    init = ids < n_cells
+    cells, C = ids[init], np.round(U[init], 6)
     for _ in range(iters):
-        assigned = embeddings.select(
-            _unit_and_cell_pd(cents)(v).alias("uc")
-        ).select(F.col("uc.cell").alias("cell"), F.col("uc.u").alias("u"))
-        # elementwise mean as ONE aggregate of dim column-wise avgs
-        # (map-side combine collapses each partition to n_cells rows) —
-        # a posexplode + (cell,pos) groupBy would pay a second shuffle
-        # for the same numbers
-        means = assigned.groupBy("cell").agg(
-            F.array(*[F.avg(F.col("u")[i]) for i in range(DIM)]).alias("mv")
-        )
-        cent = means.withColumn("mn", norm(F.col("mv"))).select(
-            "cell",
-            _round6_arr(F.transform("mv", lambda x: x / F.col("mn"))).alias("c"),
-        )
-        cents = _to_list(cent.collect())
-    return cents
+        scores = np.round(U @ C.T, 6)
+        assign = cells[np.argmax(scores, axis=1)]  # first max = lowest cell
+        kept: list[tuple[int, np.ndarray]] = []
+        for cell in cells:
+            members = U[assign == cell]
+            if len(members) == 0:
+                continue  # empty cell drops, as in the oracle's GROUP BY
+            m = members.mean(axis=0)
+            kept.append((int(cell), np.round(m / np.linalg.norm(m), 6)))
+        cells = np.array([c for c, _ in kept], dtype=np.int64)
+        C = np.array([m for _, m in kept])
+    return [(int(c), [float(x) for x in m]) for c, m in zip(cells, C)]
 
 
 def topk_ivf(

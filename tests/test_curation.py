@@ -183,3 +183,70 @@ def test_boilerplate_removal_invariants(documents):
     # the worst offender actually lost its boilerplate spans
     worst = max(removed_docs, key=lambda r: r.n_removed)
     assert worst.n_removed >= 3  # at least one full 3-gram span
+
+
+def test_stratified_sample_exactness(documents):
+    """The sample must be EXACTLY the K smallest md5 keys per stratum
+    (verified against an independent Python computation), with dense
+    ranks 1..n and every row's stratum intact."""
+    import hashlib
+
+    rows = CU.stratified_sample(documents).collect()
+    base = {r.doc_id: r.lang for r in documents.select("doc_id", "lang").collect()}
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        assert base[r.doc_id] == r.lang
+        per_lang.setdefault(r.lang, []).append(r)
+    want: dict[str, list] = {}
+    for doc_id, lang in base.items():
+        key = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        want.setdefault(lang, []).append((key, doc_id))
+    for lang, lst in want.items():
+        lst.sort()
+        want_ids = {d for _, d in lst[: CU.STRATA_K]}
+        got = per_lang.get(lang, [])
+        assert {r.doc_id for r in got} == want_ids
+        assert sorted(r.sample_rank for r in got) == list(range(1, len(got) + 1))
+
+
+def test_epoch_shuffle_is_seeded_permutation(documents):
+    """Every document appears exactly once with dense per-shard
+    positions and exact running token offsets; a different seed moves
+    most documents (it is a real reshuffle, not an identity)."""
+    rows = CU.epoch_shuffle(documents).collect()
+    n = documents.count()
+    assert len(rows) == n
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(CU.SHUFFLE_SHARDS))
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rs] == list(range(1, len(rs) + 1))
+        offset = 0
+        for r in rs:
+            assert r.tok_offset == offset
+            offset += r.n_tokens
+    pos0 = {r.doc_id: (r.shard, r.pos) for r in rows}
+    other = CU.epoch_shuffle(documents, seed="epoch-1").collect()
+    moved = sum(1 for r in other if pos0[r.doc_id] != (r.shard, r.pos))
+    assert moved > n // 2
+
+
+def test_cross_split_leakage_flags_match_split_assign(documents):
+    """Each pair's split annotations must agree with split_assign on
+    the dup corpus, and the leak flag must be their inequality — with
+    at least one real leak present (non-vacuous)."""
+    from ad_data_lake_spark.llm.corpus import dup_corpus
+
+    leaks = CU.cross_split_leakage(documents).collect()
+    assert leaks
+    split_of = {
+        r.doc_id: r.split
+        for r in CU.split_assign(dup_corpus(documents)).collect()
+    }
+    for r in leaks:
+        assert r.split_a == split_of[r.doc_a]
+        assert r.split_b == split_of[r.doc_b]
+        assert r.is_leak == (r.split_a != r.split_b)
+    assert any(r.is_leak for r in leaks)

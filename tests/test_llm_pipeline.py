@@ -325,3 +325,38 @@ def test_neardup_clusters_group_planted_copies(documents):
         assert cid is not None, f"base {b} not clustered"
         assert b + CP.EXACT_OFFSET in by_cluster[cid]
         assert b + CP.NEAR_OFFSET in by_cluster[cid]
+
+
+def test_unigram_lm_score_orders_oov_docs_higher(spark):
+    """Documents containing out-of-vocabulary tokens must average a
+    higher perplexity than all-in-vocab documents (OOV carries the
+    model's minimum probability), and every NLL must be positive."""
+    from ad_data_lake_spark.llm.text import unigram_lm_score
+    from ad_data_lake_spark.sources.tables import load_table
+
+    rows = unigram_lm_score(load_table(spark, "documents", SF_ORACLE)).collect()
+    assert all(r.avg_nll > 0 for r in rows)
+    with_oov = [r.perplexity for r in rows if r.n_oov > 0]
+    without = [r.perplexity for r in rows if r.n_oov == 0]
+    if with_oov and without:
+        assert sum(with_oov) / len(with_oov) > sum(without) / len(without)
+
+
+def test_tfidf_top_terms_ranks_are_dense_and_ordered(spark):
+    """Per document: ranks are 1..K, scores are non-increasing in rank,
+    and df never exceeds the document count."""
+    from ad_data_lake_spark.llm.text import TFIDF_TOP_K, tfidf_top_terms
+    from ad_data_lake_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF_ORACLE)
+    n_docs = docs.count()
+    per_doc: dict[int, list] = {}
+    for r in tfidf_top_terms(docs).collect():
+        assert 1 <= r.term_rank <= TFIDF_TOP_K
+        assert r.tf >= 1 and 1 <= r.df <= n_docs
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for rs in per_doc.values():
+        rs.sort(key=lambda r: r.term_rank)
+        assert [r.term_rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.tfidf for r in rs]
+        assert scores == sorted(scores, reverse=True)
