@@ -328,9 +328,16 @@ def remove_boilerplate(
     joined = toks.join(hits, "doc_id", "left").withColumn(
         "covered", F.coalesce(F.col("covered"), F.array().cast("array<int>"))
     )
-    cleaned = F.filter(
-        F.col("w"), lambda x, i: ~F.array_contains(F.col("covered"), i + 1)
+    # rebuild from the kept POSITIONS: array_except(1..n, covered) is a
+    # linear set-difference that preserves 1..n order, and element_at
+    # on an array is O(1) — the per-token `filter(w, (x,i) ->
+    # !array_contains(covered, i+1))` form this replaces rescanned the
+    # covered list per token: O(tokens × covered) per document, noise
+    # on the fixture's ~50-token docs but quadratic on real pages
+    keep_idx = F.array_except(
+        F.sequence(F.lit(1), F.size("w")), F.col("covered")
     )
+    cleaned = F.transform(keep_idx, lambda i: F.element_at(F.col("w"), i))
     return joined.select(
         "doc_id",
         F.size("w").cast("bigint").alias("n_tokens"),

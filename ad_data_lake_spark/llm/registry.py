@@ -940,3 +940,33 @@ _add(
     """,
     ("llm", "curation", "leakage", "lsh", "join"),
 )
+
+
+def _rag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.rag_retrieve(
+        load_table(spark, "embeddings", sf_dir),
+        load_table(spark, "documents", sf_dir),
+    )
+
+
+_add(
+    "rag_retrieve",
+    _rag_q,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    hits AS (
+        SELECT query_id, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT query_id, vec_id, {_COS} AS cosine_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY {_COS} DESC, vec_id) AS rank
+            FROM q, c WHERE query_id <> vec_id)
+        WHERE rank <= {SIM.RAG_K})
+    SELECT query_id, rank, doc_id, cosine_sim,
+           substr(text, 1, 80) AS snippet, n_chars
+    FROM hits JOIN documents ON doc_id = vec_id
+    """,
+    ("llm", "similarity", "retrieval", "join"),
+)

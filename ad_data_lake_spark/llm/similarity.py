@@ -693,3 +693,35 @@ def ivf_index_incremental(spark, sf_dir: str) -> DataFrame:
     ivf_assign(base, cents).write.parquet(path)
     ivf_assign(batch, cents).write.mode("append").parquet(path)
     return spark.read.parquet(path)
+
+
+RAG_K = 3
+
+
+def rag_retrieve(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    k: int = RAG_K,
+    n_queries: int = 5,
+) -> DataFrame:
+    """End-to-end retrieval (the RAG read path): exact cosine top-k
+    over the vector table, then the (queries × k)-row hit list is
+    BROADCAST into the documents scan to attach the text payload —
+    the document corpus streams past the tiny hit list and is never
+    shuffled, the join every retrieval serving layer runs after its
+    index probe. Output: one row per (query, rank) with the matched
+    document's id, score, snippet, and length.
+
+    Swap ``topk_bruteforce`` for ``topk_ivf`` to make the probe the
+    scale path; the join shape is identical (hits stay q × k)."""
+    hits = topk_bruteforce(embeddings, n_queries=n_queries, k=k)
+    docs = documents.select(
+        "doc_id",
+        F.substring(F.col("text"), 1, 80).alias("snippet"),
+        "n_chars",
+    )
+    return (
+        docs.join(F.broadcast(hits), docs["doc_id"] == hits["vec_id"])
+        .select("query_id", "rank", "doc_id", "cosine_sim", "snippet", "n_chars")
+        .orderBy("query_id", "rank")
+    )

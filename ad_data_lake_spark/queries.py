@@ -1321,7 +1321,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "latest_snapshot_window",
     "per_user_frequency",
     "last_wins_dedupe",
-    "sort_by_name",
     "top_k",
     "union_pages",
     "collect_list_nest",
@@ -1354,12 +1353,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sanitize_adset_payload",
     "json_decode_ingest",
     "fn_brand_safety",
-    # --- new in round 5 (no driver row yet): these eight fill the
-    # window exactly. The queries whose IMPLEMENTATION changed this
+    # --- new in round 5 (no driver row yet): these nine fill the
+    # window exactly (sort_by_name — trivial, r2-green, unchanged —
+    # yields its slot). The queries whose IMPLEMENTATION changed this
     # round (merge_upsert_idempotent, curation_pipeline,
-    # contamination_check, dedup_simhash, embed_topk_ivf) hold r4-green
-    # rows by name and lead the out-of-window block below; the local
-    # sf0.01 gate (scripts/driver_sim.py) re-proves the changed code ---
+    # contamination_check, dedup_simhash, embed_topk_ivf,
+    # neardup_clusters) hold r4-green rows by name and lead the
+    # out-of-window block below; the local sf0.01 gate
+    # (scripts/driver_sim.py) re-proves the changed code ---
     "boilerplate_removal",
     "token_vocab",
     "neardup_clusters",
@@ -1368,6 +1369,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stratified_sample",
     "epoch_shuffle",
     "cross_split_leakage",
+    "rag_retrieve",
     # --- changed in round 5 (r4-green by name; re-proved by the local
     # gate + pytest), then the round-4-window queries (driver-proven
     # last round; daily_extract_pipeline's round-5 change is the same
@@ -1379,6 +1381,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "contamination_check",
     "dedup_simhash",
     "embed_topk_ivf",
+    "sort_by_name",
     "split_summary",
     "daily_extract_pipeline",
     "streaming_attribution_join",

@@ -36,7 +36,14 @@ _SWEEP = [n for n, s in REGISTRY.items() if "write" not in s.tags]
 # (the corpus token total / document count) as BroadcastNestedLoopJoin
 # BuildRight — a single-row build side is a scalar attach, not a
 # data-volume join; test_lm_scoring_plans pins the real joins.
-_CROSS_BY_DESIGN = {"embed_topk_bruteforce", "unigram_lm_score", "tfidf_top_terms"}
+# rag_retrieve contains the brute-force probe (same deliberate
+# broadcast cross join as embed_topk_bruteforce).
+_CROSS_BY_DESIGN = {
+    "embed_topk_bruteforce",
+    "unigram_lm_score",
+    "tfidf_top_terms",
+    "rag_retrieve",
+}
 
 
 @pytest.mark.parametrize("name", _SWEEP)
@@ -214,6 +221,15 @@ def test_lm_scoring_plans(spark):
         assert p.count("ReusedExchange") >= 1, (
             f"{name}: training aggregate must be shared, not recomputed"
         )
+
+
+def test_rag_retrieve_broadcasts_hits_into_documents_scan(spark):
+    """The q×k hit list must broadcast into the documents scan — the
+    corpus side streams and is never shuffled (no sort-merge join
+    anywhere in the retrieval plan)."""
+    p = plan_of(spark, "rag_retrieve")
+    assert "BroadcastHashJoin" in p, "hits must broadcast into the documents scan"
+    assert "SortMergeJoin" not in p and "Exchange hashpartitioning(doc_id" not in p
 
 
 def test_cross_split_leakage_is_pure_projection_over_pairs(spark):
