@@ -441,6 +441,46 @@ def cross_split_leakage(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_health(documents: DataFrame) -> DataFrame:
+    """Per-source corpus health sheet — the per-domain audit every
+    curation run publishes before training (doc/token volume, mean
+    quality, filter keep-rate, exact-dup rate): the first thing a data
+    engineer reads to decide which domains need re-crawling, heavier
+    filtering, or dedup attention.
+
+    One scan + ONE small aggregate: quality and the content hash are
+    pure projections computed inline (the ``quality_columns`` /
+    ``_split_expr`` rule — never joined back), and the distinct-hash
+    count rides the same groupBy. Output is one row per source —
+    dashboard-sized at any corpus scale."""
+    from ad_data_lake_spark.llm.dedup import content_hash
+    from ad_data_lake_spark.llm.text import quality_columns
+
+    qc = quality_columns(F.col("text"))
+    base = documents.select(
+        "source",
+        qc["n_tokens"].alias("_nt"),
+        qc["quality_score"].alias("_q"),
+        qc["keep"].alias("_keep"),
+        content_hash(F.col("text")).alias("_h"),
+    )
+    n_distinct = F.count_distinct("_h")
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.round(F.avg("_q"), 4).alias("mean_quality"),
+            F.round(F.count_if(F.col("_keep")) / F.count("*"), 4).alias(
+                "keep_rate"
+            ),
+            n_distinct.alias("n_distinct"),
+            F.round(F.lit(1) - n_distinct / F.count("*"), 4).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 CHUNK_TOKENS = 32
 CHUNK_OVERLAP = 8
 

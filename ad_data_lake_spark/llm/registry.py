@@ -970,3 +970,34 @@ _add(
     """,
     ("llm", "similarity", "retrieval", "join"),
 )
+
+
+_add(
+    "corpus_health",
+    _doc_q(lambda docs: CU.corpus_health(CP.dup_corpus(docs))),
+    f"""
+    WITH {CP.DUP_CORPUS_SQL}
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(avg(score), 4) AS mean_quality,
+           round(count(*) FILTER (WHERE score >= 0.7) / count(*), 4)
+               AS keep_rate,
+           count(DISTINCT h) AS n_distinct,
+           round(1 - count(DISTINCT h) / count(*), 4) AS dup_rate
+    FROM (
+        SELECT source, n_tokens, h,
+               round(0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN stop_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN mean_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END),
+                   4) AS score
+        FROM (
+            SELECT source, len(w) AS n_tokens,
+                   len(list_filter(w, x -> x IN ({_sql_in(T.STOPWORDS_EN)}))) / len(w)
+                       AS stop_ratio,
+                   length(replace(text, ' ', '')) / len(w) AS mean_len,
+                   sha256(text) AS h
+            FROM (SELECT source, text, {_WORDS} AS w FROM corpus)))
+    GROUP BY source ORDER BY source
+    """,
+    ("llm", "curation", "health", "aggregate"),
+)

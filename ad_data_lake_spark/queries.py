@@ -1322,7 +1322,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "per_user_frequency",
     "last_wins_dedupe",
     "top_k",
-    "union_pages",
     "collect_list_nest",
     "nested_report",
     "lake_write_roundtrip",
@@ -1353,10 +1352,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sanitize_adset_payload",
     "json_decode_ingest",
     "fn_brand_safety",
-    # --- new in round 5 (no driver row yet): these nine fill the
-    # window exactly (sort_by_name — trivial, r2-green, unchanged —
-    # yields its slot). The queries whose IMPLEMENTATION changed this
-    # round (merge_upsert_idempotent, curation_pipeline,
+    # --- new in round 5 (no driver row yet): these ten fill the
+    # window exactly (sort_by_name and union_pages — trivial, r2-green,
+    # unchanged — yield their slots). The queries whose IMPLEMENTATION
+    # changed this round (merge_upsert_idempotent, curation_pipeline,
     # contamination_check, dedup_simhash, embed_topk_ivf,
     # neardup_clusters) hold r4-green rows by name and lead the
     # out-of-window block below; the local sf0.01 gate
@@ -1370,6 +1369,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "epoch_shuffle",
     "cross_split_leakage",
     "rag_retrieve",
+    "corpus_health",
     # --- changed in round 5 (r4-green by name; re-proved by the local
     # gate + pytest), then the round-4-window queries (driver-proven
     # last round; daily_extract_pipeline's round-5 change is the same
@@ -1382,6 +1382,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "embed_topk_ivf",
     "sort_by_name",
+    "union_pages",
     "split_summary",
     "daily_extract_pipeline",
     "streaming_attribution_join",

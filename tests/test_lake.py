@@ -433,3 +433,17 @@ def test_stream_stream_join_state_survives_batches(spark, events, tmp_path):
     ).select("conv_event_id", "user_id", "conv_ts", "touch_event_id", "touch_ts")
     assert _table_hash(got) == _table_hash(want)
     assert got.count() > 0
+
+
+def test_lake_readback_prunes_partitions(spark):
+    """The one-day read-back must reach the scan as a PARTITION filter
+    (directory pruning — at scale the reader lists one day's directory,
+    not the table), never as a post-scan row filter alone."""
+    from ad_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_ORACLE
+
+    df = REGISTRY["lake_write_roundtrip"].fn(spark, SF_ORACLE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in p, "day predicate must prune partitions"
+    pf = p.split("PartitionFilters: [")[1].split("]")[0]
+    assert "snapshot_date" in pf and pf.strip(), f"empty partition filter: {pf!r}"

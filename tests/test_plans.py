@@ -232,6 +232,15 @@ def test_rag_retrieve_broadcasts_hits_into_documents_scan(spark):
     assert "SortMergeJoin" not in p and "Exchange hashpartitioning(doc_id" not in p
 
 
+def test_corpus_health_is_single_aggregate_no_joins(spark):
+    """Quality score and content hash are projections of the row they
+    describe — the health sheet must be scan → one source aggregate,
+    with no join anywhere (the count_distinct Expand is fine; a
+    join-back for quality or hashes is not)."""
+    p = plan_of(spark, "corpus_health")
+    assert p.count("Join") == 0
+
+
 def test_cross_split_leakage_is_pure_projection_over_pairs(spark):
     """The split annotation is an inline hash projection of the pair
     columns — it must add ZERO joins beyond the MinHash pair pipeline
