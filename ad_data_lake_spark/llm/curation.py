@@ -520,3 +520,63 @@ def chunk_documents(
         F.size(chunk).alias("n_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+def streaming_corpus_ingest(spark, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion — the continuous form of the batch
+    curation pipeline: documents arrive in micro-batches (file-source
+    stream, one file per trigger), each batch is quality-filtered
+    INLINE and upserted into a content-hash-keyed lake table via the
+    exactly-once foreachBatch MERGE sink. The merge's recency rule is
+    first-wins (max of -doc_id = min doc_id per content hash), so the
+    FINAL table equals the batch dedup result regardless of batch
+    arrival order — and a replayed micro-batch re-upserts the rows it
+    already wrote (idempotent, test_lake replay contract).
+
+    Scale: per-batch cost is batch size × affected merge buckets, never
+    stream history; dedup state lives in the bucketed table itself (no
+    unbounded streaming state store), which is how a production corpus
+    ingest keeps an ever-growing history out of memory."""
+    import os
+
+    from ad_data_lake_spark.incremental import read_merged
+    from ad_data_lake_spark.llm.corpus import dup_corpus
+    from ad_data_lake_spark.llm.dedup import content_hash
+    from ad_data_lake_spark.llm.text import quality_columns
+    from ad_data_lake_spark.scratch import scratch_dir
+    from ad_data_lake_spark.sources.tables import load_table
+    from ad_data_lake_spark.streaming.incremental import stream_merge_to_table
+
+    corpus = dup_corpus(load_table(spark, "documents", sf_dir))
+    base = scratch_dir(spark, "stream-corpus", sf_dir)
+    src, target, ckpt = (os.path.join(base, d) for d in ("src", "table", "ckpt"))
+    # 2 source files -> 2 micro-batches: cross-batch dedup is real (the
+    # duplicate offsets land in both halves) at half the per-trigger
+    # fixed cost of a 4-batch drain
+    corpus.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qc = quality_columns(F.col("text"))
+    enriched = stream.where(qc["keep"]).select(
+        "doc_id",
+        "lang",
+        "source",
+        content_hash(F.col("text")).alias("content_hash"),
+        qc["n_tokens"].alias("n_tokens"),
+        (-F.col("doc_id")).alias("_first_wins"),
+    )
+    stream_merge_to_table(
+        enriched,
+        target,
+        ckpt,
+        "content_hash",
+        "_first_wins",
+        "_first_wins",
+        shuffle_partitions=8,
+    )
+    return read_merged(spark, target).select(
+        "doc_id", "content_hash", "lang", "source", "n_tokens"
+    )

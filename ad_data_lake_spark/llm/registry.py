@@ -1001,3 +1001,24 @@ _add(
     """,
     ("llm", "curation", "health", "aggregate"),
 )
+
+
+_add(
+    "streaming_corpus_ingest",
+    CU.streaming_corpus_ingest,
+    f"""
+    WITH {CP.DUP_CORPUS_SQL},
+    q AS (
+        SELECT doc_id, text, lang, source, len(w) AS n_tokens
+        FROM (SELECT doc_id, text, lang, source, {_WORDS} AS w FROM corpus)
+        WHERE round(0.4 * (CASE WHEN len(w) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)
+              + 0.3 * (CASE WHEN len(list_filter(w, x -> x IN ({_sql_in(T.STOPWORDS_EN)}))) / len(w) >= 0.01 THEN 1.0 ELSE 0.0 END)
+              + 0.3 * (CASE WHEN length(replace(text, ' ', '')) / len(w) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END),
+              4) >= 0.7),
+    keep AS (SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id
+             FROM q GROUP BY 1)
+    SELECT q.doc_id, k.content_hash, q.lang, q.source, q.n_tokens
+    FROM q JOIN keep k ON q.doc_id = k.doc_id
+    """,
+    ("llm", "curation", "streaming", "write", "incremental"),
+)

@@ -1316,7 +1316,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_reach_frequency",
     "agg_rollup",
     "derived_ratio_metrics",
-    "count_summary",
     "agg_action_breakdown",
     "latest_snapshot_window",
     "per_user_frequency",
@@ -1352,13 +1351,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sanitize_adset_payload",
     "json_decode_ingest",
     "fn_brand_safety",
-    # --- new in round 5 (no driver row yet): these ten fill the
-    # window exactly (sort_by_name and union_pages — trivial, r2-green,
-    # unchanged — yield their slots). The queries whose IMPLEMENTATION
-    # changed this round (merge_upsert_idempotent, curation_pipeline,
-    # contamination_check, dedup_simhash, embed_topk_ivf,
-    # neardup_clusters) hold r4-green rows by name and lead the
-    # out-of-window block below; the local sf0.01 gate
+    # --- new in round 5 (no driver row yet): these eleven fill the
+    # window exactly (sort_by_name, union_pages, count_summary —
+    # trivial, r2-green, unchanged — yield their slots). The queries
+    # whose IMPLEMENTATION changed this round (merge_upsert_idempotent,
+    # curation_pipeline, contamination_check, dedup_simhash,
+    # embed_topk_ivf, neardup_clusters) hold r4-green rows by name and
+    # lead the out-of-window block below; the local sf0.01 gate
     # (scripts/driver_sim.py) re-proves the changed code ---
     "boilerplate_removal",
     "token_vocab",
@@ -1370,6 +1369,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cross_split_leakage",
     "rag_retrieve",
     "corpus_health",
+    "streaming_corpus_ingest",
     # --- changed in round 5 (r4-green by name; re-proved by the local
     # gate + pytest), then the round-4-window queries (driver-proven
     # last round; daily_extract_pipeline's round-5 change is the same
@@ -1383,6 +1383,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embed_topk_ivf",
     "sort_by_name",
     "union_pages",
+    "count_summary",
     "split_summary",
     "daily_extract_pipeline",
     "streaming_attribution_join",
