@@ -1256,6 +1256,65 @@ _register(
     ),
 )
 
+from ad_data_lake_spark.operators import snapshots as _snapshots  # noqa: E402
+
+_register(
+    "snapshot_diff",
+    QuerySpec(
+        _q(_snapshots.snapshot_diff, "events"),
+        f"""
+        WITH old AS (
+            SELECT user_id, event_id, ts, event_type, round(value, 2) AS value
+            FROM events
+            WHERE ts >= DATE '{_snapshots.DIFF_OLD_DAY}' - {_snapshots.ACTIVE_WINDOW_DAYS - 1}
+              AND ts < DATE '{_snapshots.DIFF_OLD_DAY}' + 1
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+        new AS (
+            SELECT user_id, event_id, ts, event_type, round(value, 2) AS value
+            FROM events
+            WHERE ts >= DATE '{_snapshots.DIFF_NEW_DAY}' - {_snapshots.ACTIVE_WINDOW_DAYS - 1}
+              AND ts < DATE '{_snapshots.DIFF_NEW_DAY}' + 1
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+        d AS (
+            SELECT coalesce(o.user_id, n.user_id) AS user_id,
+                   CASE WHEN o.user_id IS NULL THEN 'added'
+                        WHEN n.user_id IS NULL THEN 'removed'
+                        WHEN o.event_id != n.event_id THEN 'changed' END AS change_type,
+                   o.event_id AS old_event_id, o.ts AS old_ts,
+                   o.event_type AS old_event_type, o.value AS old_value,
+                   n.event_id AS new_event_id, n.ts AS new_ts,
+                   n.event_type AS new_event_type, n.value AS new_value
+            FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id)
+        SELECT * FROM d WHERE change_type IS NOT NULL
+        """,
+        ("snapshot", "diff", "aggregate"),
+    ),
+)
+
+_register(
+    "scd2_history",
+    QuerySpec(
+        _q(_snapshots.scd2_history, "events"),
+        """
+        WITH changed AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events
+            QUALIFY prev_type IS NULL OR prev_type != event_type)
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   AS is_current,
+               event_id AS set_by_event_id
+        FROM changed
+        """,
+        ("snapshot", "scd2", "window"),
+    ),
+)
+
 from ad_data_lake_spark import pipeline as _pipeline  # noqa: E402
 
 _register(

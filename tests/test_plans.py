@@ -251,3 +251,29 @@ def test_cross_split_leakage_is_pure_projection_over_pairs(spark):
     assert leak.count("Join") == base.count("Join"), (
         "split annotation added a join to the pair pipeline"
     )
+
+
+def test_snapshot_diff_is_single_aggregate_no_joins(spark):
+    """Both snapshot states are conditional struct-max aggregates of
+    ONE groupBy — the diff must be scan → single exchange on the
+    entity key, with no join anywhere (the naive two-snapshot
+    full-outer join shuffles the fact three times), and the window
+    union predicate must reach the parquet scan so a dated lake reads
+    only the relevant days."""
+    p = plan_of(spark, "snapshot_diff")
+    assert p.count("Join") == 0, "snapshot_diff must not join snapshot states"
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in p, (
+        "snapshot window bounds must push to the scan"
+    )
+
+
+def test_scd2_history_single_shuffle_shared_sort(spark):
+    """lag() and lead() ride the SAME (user_id, ts, event_id) sort:
+    one exchange, one sort, two Window nodes — a second sort or
+    exchange means the stacked windows stopped sharing their
+    distribution and the history build pays double at scale."""
+    p = plan_of(spark, "scd2_history")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("+- Sort ") == 1, "both windows must reuse one sort"
+    assert p.count("Window") == 2
