@@ -143,6 +143,24 @@ def streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8-adjacent: sliding-window streaming aggregate (3-day window,
+    1-day slide) with the same planted-duplicate source as
+    ``streaming_daily`` — the oracle is the batch equivalent (each
+    event exploded into its 3 covering windows), so a hash match
+    proves both the window assignment and the streaming dedupe."""
+    from ad_data_lake_spark.streaming import streaming_sliding_insights
+
+    events = _events_slim(spark, sf_dir)
+    src = os.path.join(_scratch(spark, "slide-src", sf_dir), "events")
+    dup = events.where(F.col("event_id") % 10 == 0)
+    events.unionByName(dup).write.mode("overwrite").parquet(src)
+    stream = streaming_sliding_insights(spark, src, events.schema)
+    return run_available_now(
+        stream, f"stream_slide_{uuid.uuid4().hex[:8]}", shuffle_partitions=8
+    )
+
+
 def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout: bucketed tables co-locate their join (SURVEY §2 scale
     notes; layout.write_bucketed).

@@ -6,4 +6,5 @@ from ad_data_lake_spark.streaming.incremental import (  # noqa: F401
     batch_equivalent,
     run_available_now,
     streaming_daily_insights,
+    streaming_sliding_insights,
 )

@@ -57,6 +57,46 @@ def streaming_daily_insights(
     )
 
 
+def streaming_sliding_insights(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    window_days: int = 3,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Sliding-window companion to the daily aggregate: a trailing
+    ``window_days``-day window sliding by 1 day — the "3-day rolling
+    spend per event type" view an ops dashboard reads. Each event
+    contributes to ``window_days`` windows; Spark's window() generates
+    the assignments at the map side (an Expand, no self-join), so the
+    plan stays one shuffle on (window, event_type) and the watermark
+    still closes windows — state is bounded to ~window_days + 1 day of
+    open windows regardless of stream length."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(source_dir)
+    return (
+        events.withWatermark("ts", "1 day")
+        .dropDuplicates(["event_id"])
+        .groupBy(
+            F.window("ts", f"{window_days} days", "1 day").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
