@@ -1022,3 +1022,75 @@ _add(
     """,
     ("llm", "curation", "streaming", "write", "incremental"),
 )
+
+
+from ad_data_lake_spark.llm import selection as SEL  # noqa: E402
+
+# Bloom bit math mirrored in SQL: m = 2^17 bits in 63-bit words,
+# k = 4 probe positions by double hashing off the shingle h60.
+_BLOOM_POS = (
+    f"((h60 % {SEL.BLOOM_BITS}) + r.range * "
+    f"(((h60 >> 17) % {SEL.BLOOM_BITS}) | 1)) % {SEL.BLOOM_BITS}"
+)
+
+_add(
+    "bloom_decontaminate",
+    _doc_q(SEL.bloom_decontaminate),
+    f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % {CU.BENCHMARK_MOD} <> 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % {CU.BENCHMARK_MOD} = 0),
+    bh AS (
+        SELECT DISTINCT unnest({_JSET}) AS h60
+        FROM (SELECT {_SHINGLES} AS shingles
+              FROM (SELECT {_WORDS} AS w FROM bench))),
+    pos AS (SELECT DISTINCT {_BLOOM_POS} AS p FROM bh, range({SEL.BLOOM_K}) r),
+    bitmap AS (SELECT p // 63 AS word, bit_or(1::BIGINT << (p % 63)) AS bits
+               FROM pos GROUP BY 1),
+    dh AS (
+        SELECT DISTINCT doc_id, unnest({_JSET}) AS h60
+        FROM (SELECT doc_id, {_SHINGLES} AS shingles
+              FROM (SELECT doc_id, {_WORDS} AS w FROM corpus))),
+    probes AS (SELECT doc_id, h60, {_BLOOM_POS} AS p
+               FROM dh, range({SEL.BLOOM_K}) r),
+    flags AS (
+        SELECT doc_id, h60,
+               bool_and(coalesce(b.bits, 0) & (1::BIGINT << (p % 63)) <> 0) AS hit
+        FROM probes LEFT JOIN bitmap b ON probes.p // 63 = b.word
+        GROUP BY doc_id, h60)
+    SELECT doc_id, count(*) AS n_shingles,
+           CAST(count_if(hit) AS BIGINT) AS n_flagged,
+           round(count_if(hit) / count(*), 4) AS bloom_contamination
+    FROM flags GROUP BY doc_id
+    """,
+    ("llm", "curation", "contamination", "bloom"),
+)
+
+_add(
+    "dsir_weights",
+    _doc_q(SEL.dsir_weights),
+    f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % {CU.BENCHMARK_MOD} = 0 AS is_target,
+               ('0x' || substr(md5(t.token), 1, 7))::BIGINT % {SEL.DSIR_BUCKETS}
+                   AS bucket
+        FROM (SELECT doc_id, unnest({_WORDS}) AS token FROM documents) t),
+    counts AS (
+        SELECT bucket, count_if(is_target) AS t_cnt,
+               count_if(NOT is_target) AS s_cnt
+        FROM toks GROUP BY bucket),
+    totals AS (SELECT sum(t_cnt) AS t_total, sum(s_cnt) AS s_total FROM counts)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(
+               ln((c.t_cnt + 1) / (tt.t_total + {SEL.DSIR_BUCKETS}))
+             - ln((c.s_cnt + 1) / (tt.s_total + {SEL.DSIR_BUCKETS}))), 4)
+               AS avg_log_ratio,
+           round(avg(
+               ln((c.t_cnt + 1) / (tt.t_total + {SEL.DSIR_BUCKETS}))
+             - ln((c.s_cnt + 1) / (tt.s_total + {SEL.DSIR_BUCKETS}))), 4) > 0
+               AS selected
+    FROM toks JOIN counts c USING (bucket) CROSS JOIN totals tt
+    WHERE NOT is_target
+    GROUP BY doc_id
+    """,
+    ("llm", "curation", "selection", "dsir"),
+)

@@ -1,0 +1,191 @@
+"""Data-selection operators: Bloom-filter decontamination and DSIR
+importance resampling.
+
+Both answer the same 100 TB question — "which documents do I keep?" —
+with reference sets too large or too statistical for the broadcast-set
+join of ``curation.contamination_check``:
+
+- ``bloom_decontaminate``: membership against a reference shingle set
+  compressed to a FIXED-SIZE bit array. ``contamination_check``
+  broadcasts the benchmark's distinct shingle hashes — fine for an
+  eval suite (MBs), impossible when the reference set is a prior crawl
+  (billions of shingles). A Bloom filter caps the broadcast at ``m``
+  bits forever, trading a bounded, measurable false-positive rate
+  (zero false negatives — an FP flags a clean document for review, it
+  never leaks a contaminated one). The probe side is a pure codegen
+  projection against the literal bitmap: ZERO joins over the corpus.
+- ``dsir_weights``: Data Selection via Importance Resampling (Xie et
+  al. 2023, arXiv:2302.03169): score every raw document by how much
+  more likely its hashed-unigram bag is under the target distribution
+  than under the raw-corpus distribution, keep high-ratio documents.
+  The two n-gram count models are ONE bucket-bounded aggregate
+  (B buckets regardless of corpus size) broadcast back over the token
+  stream — train and score read the corpus once each, nothing
+  driver-side but the bounded model.
+
+Hashes are md5-derived (cross-engine reproducible) so both operators
+are value-verified by the DuckDB oracle, false positives included —
+the oracle reproduces the same bit math, so the FP set is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ad_data_lake_spark.llm.curation import BENCHMARK_MOD
+from ad_data_lake_spark.llm.dedup import _exploded_shingle_hashes
+from ad_data_lake_spark.llm.text import words
+
+# Bloom geometry: m bits in 63-bit words (bit index never reaches the
+# sign bit, so the word math is identical on any engine without
+# wraparound edge cases), k probes by double hashing off the one h60
+# the shingle pipeline already computes. m=2^17, k=4 gives FP ≈ 1.2 %
+# at ~9 k reference shingles (sf0.01); at scale m is sized to the
+# reference-set cardinality (m ≈ 1.44 · n · ln(1/fp) / ln 2), still
+# constant per executor.
+BLOOM_BITS = 1 << 17
+BLOOM_K = 4
+_WORD_BITS = 63
+BLOOM_WORDS = (BLOOM_BITS + _WORD_BITS - 1) // _WORD_BITS
+
+
+def _probe_positions(h60):
+    """k bit positions from one 60-bit hash by double hashing:
+    pos_i = (h1 + i·h2) mod m with h2 forced odd (full cycle mod 2^17)."""
+    m = F.lit(BLOOM_BITS).cast("long")
+    h1 = h60 % m
+    # h60 >> 17: exact integer shift (a float division here would
+    # round 60-bit values past double precision and drift vs the
+    # oracle's integer arithmetic)
+    h2 = (F.shiftright(h60, 17) % m).bitwiseOR(F.lit(1).cast("long"))
+    return [(h1 + F.lit(i).cast("long") * h2) % m for i in range(BLOOM_K)]
+
+
+def bloom_bitmap(reference: DataFrame) -> list[int]:
+    """Build the bit array from the reference corpus' distinct shingle
+    hashes: explode each hash's k positions, one bounded aggregate to
+    ≤ BLOOM_WORDS rows, collect to a plain Python list. The collect is
+    the point — the model is ``m`` bits by construction (16 KB here),
+    the same bounded-model pattern as the IVF centroid literals; the
+    reference corpus itself streams through one scan + one aggregate
+    whose output cannot exceed BLOOM_WORDS rows."""
+    hashes = _exploded_shingle_hashes(reference).select("h60").distinct()
+    pos = hashes.select(
+        F.explode(F.array(*_probe_positions(F.col("h60")))).alias("p")
+    )
+    rows = (
+        pos.select(
+            (F.col("p") / _WORD_BITS).cast("long").alias("word"),
+            # 2^bit as a double is exact for bit <= 62 (and shiftleft()
+            # only takes a literal shift count, not a column)
+            F.pow(F.lit(2.0), (F.col("p") % _WORD_BITS).cast("int")).cast("long").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * BLOOM_WORDS
+    for r in rows:
+        bitmap[r["word"]] = r["bits"]
+    return bitmap
+
+
+def bloom_decontaminate(
+    documents: DataFrame, benchmark_mod: int = BENCHMARK_MOD
+) -> DataFrame:
+    """Per corpus document: how many of its distinct shingles hit the
+    reference Bloom filter (every truly-shared shingle hits; a bounded
+    FP tail over-flags). Probe plan: exploded shingles → one
+    (doc_id, h60) dedup aggregate → bit tests against the LITERAL
+    bitmap (codegen, no join, nothing broadcast but m bits) → one
+    per-doc count aggregate."""
+    reference = documents.where(F.col("doc_id") % benchmark_mod == 0)
+    corpus = documents.where(F.col("doc_id") % benchmark_mod != 0)
+    bitmap = F.lit(bloom_bitmap(reference))
+    hit = None
+    for p in _probe_positions(F.col("h60")):
+        word = (p / _WORD_BITS).cast("long") + 1  # element_at is 1-based
+        mask = F.pow(F.lit(2.0), (p % _WORD_BITS).cast("int")).cast("long")
+        test = F.element_at(bitmap, word.cast("int")).bitwiseAND(mask) != 0
+        hit = test if hit is None else (hit & test)
+    dedup = _exploded_shingle_hashes(corpus).select("doc_id", "h60").distinct()
+    return (
+        dedup.withColumn("hit", hit)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count_if(F.col("hit")).alias("n_flagged"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_flagged",
+            F.round(F.col("n_flagged") / F.col("n_shingles"), 4).alias(
+                "bloom_contamination"
+            ),
+        )
+    )
+
+
+# DSIR: hashed-unigram feature space and Laplace smoothing.
+DSIR_BUCKETS = 1024
+_SMOOTH = 1
+
+
+def _bucket(token):
+    """28-bit md5 prefix mod B — the hashed feature index, identical
+    arithmetic in the DuckDB oracle."""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 7), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+
+
+def dsir_weights(
+    documents: DataFrame, benchmark_mod: int = BENCHMARK_MOD
+) -> DataFrame:
+    """DSIR importance weights: per raw-corpus document the mean
+    per-token log importance ratio log p_target(b) − log p_raw(b) over
+    hashed-unigram buckets, with Laplace smoothing; ``selected`` marks
+    documents whose token distribution looks more target-like than
+    raw-like (ratio > 0) — the resampling keep set.
+
+    Target = the benchmark slice (the deterministic stand-in for "high
+    quality target domain"); raw = everything else. Both bucket models
+    come from ONE aggregate over the full token stream (count_if per
+    side), bounded at B rows, broadcast back over the raw token stream;
+    the two scalar totals derive from that same aggregate and ride
+    along as one-row broadcasts."""
+    toks = documents.select(
+        (F.col("doc_id") % benchmark_mod == 0).alias("is_target"),
+        "doc_id",
+        F.explode(words(F.col("text"))).alias("token"),
+    ).withColumn("bucket", _bucket(F.col("token")))
+    counts = toks.groupBy("bucket").agg(
+        F.count_if(F.col("is_target")).alias("t_cnt"),
+        F.count_if(~F.col("is_target")).alias("s_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("t_cnt").alias("t_total"), F.sum("s_cnt").alias("s_total")
+    )
+    log_ratio = F.log(
+        (F.coalesce(F.col("t_cnt"), F.lit(0)) + _SMOOTH)
+        / (F.col("t_total") + _SMOOTH * DSIR_BUCKETS)
+    ) - F.log(
+        (F.coalesce(F.col("s_cnt"), F.lit(0)) + _SMOOTH)
+        / (F.col("s_total") + _SMOOTH * DSIR_BUCKETS)
+    )
+    return (
+        toks.where(~F.col("is_target"))
+        .join(F.broadcast(counts), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(log_ratio), 4).alias("avg_log_ratio"),
+        )
+        .withColumn("selected", F.col("avg_log_ratio") > 0)
+    )

@@ -1008,6 +1008,25 @@ _register(
 )
 
 _register(
+    "streaming_sliding_insights",
+    QuerySpec(
+        lake_queries.streaming_sliding,
+        """
+        SELECT CAST(date_trunc('day', e.ts) - r.range * INTERVAL 1 DAY AS TIMESTAMP)
+                   AS window_start,
+               CAST(date_trunc('day', e.ts) + (3 - r.range) * INTERVAL 1 DAY
+                   AS TIMESTAMP) AS window_end,
+               e.event_type,
+               count(*) AS events,
+               round(sum(e.value), 2) AS total_value
+        FROM events e, range(3) r
+        GROUP BY 1, 2, 3
+        """,
+        ("write", "streaming", "sliding-window"),
+    ),
+)
+
+_register(
     "streaming_attribution_join",
     QuerySpec(
         lake_queries.streaming_attribution,

@@ -250,3 +250,57 @@ def test_cross_split_leakage_flags_match_split_assign(documents):
         assert r.split_b == split_of[r.doc_b]
         assert r.is_leak == (r.split_a != r.split_b)
     assert any(r.is_leak for r in leaks)
+
+
+def test_bloom_decontaminate_no_false_negatives_bounded_fp(documents):
+    """Every shingle truly shared with the reference set must hit the
+    Bloom filter (no false negatives — a Bloom filter can only
+    over-flag), and the false-positive tail over NON-shared shingles
+    must stay near the m/k design point (~1–2 % here), not degenerate
+    toward an always-hit filter."""
+    from ad_data_lake_spark.llm import selection as SEL
+
+    exact = {
+        (r.doc_id): (r.n_shingles, r.n_shared)
+        for r in CU.contamination_check(documents).collect()
+    }
+    bloom = {r.doc_id: (r.n_shingles, r.n_flagged) for r in SEL.bloom_decontaminate(documents).collect()}
+    assert set(bloom) == set(exact)
+    extra = total_clean = 0
+    for doc_id, (n, flagged) in bloom.items():
+        n_exact, shared = exact[doc_id]
+        assert n == n_exact
+        assert flagged >= shared, f"doc {doc_id}: bloom missed a shared shingle"
+        extra += flagged - shared
+        total_clean += n - shared
+    fp_rate = extra / total_clean
+    assert fp_rate < 0.05, f"false-positive rate {fp_rate:.3f} exceeds design point"
+
+
+def test_dsir_prefers_target_like_documents(documents):
+    """A document whose text IS a benchmark document's text (planted
+    into the raw corpus) must score above the raw-corpus median — the
+    importance ratio has to actually pull target-like text upward."""
+    from ad_data_lake_spark.llm import selection as SEL
+
+    bench_text = (
+        documents.where(F.col("doc_id") % CU.BENCHMARK_MOD == 0)
+        .orderBy("doc_id")
+        .select("text")
+        .first()
+        .text
+    )
+    planted_id = 10**6 + 7  # not divisible by BENCHMARK_MOD
+    assert planted_id % CU.BENCHMARK_MOD != 0
+    spiked = documents.unionByName(
+        documents.sparkSession.createDataFrame(
+            [(planted_id, bench_text, "en", "planted", len(bench_text))],
+            documents.schema,
+        )
+    )
+    scores = {r.doc_id: r.avg_log_ratio for r in SEL.dsir_weights(spiked).collect()}
+    others = sorted(v for k, v in scores.items() if k != planted_id)
+    median = others[len(others) // 2]
+    assert scores[planted_id] > median, (
+        f"planted target copy scored {scores[planted_id]} <= median {median}"
+    )

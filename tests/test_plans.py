@@ -43,6 +43,7 @@ _CROSS_BY_DESIGN = {
     "unigram_lm_score",
     "tfidf_top_terms",
     "rag_retrieve",
+    "dsir_weights",  # one-row (t_total, s_total) scalar attach
 }
 
 
@@ -277,3 +278,21 @@ def test_scd2_history_single_shuffle_shared_sort(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert p.count("+- Sort ") == 1, "both windows must reuse one sort"
     assert p.count("Window") == 2
+
+
+def test_bloom_probe_has_no_joins(spark):
+    """The Bloom probe is a pure codegen projection against the
+    literal bitmap — the corpus side must carry ZERO joins (the whole
+    point vs the broadcast-set join in contamination_check); its only
+    shuffles are the (doc_id, h60) dedup and the per-doc count."""
+    p = plan_of(spark, "bloom_decontaminate")
+    assert p.count("Join") == 0, "bloom probe must not join anything"
+
+
+def test_dsir_model_broadcasts_over_token_stream(spark):
+    """The B-bounded bucket model must broadcast back over the token
+    stream — a sort-merge join here would shuffle the full corpus
+    token stream to meet a 1024-row table."""
+    p = plan_of(spark, "dsir_weights")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
