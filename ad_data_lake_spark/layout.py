@@ -158,3 +158,78 @@ def compact_table(
         for f in files
         if f.endswith(".parquet")
     )
+
+
+ZORDER_BITS = 16
+ZORDER_NORM_BITS = 8
+ZORDER_FILES = 16
+
+
+def zvalue(x, y, bits: int = ZORDER_BITS):
+    """Morton/Z-curve interleave of the low ``bits`` of two dimension
+    columns (x on even bit positions, y on odd): rows close in BOTH
+    dimensions get close z-values, so sorting by z clusters the plane
+    into tiles. Pure long arithmetic — codegen'd, reproducible in the
+    DuckDB oracle with the same shift/mask terms."""
+    mask = F.lit((1 << bits) - 1).cast("long")
+    xm = x.cast("long").bitwiseAND(mask)
+    ym = y.cast("long").bitwiseAND(mask)
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for b in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xm, b).bitwiseAND(one), 2 * b)
+            + F.shiftleft(F.shiftright(ym, b).bitwiseAND(one), 2 * b + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = ZORDER_FILES,
+    bits: int = ZORDER_NORM_BITS,
+) -> None:
+    """Multi-dimension clustering: write ``df`` range-partitioned and
+    sorted on zvalue(x, y). A single-column sort gives perfect file
+    pruning on that column and NONE on any other; z-order gives
+    near-min/max-tight files on BOTH dimensions at once, so a scan
+    with a predicate on either (or both) skips most files on parquet
+    row-group stats alone. This is Delta/Iceberg ``OPTIMIZE ZORDER BY``
+    re-expressed with vanilla Spark: one range shuffle (sampled
+    boundaries) + per-file sort, no transaction log needed for the
+    local lake. Skipping quality is asserted in tests/test_lake.py by
+    measuring per-file (x, y) bounding boxes against a time-sorted
+    baseline.
+
+    Both dimensions are min-max normalized to the SAME ``bits`` width
+    before interleaving — with raw values a wide dimension (say 20-bit
+    ids against 5-bit day indexes) owns every significant z bit and
+    the curve degenerates to a single-column sort; equalized widths
+    are what make the tiles square-ish in rank space (Delta/Iceberg
+    z-ordering does the same via per-column range partitioning). The
+    two min/max pairs are one tiny driver-side aggregate."""
+    shutil.rmtree(path, ignore_errors=True)
+    lo_x, hi_x, lo_y, hi_y = df.agg(
+        F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
+    ).collect()[0]
+    scale = (1 << bits) - 1
+
+    def _norm(col, lo, hi):
+        rng = max(int(hi) - int(lo), 1)
+        return ((col.cast("long") - int(lo)) * scale / rng).cast("long")
+
+    z = zvalue(
+        _norm(F.col(x_col), lo_x, hi_x), _norm(F.col(y_col), lo_y, hi_y), bits
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

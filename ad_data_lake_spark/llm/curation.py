@@ -346,6 +346,72 @@ def remove_boilerplate(
     )
 
 
+SUBSTR_N = 6  # minimum duplicated span length, in tokens
+
+
+def exact_substring_dedup(corpus: DataFrame, n: int = SUBSTR_N) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    any ``n``-token span occurring MORE THAN ONCE anywhere in the
+    corpus survives only at its first occurrence (min (doc_id, pos));
+    every other occurrence's tokens are removed and the text rebuilt.
+    Differs from ``remove_boilerplate`` on both axes: the trigger is
+    ≥2 occurrences (not ≥min_docs distinct documents), and the first
+    occurrence is KEPT (boilerplate strips all copies).
+
+    Scale shape (the suffix-array of the paper doesn't distribute; the
+    fixed-``n`` shingle reduction is the standard streaming-friendly
+    re-expression): occurrences carry only (doc_id, pos, h60) — 20
+    bytes each, never the text; one hash-partitioned aggregate finds
+    each duplicated span's owner, and the occurrence stream joins back
+    on the SAME h60 partitioning, so Catalyst reuses the exchange
+    (plan-asserted) — the corpus shuffles once, not twice. Then the
+    usual per-doc covered-union + indexed rebuild (remove_boilerplate's
+    second pass). No all-pairs anywhere: cost scales with occurrence
+    count × duplication rate."""
+    from ad_data_lake_spark.llm.text import exploded_shingles_with_pos
+
+    occ = exploded_shingles_with_pos(corpus, n=n).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    spans = (
+        occ.groupBy("h")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("owner"),
+            F.count("*").alias("n_occ"),
+        )
+        .where(F.col("n_occ") >= 2)
+        .select("h", "owner")
+    )
+    dups = occ.join(spans, "h").where(
+        (F.col("doc_id") != F.col("owner.doc_id"))
+        | (F.col("pos") != F.col("owner.pos"))
+    )
+    covered = dups.groupBy("doc_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.sequence(F.col("pos"), F.col("pos") + (n - 1)))
+                )
+            )
+        ).alias("covered")
+    )
+    toks = corpus.select("doc_id", words(F.col("text")).alias("w"))
+    joined = toks.join(covered, "doc_id", "left").withColumn(
+        "covered", F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    )
+    keep_idx = F.array_except(F.sequence(F.lit(1), F.size("w")), F.col("covered"))
+    cleaned = F.transform(keep_idx, lambda i: F.element_at(F.col("w"), i))
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.size("covered").cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", cleaned).alias("cleaned_text"),
+    )
+
+
 STRATA_K = 40  # documents kept per language stratum
 
 

@@ -1094,3 +1094,48 @@ _add(
     """,
     ("llm", "curation", "selection", "dsir"),
 )
+
+
+# n=6 span fragments for the exact-substring oracle
+_SPAN_WORDS = " || ' ' || ".join(
+    f"w[i+{k}]" if k else "w[i]" for k in range(CU.SUBSTR_N)
+)
+_SPAN_COVER = ", ".join(f"pos + {k}" if k else "pos" for k in range(CU.SUBSTR_N))
+
+_add(
+    "exact_substring_dedup",
+    _doc_q(lambda docs: CU.exact_substring_dedup(CP.dup_corpus(docs))),
+    f"""
+    WITH {CP.DUP_CORPUS_SQL},
+    t AS (SELECT doc_id, {_WORDS} AS w FROM corpus),
+    sh AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               ('0x' || substr(md5({_SPAN_WORDS}), 1, 15))::BIGINT AS h
+        FROM t, unnest(range(1, len(w) - {CU.SUBSTR_N - 2})) AS u(i)),
+    spans AS (SELECT h, min(doc_id) AS odoc FROM sh GROUP BY h
+              HAVING count(*) >= 2),
+    owner AS (
+        SELECT s.h, s.odoc, min(sh.pos) AS opos
+        FROM spans s JOIN sh ON sh.h = s.h AND sh.doc_id = s.odoc
+        GROUP BY s.h, s.odoc),
+    dups AS (
+        SELECT sh.doc_id, sh.pos FROM sh JOIN owner USING (h)
+        WHERE sh.doc_id != owner.odoc OR sh.pos != owner.opos),
+    hits AS (
+        SELECT doc_id,
+               list_sort(list_distinct(flatten(list([{_SPAN_COVER}]))))
+                   AS covered
+        FROM dups GROUP BY doc_id)
+    SELECT t.doc_id,
+           len(w) AS n_tokens,
+           coalesce(len(covered), 0) AS n_removed,
+           coalesce(
+               array_to_string(
+                   list_filter(w, (x, i) ->
+                       NOT list_contains(coalesce(covered, []), CAST(i AS INTEGER))),
+                   ' '),
+               '') AS cleaned_text
+    FROM t LEFT JOIN hits USING (doc_id)
+    """,
+    ("llm", "dedup", "substring", "two-pass"),
+)

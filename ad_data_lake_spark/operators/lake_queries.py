@@ -215,6 +215,45 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZORDER_DAY0 = "2024-01-01"
+ZORDER_USER_LO, ZORDER_USER_HI = 100, 499
+ZORDER_DAY_LO, ZORDER_DAY_HI = 7, 21
+ZORDER_TILE_SHIFT = 12
+
+
+def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout: multi-dimensional z-order clustering
+    (layout.write_zordered).
+
+    Writes events z-ordered on (user_id, day index), reads back
+    through a predicate on BOTH dimensions, and aggregates per z-tile
+    (z >> 12). The oracle recomputes the identical Morton interleave
+    arithmetic straight from the source — a hash match proves both
+    the layout rewrite is lossless and the z math is exactly the
+    documented curve. File-skipping quality (per-file bounding boxes
+    vs a time-sorted baseline) is asserted in tests/test_lake.py."""
+    from ad_data_lake_spark import layout
+
+    events = _events_slim(spark, sf_dir).withColumn(
+        "day_idx",
+        F.datediff(F.to_date("ts"), F.lit(ZORDER_DAY0).cast("date")),
+    )
+    path = os.path.join(_scratch(spark, "zorder", sf_dir), "events")
+    layout.write_zordered(events, path, "user_id", "day_idx")
+    back = spark.read.parquet(path).where(
+        F.col("user_id").between(ZORDER_USER_LO, ZORDER_USER_HI)
+        & F.col("day_idx").between(ZORDER_DAY_LO, ZORDER_DAY_HI)
+    )
+    tile = F.shiftright(
+        layout.zvalue(F.col("user_id"), F.col("day_idx")), ZORDER_TILE_SHIFT
+    ).alias("z_tile")
+    return back.groupBy(tile).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4+: stream-stream interval join (multi-touch attribution).
 

@@ -1275,6 +1275,55 @@ _register(
     ),
 )
 
+from ad_data_lake_spark import layout as _layout_mod  # noqa: E402, F401
+
+# Morton interleave mirrored term-for-term from layout.zvalue
+_Z_EXPR = " + ".join(
+    f"((((user_id & 65535) >> {b}) & 1) << {2 * b})"
+    f" + ((((day_idx & 65535) >> {b}) & 1) << {2 * b + 1})"
+    for b in range(_layout_mod.ZORDER_BITS)
+)
+
+_register(
+    "zorder_roundtrip",
+    QuerySpec(
+        lake_queries.zorder_roundtrip,
+        f"""
+        WITH e AS (
+            SELECT user_id, value,
+                   datediff('day', DATE '{lake_queries.ZORDER_DAY0}',
+                            CAST(ts AS DATE)) AS day_idx
+            FROM events),
+        f AS (SELECT * FROM e
+              WHERE user_id BETWEEN {lake_queries.ZORDER_USER_LO}
+                                AND {lake_queries.ZORDER_USER_HI}
+                AND day_idx BETWEEN {lake_queries.ZORDER_DAY_LO}
+                                AND {lake_queries.ZORDER_DAY_HI}),
+        z AS (SELECT user_id, value, ({_Z_EXPR}) AS zv FROM f)
+        SELECT zv >> {lake_queries.ZORDER_TILE_SHIFT} AS z_tile,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 2) AS total_value
+        FROM z GROUP BY 1
+        """,
+        ("write", "layout", "zorder"),
+    ),
+)
+
+from ad_data_lake_spark.operators import sketches as _sketches  # noqa: E402
+
+# Sketch BYTES are engine-specific (DataSketches HLL), so this row is
+# rows-only: the value gate lives in tests/test_approx_bounds.py
+# (estimate within HLL error of exact reach; sketch-rollup ≈ direct).
+_register(
+    "reach_sketch_rollup",
+    QuerySpec(
+        _q(_sketches.reach_rollup_from_sketches, "events"),
+        None,
+        ("aggregate", "sketch", "reach"),
+    ),
+)
+
 from ad_data_lake_spark.operators import snapshots as _snapshots  # noqa: E402
 
 _register(

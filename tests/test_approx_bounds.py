@@ -35,3 +35,33 @@ def test_reach_hll_within_5pct(errors):
 
 def test_percentile_sketch_within_1pct(errors):
     assert errors["percentile_sketch_max_rel_err"] <= 0.01
+
+
+def test_reach_sketch_rollup_accuracy_and_merge(spark):
+    """The DataSketches HLL path: (1) per-type rollup-from-day-sketches
+    estimate within 5% of exact reach; (2) merging day sketches agrees
+    with sketching the whole fact directly to within the sketch's own
+    error (the two register states may differ — sparse-mode promotion —
+    but both must estimate the same quantity)."""
+    from pyspark.sql import functions as F
+
+    from ad_data_lake_spark.operators import sketches as SK
+
+    events = load_table(spark, "events", SF_APPROX)
+    rolled = {r.event_type: r.est_reach for r in SK.reach_rollup_from_sketches(events).collect()}
+    exact = {
+        r.event_type: r.exact
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    direct = {
+        r.event_type: r.est
+        for r in events.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert set(rolled) == set(exact)
+    for t, est in rolled.items():
+        assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
+        assert abs(est - direct[t]) / exact[t] < 0.05, (t, est, direct[t])

@@ -304,3 +304,32 @@ def test_dsir_prefers_target_like_documents(documents):
     assert scores[planted_id] > median, (
         f"planted target copy scored {scores[planted_id]} <= median {median}"
     )
+
+
+def test_exact_substring_dedup_semantics(documents):
+    """The planted exact-duplicate copy (doc_id + 1e6) must lose its
+    ENTIRE text (every span is non-owner), while its original keeps
+    every token that isn't part of some other duplicated span; and no
+    kept document ever loses tokens that exist nowhere else."""
+    from ad_data_lake_spark.llm import corpus as CP
+
+    out = {
+        r.doc_id: r
+        for r in CU.exact_substring_dedup(CP.dup_corpus(documents)).collect()
+    }
+    originals = [
+        d for d in out if d < CP.EXACT_OFFSET and d % CP.EXACT_MOD == 0
+    ]
+    assert originals, "fixture must contain planted exact duplicates"
+    for doc_id in originals:
+        copy = out[doc_id + CP.EXACT_OFFSET]
+        if copy.n_tokens >= CU.SUBSTR_N:
+            assert copy.cleaned_text == "", (
+                f"copy of {doc_id} kept text: {copy.cleaned_text!r}"
+            )
+        orig = out[doc_id]
+        assert orig.n_removed <= orig.n_tokens
+    # documents below the span length are never touched
+    for r in out.values():
+        if r.n_tokens < CU.SUBSTR_N:
+            assert r.n_removed == 0

@@ -447,3 +447,55 @@ def test_lake_readback_prunes_partitions(spark):
     assert "PartitionFilters: [" in p, "day predicate must prune partitions"
     pf = p.split("PartitionFilters: [")[1].split("]")[0]
     assert "snapshot_date" in pf and pf.strip(), f"empty partition filter: {pf!r}"
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """File-skipping contract, per dimension: a narrow predicate on
+    EITHER dimension alone must prune most z-ordered files on their
+    min/max stats. The time-sorted baseline proves the contrast: it
+    prunes day predicates perfectly but a user-only predicate touches
+    EVERY file (each file spans all users). Content must round-trip
+    losslessly."""
+    from ad_data_lake_spark import layout
+
+    ev = (
+        load_table(spark, "events", "/root/testdata/sf0.01")
+        .select("event_id", "ts", "user_id", "value")
+        .withColumn(
+            "day_idx", F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        )
+    )
+    zpath, tpath = str(tmp_path / "z"), str(tmp_path / "t")
+    layout.write_zordered(ev, zpath, "user_id", "day_idx", n_files=16)
+    (
+        ev.repartitionByRange(16, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(tpath)
+    )
+    # ~10%-selectivity single-dimension predicates
+    u_lo, u_hi = 60, 74  # fixture users span 0-149
+    d_lo, d_hi = 10, 12
+
+    def touched(path):
+        spans = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+                F.min("day_idx").alias("dlo"), F.max("day_idx").alias("dhi"),
+            )
+            .collect()
+        )
+        n = len(spans)
+        by_user = sum(1 for r in spans if r.ulo <= u_hi and r.uhi >= u_lo)
+        by_day = sum(1 for r in spans if r.dlo <= d_hi and r.dhi >= d_lo)
+        return n, by_user, by_day
+
+    zn, zu, zd = touched(zpath)
+    tn, tu, td = touched(tpath)
+    assert tu == tn, "baseline sanity: time-sort cannot prune a user predicate"
+    assert zu <= zn // 2, f"user predicate touches {zu}/{zn} z-ordered files"
+    assert zd <= zn // 2, f"day predicate touches {zd}/{zn} z-ordered files"
+    assert _table_hash(spark.read.parquet(zpath)) == _table_hash(ev), (
+        "z-order rewrite must be lossless"
+    )

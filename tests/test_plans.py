@@ -296,3 +296,22 @@ def test_dsir_model_broadcasts_over_token_stream(spark):
     p = plan_of(spark, "dsir_weights")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_exact_substring_dedup_joins_are_equi_on_hash(spark):
+    """The duplicated-span filter must meet the occurrence stream in an
+    EQUI-join on the span hash — broadcast when AQE sees the span table
+    is small (the fixture case), shuffle-on-h with a shared exchange at
+    scale; never a nested-loop over the residual owner predicate. The
+    owner residual (doc_id, pos) != owner must ride the equi-join as a
+    post-condition, not become the join itself."""
+    df = REGISTRY["exact_substring_dedup"].fn(spark, SF_ORACLE)
+    df.collect()  # join strategy is decided at runtime under AQE
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    h_joins = [
+        ln for ln in p.splitlines()
+        if ("BroadcastHashJoin [h#" in ln or "SortMergeJoin [h#" in ln
+            or "ShuffledHashJoin [h#" in ln)
+    ]
+    assert h_joins, "span filter must equi-join on the span hash"
