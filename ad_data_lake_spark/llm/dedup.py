@@ -366,7 +366,10 @@ def neardup_clusters(
         labels.groupBy("label")
         .agg(
             F.count("*").alias("n_docs"),
-            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            # JSON-serialize the member list: downstream comparators
+            # (and the driver's pandas canonicalizer) can't hash raw
+            # array cells — same contract as collect_list_nest
+            F.to_json(F.array_sort(F.collect_list("doc_id"))).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
         .select(F.col("label").alias("cluster_id"), "n_docs", "doc_ids")

@@ -171,7 +171,7 @@ _add(
         FROM cc JOIN edges e ON cc.doc = e.doc_b),
     lab AS (SELECT doc, min(label) AS cluster_id FROM cc GROUP BY doc)
     SELECT cluster_id, count(*) AS n_docs,
-           list_sort(list(doc)) AS doc_ids
+           CAST(to_json(list_sort(list(doc))) AS VARCHAR) AS doc_ids
     FROM lab GROUP BY cluster_id HAVING count(*) > 1
     """,
     ("llm", "dedup", "clusters", "iterative", "graph"),

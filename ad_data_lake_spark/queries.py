@@ -1430,94 +1430,47 @@ for _name, (_fn, _oracle, _tags) in LLM_TEXT_QUERIES.items():
 # rounds' correctness files, so each round leads with (a) the queries
 # whose latest driver check is two rounds old, then (b) anything whose
 # implementation changed this round, then the queries the previous
-# round's window already re-proved. Round 5: the 42 names below were
-# last driver-checked in round 2 (round 4's window covered the LLM /
-# curation / temporal / write layers); the changed-this-round block
-# follows them, filling the 50-query window exactly.
+# round's window already re-proved. Round 6: leads are the fixed
+# neardup_clusters plus the 12 names with no row in r04 ∪ r05 (added
+# after round 5's rotation), then this round's perf rewrites, then the
+# round-4-window names so the rolling union stays complete.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- stale since round 2: relational/aggregate/window spine ---
-    "stamp_parent_keys",
-    "agg_action_type",
-    "agg_reach_frequency",
-    "agg_rollup",
-    "derived_ratio_metrics",
-    "agg_action_breakdown",
-    "latest_snapshot_window",
-    "per_user_frequency",
-    "last_wins_dedupe",
-    "top_k",
-    "collect_list_nest",
-    "nested_report",
-    "lake_write_roundtrip",
-    # --- stale since round 2: fn_* golden-pair / sanitize layer ---
-    "fn_positive_amount",
-    "fn_budget_exclusion",
-    "fn_spend_cap",
-    "fn_string_collection",
-    "fn_parse_datetime",
-    "fn_clamp_start_time",
-    "fn_numeric_autocast",
-    "fn_boolean_coerce",
-    "fn_actid_norm",
-    "fn_flatten_ref",
-    "fn_coalesce_spec",
-    "fn_gather_arrays",
-    "fn_nested_update",
-    "fn_story_spec_update",
-    "fn_unicode_unescape",
-    "sanitize_nested_struct",
-    "sanitize_campaign_payload",
-    "fn_cbo_resolve",
-    "fn_build_cta",
-    "fn_asset_kind",
-    "fn_creative_payload",
-    "fn_parse_targeting",
-    "fn_null_strip",
-    "sanitize_adset_payload",
-    "json_decode_ingest",
-    "fn_brand_safety",
-    # --- new in round 5 (no driver row yet): these eleven fill the
-    # window exactly (sort_by_name, union_pages, count_summary —
-    # trivial, r2-green, unchanged — yield their slots). The queries
-    # whose IMPLEMENTATION changed this round (merge_upsert_idempotent,
-    # curation_pipeline, contamination_check, dedup_simhash,
-    # embed_topk_ivf, neardup_clusters) hold r4-green rows by name and
-    # lead the out-of-window block below; the local sf0.01 gate
-    # (scripts/driver_sim.py) re-proves the changed code ---
-    "boilerplate_removal",
-    "token_vocab",
+    # --- round 6 leads: the one red row from round 5 (output shape
+    # fixed: doc_ids now JSON-serialized) plus every name with no row
+    # in CORRECTNESS_r04 ∪ r05 ---
     "neardup_clusters",
-    "unigram_lm_score",
-    "tfidf_top_terms",
-    "stratified_sample",
-    "epoch_shuffle",
+    "bloom_decontaminate",
+    "dsir_weights",
+    "exact_substring_dedup",
+    "snapshot_diff",
+    "scd2_history",
+    "streaming_sliding_insights",
+    "reach_sketch_rollup",
+    "zorder_roundtrip",
+    "dedup_minhash_lsh_xx",
+    "count_summary",
+    "sort_by_name",
+    "union_pages",
+    # --- implementation changed in round 6 (perf rewrites / scale
+    # knobs), so their driver rows must refresh ---
+    "boilerplate_removal",
     "cross_split_leakage",
-    "rag_retrieve",
-    "corpus_health",
-    "streaming_corpus_ingest",
-    # --- changed in round 5 (r4-green by name; re-proved by the local
-    # gate + pytest), then the round-4-window queries (driver-proven
-    # last round; daily_extract_pipeline's round-5 change is the same
-    # merge path merge_upsert_idempotent re-proves, and
-    # streaming_attribution_join's is only a drain-session conf,
-    # covered by the cross-micro-batch pytest) ---
-    "merge_upsert_idempotent",
-    "curation_pipeline",
     "contamination_check",
     "dedup_simhash",
     "embed_topk_ivf",
-    "sort_by_name",
-    "union_pages",
-    "count_summary",
-    "split_summary",
+    "ivf_index_incremental",
+    "merge_upsert_idempotent",
     "daily_extract_pipeline",
+    # --- round-4-window names (driver-green r4, none since): keep the
+    # two-round rolling union fresh; the 15 trivial scan/projection
+    # queries at the tail yield their slots this round ---
+    "curation_pipeline",
     "streaming_attribution_join",
     "mixture_sample",
     "chunk_documents",
     "minhash_index_incremental",
-    "ivf_index_incremental",
     "dataset_split",
     "pack_sequences",
     "dedup_exact",
@@ -1527,15 +1480,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embed_topk_bruteforce",
     "embed_topk_lsh",
     "embed_neardup_pairs",
-    "doc_fingerprint",
-    "text_stats",
-    "token_counts",
-    "lang_id",
-    "quality_score",
-    "repetition_stats",
-    "pii_redact",
-    "multimodal_features",
-    "multimodal_resize",
     "asof_attribution",
     "flight_window_rollup",
     "sessionize_events",
@@ -1548,6 +1492,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "compaction_roundtrip",
     "backfill_partition_replace",
     "streaming_daily_insights",
+    "split_summary",
+    "multimodal_features",
+    "multimodal_resize",
+    # ---------------- out-of-window tail (50-query cap reached above;
+    # everything below is green in CORRECTNESS_r04 or r05 and
+    # unchanged this round) ----------------
     "scan_project",
     "filter_updated_since",
     "filter_time_range",
@@ -1556,6 +1506,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "distinct_ids",
     "broadcast_dim_join",
     "hierarchy_flat",
+    "text_stats",
+    "token_counts",
+    "lang_id",
+    "quality_score",
+    "repetition_stats",
+    "pii_redact",
+    "doc_fingerprint",
 )
 
 

@@ -37,7 +37,27 @@ def canon_rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _reject_list_cells(pdf: pd.DataFrame, name: str, side: str) -> None:
+    # Driver-canon fidelity: the driver's pandas canonicalizer sorts /
+    # hashes raw cell values and dies on unhashable list cells
+    # (CORRECTNESS_r05 neardup_clusters). Registry queries must
+    # serialize array outputs (to_json) — fail locally the way the
+    # driver would instead of silently absorbing lists in _canon_cell.
+    for col in pdf.columns:
+        s = pdf[col].dropna()
+        if len(s) == 0:
+            continue
+        v = s.iloc[0]
+        if isinstance(v, (list, tuple)) or str(type(v)).endswith("ndarray'>"):
+            raise AssertionError(
+                f"{name}: {side} column {col!r} holds raw array cells; "
+                "serialize with to_json — the driver gate cannot hash lists"
+            )
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
+    _reject_list_cells(spark_pdf, name, "spark")
+    _reject_list_cells(duck_pdf, name, "oracle")
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
     )

@@ -6,6 +6,8 @@ honest about what it can't do.
 
 from __future__ import annotations
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -308,12 +310,13 @@ def test_neardup_clusters_group_planted_copies(documents):
     seen = set()
     by_cluster = {}
     for c in clusters:
-        assert c.n_docs == len(c.doc_ids) >= 2
-        assert c.cluster_id == min(c.doc_ids)
-        for d in c.doc_ids:
+        doc_ids = json.loads(c.doc_ids)  # serialized for the driver gate
+        assert c.n_docs == len(doc_ids) >= 2
+        assert c.cluster_id == min(doc_ids)
+        for d in doc_ids:
             assert d not in seen  # components partition the vertices
             seen.add(d)
-        by_cluster[c.cluster_id] = set(c.doc_ids)
+        by_cluster[c.cluster_id] = set(doc_ids)
     # planted copies: base b gets exact copy b+EXACT_OFFSET and near
     # copy b+NEAR_OFFSET; both must share b's component
     bases = [r.doc_id for r in documents.where(
