@@ -212,10 +212,18 @@ def write_zordered(
     are what make the tiles square-ish in rank space (Delta/Iceberg
     z-ordering does the same via per-column range partitioning). The
     two min/max pairs are one tiny driver-side aggregate."""
-    shutil.rmtree(path, ignore_errors=True)
+    # Compute bounds BEFORE touching the target: an empty input yields
+    # all-null min/max, and discovering that after an rmtree would have
+    # destroyed the existing data for a write that cannot proceed.
     lo_x, hi_x, lo_y, hi_y = df.agg(
         F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
     ).collect()[0]
+    if lo_x is None or lo_y is None:
+        raise ValueError(
+            f"write_zordered: input has no non-null ({x_col}, {y_col}) rows; "
+            "refusing to overwrite " + path
+        )
+    shutil.rmtree(path, ignore_errors=True)
     scale = (1 << bits) - 1
 
     def _norm(col, lo, hi):

@@ -35,6 +35,18 @@ PACK_SHARDS = 8
 BENCHMARK_MOD = 41  # every 41st doc plays the held-out benchmark set
 
 
+def _index_range(arr_col: str) -> Column:
+    """1..size(arr) as an array, empty when the array is empty —
+    ``sequence(1, 0)`` would DESCEND to [1, 0] and downstream
+    element_at(w, 0) raises. ``words()`` currently never returns an
+    empty array (whitespace text yields [""]), but the rebuild must not
+    depend on that tokenizer detail."""
+    w = F.col(arr_col)
+    return F.when(F.size(w) >= 1, F.sequence(F.lit(1), F.size(w))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def _id_hash_pct(id_col: Column) -> Column:
     """Deterministic 0–99 bucket from md5 of the id — the split lever.
     Content-stable: a document keeps its split across reruns, engines,
@@ -334,9 +346,7 @@ def remove_boilerplate(
     # !array_contains(covered, i+1))` form this replaces rescanned the
     # covered list per token: O(tokens × covered) per document, noise
     # on the fixture's ~50-token docs but quadratic on real pages
-    keep_idx = F.array_except(
-        F.sequence(F.lit(1), F.size("w")), F.col("covered")
-    )
+    keep_idx = F.array_except(_index_range("w"), F.col("covered"))
     cleaned = F.transform(keep_idx, lambda i: F.element_at(F.col("w"), i))
     return joined.select(
         "doc_id",
@@ -402,7 +412,7 @@ def exact_substring_dedup(corpus: DataFrame, n: int = SUBSTR_N) -> DataFrame:
     joined = toks.join(covered, "doc_id", "left").withColumn(
         "covered", F.coalesce(F.col("covered"), F.array().cast("array<int>"))
     )
-    keep_idx = F.array_except(F.sequence(F.lit(1), F.size("w")), F.col("covered"))
+    keep_idx = F.array_except(_index_range("w"), F.col("covered"))
     cleaned = F.transform(keep_idx, lambda i: F.element_at(F.col("w"), i))
     return joined.select(
         "doc_id",

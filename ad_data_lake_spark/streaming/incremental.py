@@ -4,10 +4,11 @@ The reference's "daily mode" is a scheduled batch pull of rows updated
 in the last day (reference src/main_extractor.py:42-51,358) with no
 late/duplicate handling (re-runs overwrite files). The streaming
 re-expression: a file-source stream over the events fact, a 1-day
-watermark bounding state, ``dropDuplicates`` on the event id within
-the watermark, and the per-day insights aggregate (A1) computed
-continuously — the same result the batch aggregate produces, verified
-by test.
+watermark bounding state, ``dropDuplicatesWithinWatermark`` on the
+event id (dedup state evicts with the watermark — plain
+``dropDuplicates`` keyed only on event_id would grow state forever),
+and the per-day insights aggregate (A1) computed continuously — the
+same result the batch aggregate produces, verified by test.
 
 Scale notes:
 - the watermark bounds dedupe + window state to ~1 day of keys per
@@ -33,16 +34,18 @@ def streaming_daily_insights(
     schema: StructType,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """readStream → watermark → dropDuplicates(event_id) → tumbling
-    1-day window aggregate per event_type. Append-mode capable (the
-    watermark closes windows)."""
+    """readStream → watermark → dropDuplicatesWithinWatermark(event_id)
+    → tumbling 1-day window aggregate per event_type. Append-mode
+    capable (the watermark closes windows); dedup state is evicted as
+    the watermark advances, so it stays bounded at any stream
+    length."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     events = reader.parquet(source_dir)
     return (
         events.withWatermark("ts", "1 day")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy(F.window("ts", "1 day").alias("day"), F.col("event_type"))
         .agg(
             F.count("*").alias("events"),
@@ -70,15 +73,17 @@ def streaming_sliding_insights(
     contributes to ``window_days`` windows; Spark's window() generates
     the assignments at the map side (an Expand, no self-join), so the
     plan stays one shuffle on (window, event_type) and the watermark
-    still closes windows — state is bounded to ~window_days + 1 day of
-    open windows regardless of stream length."""
+    still closes windows — aggregation state is bounded to
+    ~window_days + 1 day of open windows, and the event-id dedup uses
+    ``dropDuplicatesWithinWatermark`` so its state store evicts with
+    the watermark too, regardless of stream length."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     events = reader.parquet(source_dir)
     return (
         events.withWatermark("ts", "1 day")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy(
             F.window("ts", f"{window_days} days", "1 day").alias("w"),
             F.col("event_type"),

@@ -333,3 +333,20 @@ def test_exact_substring_dedup_semantics(documents):
     for r in out.values():
         if r.n_tokens < CU.SUBSTR_N:
             assert r.n_removed == 0
+
+
+def test_bloom_bitmap_memoized_per_reference_plan(documents):
+    """The built bitmap is an immutable bounded model: probing the same
+    reference plan twice must reuse the cached list (no second build
+    job), and a different reference plan must NOT collide with it."""
+    from pyspark.sql import functions as F
+
+    from ad_data_lake_spark.llm import selection as SEL
+
+    ref_a = documents.where(F.col("doc_id") % 41 == 0)
+    ref_b = documents.where(F.col("doc_id") % 43 == 0)
+    a1 = SEL.bloom_bitmap(ref_a)
+    a2 = SEL.bloom_bitmap(ref_a)
+    assert a1 is a2, "same reference plan must hit the memo"
+    b = SEL.bloom_bitmap(ref_b)
+    assert b is not a1 and b != a1, "distinct reference plans must not collide"

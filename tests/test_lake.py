@@ -499,3 +499,30 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
     assert _table_hash(spark.read.parquet(zpath)) == _table_hash(ev), (
         "z-order rewrite must be lossless"
     )
+
+
+def test_zorder_empty_input_refuses_and_preserves_target(spark, tmp_path):
+    """An all-null/empty input must raise BEFORE the target directory
+    is touched — the old shape rmtree'd first and then crashed on
+    int(None), destroying the existing layout for a write that could
+    never proceed."""
+    from ad_data_lake_spark import layout
+
+    ev = (
+        load_table(spark, "events", SF_SMOKE)
+        .select("event_id", "user_id")
+        .withColumn("day_idx", F.lit(1))
+    )
+    zpath = str(tmp_path / "z")
+    layout.write_zordered(ev, zpath, "user_id", "day_idx", n_files=2)
+    before = sorted(
+        f for f in os.listdir(zpath) if f.endswith(".parquet")
+    )
+    with pytest.raises(ValueError, match="no non-null"):
+        layout.write_zordered(
+            ev.where(F.lit(False)), zpath, "user_id", "day_idx", n_files=2
+        )
+    after = sorted(
+        f for f in os.listdir(zpath) if f.endswith(".parquet")
+    )
+    assert before == after, "failed write must not touch the existing layout"
