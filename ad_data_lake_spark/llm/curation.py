@@ -311,18 +311,34 @@ def remove_boilerplate(
        from uncovered tokens.
 
     Output: (doc_id, n_tokens, n_removed, cleaned_text). The covered
-    set is 1-based token indices; the rebuild filters by index with a
-    two-arg higher-order lambda — per-row bounded work, no Python.
+    set is 1-based token indices; the rebuild keeps uncovered positions
+    with a linear array_except — per-row bounded work, no Python.
     Scale shape: one broadcast join over exploded shingles, one doc_id
     aggregate, one corpus join on doc_id to attach the (sparse) covered
     sets — the same two-pass contract every corpus-frequency cleaner
-    (CCNet/C4) runs; no all-pairs, no global sort."""
-    from ad_data_lake_spark.llm.text import exploded_shingles_with_pos
+    (CCNet/C4) runs; no all-pairs, no global sort. Both passes key on
+    xxhash64(shingle) instead of the shingle string: the frequency
+    shuffle and the broadcast head carry 8-byte longs (~4× narrower
+    than the 3-word strings), and a 64-bit collision (~n²/2^65) can
+    only merge two shingles' doc-counts — output text is unchanged
+    with overwhelming probability, verified exactly by the
+    string-keyed DuckDB oracle."""
+    from ad_data_lake_spark.llm.text import exploded_shingles, exploded_shingles_with_pos
 
-    boiler = boilerplate_ngrams(documents, n, min_docs).select("s")
-    sh = exploded_shingles_with_pos(documents, n=n)
+    h = F.xxhash64("s")
+    boiler = (
+        exploded_shingles(documents, n=n)
+        .select(h.alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    sh = exploded_shingles_with_pos(documents, n=n).select(
+        "doc_id", "pos", h.alias("h")
+    )
     hits = (
-        sh.join(F.broadcast(boiler), "s")
+        sh.join(F.broadcast(boiler), "h")
         .groupBy("doc_id")
         .agg(
             F.array_sort(
