@@ -53,8 +53,48 @@ from pyspark.sql import functions as F
 from ad_data_lake_spark.operators.windows import last_wins_dedupe
 
 N_MERGE_BUCKETS = 8
+# target rewrite granularity: one bucket ≈ this many (pre-compression)
+# bytes, so a merge touching one key rewrites ~256 MB, not the table
+MERGE_BUCKET_TARGET_BYTES = 256 << 20
+_MAX_MERGE_BUCKETS = 1 << 16
 _BUCKET = "_mb"
 _PTR = "_CURRENT"
+_NB = "_BUCKETS"
+
+
+def buckets_for_bytes(
+    nbytes: int,
+    target_bytes: int = MERGE_BUCKET_TARGET_BYTES,
+    min_buckets: int = N_MERGE_BUCKETS,
+) -> int:
+    """Bucket count for a table of ``nbytes``: enough buckets that each
+    holds ≈ ``target_bytes``, rounded UP to a power of two (stable
+    doubling as tables grow), floored at the fixture default and capped
+    at 2^16 (a 16 PB table at the default target — past that, raise
+    ``target_bytes`` rather than multiplying directories)."""
+    if nbytes <= 0:
+        return min_buckets
+    want = -(-nbytes // target_bytes)
+    return min(_MAX_MERGE_BUCKETS, max(min_buckets, 1 << (want - 1).bit_length()))
+
+
+def _estimated_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes for the frame — file-size-derived for
+    scans, a (possibly inflated) estimate otherwise. Inflation only
+    OVERSIZES the bucket count, which costs directories, not
+    correctness; the power-of-two rounding keeps it tame."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return 0
+
+
+def _stored_buckets(target_path: str) -> int | None:
+    try:
+        with open(os.path.join(target_path, _NB)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
 
 
 def _bucket_expr(key: str, n_buckets: int):
@@ -120,18 +160,33 @@ def merge_upsert(
     key: str,
     order_col: str,
     tiebreak: str,
-    n_buckets: int = N_MERGE_BUCKETS,
+    n_buckets: int | None = None,
 ) -> None:
     """Idempotent bucket-scoped upsert: rows in ``updates`` win over
     the current table when newer by (order_col, tiebreak); unseen keys
     insert. Applying the same updates twice yields an identical table.
     Only buckets containing update keys are rewritten; every other
-    bucket's files carry over by hardlink, untouched."""
+    bucket's files carry over by hardlink, untouched.
+
+    ``n_buckets=None`` (default) resolves the bucket count: an existing
+    table's stored count always wins (the bucket function is part of
+    the layout — changing it would scatter keys across old buckets), a
+    first write sizes from the incoming frame via ``buckets_for_bytes``
+    so the count GROWS with data instead of pinning the fixture's 8.
+    The resolved count is persisted next to ``_CURRENT``."""
     prev_version = _current_version(target_path)
     if prev_version is None and os.path.isdir(target_path) and os.listdir(target_path):
         # legacy unbucketed parquet directory: full-rewrite fallback
         _merge_unbucketed(spark, target_path, updates, key, order_col, tiebreak)
         return
+
+    stored = _stored_buckets(target_path)
+    if prev_version is not None:
+        # layout-bound: a pre-knob table stored nothing and was always
+        # written with the fixture default
+        n_buckets = stored if stored is not None else N_MERGE_BUCKETS
+    elif n_buckets is None:
+        n_buckets = buckets_for_bytes(_estimated_plan_bytes(updates))
 
     updates_b = updates.withColumn(_BUCKET, _bucket_expr(key, n_buckets))
     new_version = f"v-{uuid.uuid4().hex[:8]}"
@@ -161,6 +216,11 @@ def merge_upsert(
         for d in os.listdir(cur_dir):
             if d.startswith(f"{_BUCKET}=") and int(d.split("=", 1)[1]) not in touched:
                 _link_tree(os.path.join(cur_dir, d), os.path.join(new_dir, d))
+    if _stored_buckets(target_path) != n_buckets:
+        tmp = os.path.join(target_path, f".{_NB}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(str(n_buckets))
+        os.replace(tmp, os.path.join(target_path, _NB))
     _publish(target_path, new_version, prev_version)
 
 

@@ -41,7 +41,12 @@ def ann_recalls(embeddings: DataFrame, k: int = 5, query_mod: int = QUERY_MOD) -
     )
     out = {}
     for p in (1, 2, 4):
-        ivf = sim.topk_ivf(embeddings, query_mod=query_mod, k=k, nprobe=p)
+        # pinned C=IVF_CELLS: these recall curves document the same
+        # fixed geometry the oracle-checked registry query runs; the
+        # √n default would move the scan fraction with the fixture size
+        ivf = sim.topk_ivf(
+            embeddings, query_mod=query_mod, k=k, n_cells=sim.IVF_CELLS, nprobe=p
+        )
         out[f"ivf_p{p}"] = recall_at_k(ivf, exact)
     for h in (0, 1, 2):
         lsh = sim.topk_lsh(embeddings, query_mod=query_mod, k=k, probe_hamming=h)

@@ -500,7 +500,9 @@ def _ivf_sql(
 
 _add(
     "embed_topk_ivf",
-    _emb_q(SIM.topk_ivf),
+    # geometry pinned: the oracle unrolls training at C=IVF_CELLS in
+    # static SQL; production callers take topk_ivf's default √n rule
+    _emb_q(lambda emb: SIM.topk_ivf(emb, n_cells=SIM.IVF_CELLS)),
     _ivf_sql(),
     ("llm", "similarity", "ann", "ivf"),
 )
@@ -757,7 +759,9 @@ def _ivf_index_sql(
 
 _add(
     "ivf_index_incremental",
-    SIM.ivf_index_incremental,
+    # same pinned-geometry contract as embed_topk_ivf: oracle SQL
+    # trains at C=IVF_CELLS; the function's own default derives √n
+    lambda spark, sf: SIM.ivf_index_incremental(spark, sf, n_cells=SIM.IVF_CELLS),
     _ivf_index_sql(),
     ("llm", "similarity", "ann", "ivf", "write", "incremental"),
 )

@@ -294,7 +294,7 @@ def _unit_and_cell_pd(cents: Centroids):
 
 
 def ivf_centroids(
-    embeddings: DataFrame, n_cells: int = IVF_CELLS, iters: int = IVF_ITERS
+    embeddings: DataFrame, n_cells: int | None = None, iters: int = IVF_ITERS
 ) -> Centroids:
     """Spherical k-means coarse quantizer, trained IN-MEMORY on the
     driver over the passed training set — the faiss contract: a coarse
@@ -320,6 +320,8 @@ def ivf_centroids(
     rows = embeddings.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).collect()
+    if n_cells is None:  # default: √n scale rule over the training set
+        n_cells = ivf_cells_for(len(rows))
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     V = np.array([r.v for r in rows], dtype=np.float64)
     order = np.argsort(ids)
@@ -346,7 +348,7 @@ def topk_ivf(
     embeddings: DataFrame,
     query_mod: int = 97,
     k: int = 5,
-    n_cells: int | None = IVF_CELLS,
+    n_cells: int | None = None,
     iters: int = IVF_ITERS,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
@@ -364,12 +366,12 @@ def topk_ivf(
     the cell key + a per-query ranking window — the corpus is never
     shuffled and never self-joined.
 
-    ``n_cells=None`` derives the cell count from the corpus size via
-    ``ivf_cells_for`` (√n rule) — the scale path. The explicit default
-    stays ``IVF_CELLS`` only where a FIXED count is part of the
-    contract (the oracle-checked registry query unrolls training at
-    C=8 in SQL; a production caller should pass None or a count-derived
-    value so per-cell work stays balanced)."""
+    ``n_cells=None`` — the DEFAULT — derives the cell count from the
+    corpus size via ``ivf_cells_for`` (√n rule), so per-cell work stays
+    balanced as the table grows with no knob to trip over. Pass an
+    explicit count only where a FIXED geometry is part of a contract:
+    the oracle-checked registry query pins ``IVF_CELLS`` because its
+    DuckDB twin unrolls training at C=8 in static SQL."""
     if n_cells is None:
         n_cells = ivf_cells_for(embeddings.count())
     u = unit_vectors(embeddings)
@@ -670,7 +672,9 @@ def ivf_assign(embeddings: DataFrame, cents: Centroids) -> DataFrame:
 IVF_INDEX_BATCH_MOD = 10
 
 
-def ivf_index_incremental(spark, sf_dir: str) -> DataFrame:
+def ivf_index_incremental(
+    spark, sf_dir: str, n_cells: int | None = None
+) -> DataFrame:
     """Incremental IVF index maintenance, end-to-end: train the coarse
     quantizer on the base vectors (vec_id % IVF_INDEX_BATCH_MOD != 0),
     persist their cell assignments, then APPEND the new batch's
@@ -689,7 +693,7 @@ def ivf_index_incremental(spark, sf_dir: str) -> DataFrame:
 
     base = emb.where(F.col("vec_id") % IVF_INDEX_BATCH_MOD != 0)
     batch = emb.where(F.col("vec_id") % IVF_INDEX_BATCH_MOD == 0)
-    cents = ivf_centroids(base)
+    cents = ivf_centroids(base, n_cells)
     ivf_assign(base, cents).write.parquet(path)
     ivf_assign(batch, cents).write.mode("append").parquet(path)
     return spark.read.parquet(path)

@@ -526,3 +526,37 @@ def test_zorder_empty_input_refuses_and_preserves_target(spark, tmp_path):
         f for f in os.listdir(zpath) if f.endswith(".parquet")
     )
     assert before == after, "failed write must not touch the existing layout"
+
+
+def test_merge_bucket_count_scales_and_persists(spark, events, tmp_path):
+    """The bucket count must GROW with table bytes (power-of-two, 256 MB
+    target, floored at the fixture default) and, once a table exists,
+    be read back from the layout — the bucket function is part of the
+    on-disk format, so later merges may never re-derive a different
+    count."""
+    from ad_data_lake_spark.incremental import (
+        N_MERGE_BUCKETS,
+        _stored_buckets,
+        buckets_for_bytes,
+        merge_upsert,
+        read_merged,
+    )
+
+    assert buckets_for_bytes(0) == N_MERGE_BUCKETS
+    assert buckets_for_bytes(1 << 20) == N_MERGE_BUCKETS
+    assert buckets_for_bytes(10 << 30) == 64  # 40 buckets of 256MB -> 64
+    assert buckets_for_bytes(1 << 40) == 4096
+    prev = 0
+    for b in (1 << 20, 1 << 30, 1 << 34, 1 << 40, 1 << 50):
+        cur = buckets_for_bytes(b)
+        assert cur >= prev and (cur & (cur - 1)) == 0
+        prev = cur
+
+    target = str(tmp_path / "scaled_table")
+    base = events.select("event_id", "ts", "value")
+    merge_upsert(spark, target, base, "event_id", "ts", "value", n_buckets=16)
+    assert _stored_buckets(target) == 16
+    # default resolution must honor the stored layout, not re-derive
+    merge_upsert(spark, target, base.limit(10), "event_id", "ts", "value")
+    assert _stored_buckets(target) == 16
+    assert read_merged(spark, target).count() == base.dropDuplicates(["event_id"]).count()
