@@ -268,6 +268,60 @@ def mixture_sample(documents: DataFrame) -> DataFrame:
     )
 
 
+# Temperature resampling: keep-rate exponent (r_s ∝ size_s^(TEMP_ALPHA-1),
+# the α of p_s ∝ size_s^α in multilingual/multi-domain pretraining
+# recipes — α<1 flattens the natural distribution toward uniform).
+TEMP_ALPHA = 0.5
+_TEMP_SCALE = 1_000_000
+
+
+def temperature_mixture(documents: DataFrame, alpha: float = TEMP_ALPHA) -> DataFrame:
+    """Temperature-based domain rebalancing (the mT5/XLM-R sampling
+    rule, α<1): a source's target share is proportional to size^α, so
+    its per-document keep rate is (min_size / size_s)^(1-α) — the
+    SMALLEST source keeps everything and larger sources downsample
+    toward a flatter mixture. Differs from ``mixture_sample`` (declared
+    per-tier rates) in that the rates are DERIVED from observed source
+    sizes — the recipe adapts as the corpus shifts. Size = total chars
+    (n_chars), the token-budget proxy mixture recipes actually balance.
+
+    Keep decision is doc-stable: md5-hash bucket of doc_id in
+    [0, 1e6) compared against floor(rate·1e6) — integer arithmetic on
+    both engines, so the kept set is exact, not approximately sampled.
+
+    Scale: one source-keyed aggregate (bounded by source cardinality)
+    broadcast back over the corpus scan; the keep predicate is a
+    scan-time projection. No corpus shuffle.
+
+    Output: per-source audit (size, derived rate, totals, kept) —
+    the same sheet shape as ``mixture_sample``."""
+    sizes = documents.groupBy("source").agg(
+        F.sum("n_chars").alias("src_chars"), F.count("*").alias("n_docs")
+    )
+    min_chars = sizes.agg(F.min("src_chars").alias("min_chars"))
+    ratio = F.col("min_chars") / F.col("src_chars")
+    # sqrt is IEEE-correctly-rounded in every engine; a general pow()
+    # is not (libm last-ulp drift could flip the floor at a boundary),
+    # so the default α=0.5 path stays bit-identical to the oracle
+    powed = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    rate6 = F.floor(powed * _TEMP_SCALE).cast("long")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % _TEMP_SCALE
+    )
+    return (
+        documents.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(sizes), "source")
+        .crossJoin(F.broadcast(min_chars))
+        .withColumn("rate6", rate6)
+        .groupBy("source", "src_chars", "n_docs", "rate6")
+        .agg(F.count_if(F.col("bucket") < F.col("rate6")).alias("n_kept"))
+        .select("source", "src_chars", "n_docs", "rate6", "n_kept")
+        .orderBy("source")
+    )
+
+
 # n-gram boilerplate: a 3-gram appearing in >= this many DISTINCT
 # documents is corpus boilerplate; every token span it covers is
 # removed. The fixture documents are single-line with no sentence

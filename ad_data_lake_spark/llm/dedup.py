@@ -283,50 +283,25 @@ def minhash_neardup_pairs(
 CLUSTER_MAX_ITERS = 16
 
 
-def neardup_clusters(
-    corpus: DataFrame,
-    threshold: float = 0.5,
-    hash_family: str = "md5",
-    max_iters: int = CLUSTER_MAX_ITERS,
-) -> DataFrame:
-    """Near-duplicate CLUSTERS: connected components over the verified
-    MinHash pair graph — the step that turns pairwise matches into the
-    keep-one-per-group decision a dedup pipeline actually applies
-    (keeper = min doc_id per component, the same rule dedup_exact
-    uses). Output: one row per multi-document cluster
-    (cluster_id = min member, n_docs, sorted member array).
+def min_label_components(pairs: DataFrame, max_iters: int = CLUSTER_MAX_ITERS) -> DataFrame:
+    """(doc_id, label): connected components of an undirected pair list
+    (columns ``doc_a``, ``doc_b``) by iterative min-label propagation —
+    each round every vertex takes the minimum label among itself and
+    its neighbors, converging in O(component diameter) rounds. Shared
+    by the MinHash cluster operator and SemDeDup (both have near-clique
+    duplicate components, diameter ≤ 2–3).
 
-    Algorithm: iterative min-label propagation — each round every
-    vertex takes the minimum label among itself and its neighbors, so
-    labels converge in O(component diameter) rounds (duplicate
-    clusters are near-cliques in practice: a star of copies around a
-    source, diameter ≤ 2–3). The loop runs Spark-side joins with a
-    driver-side convergence CHECK per round (one count of changed
-    labels — a scalar action, not row data) and stops at fixpoint;
-    ``max_iters`` bounds pathological chains. This is the simple
-    member of the map-reduce connected-components family
-    (small-star/large-star, Kiveris et al. "Connected Components in
-    MapReduce and Beyond" — public literature); the alternating-star
-    variant drops in when component diameters are unbounded.
-
-    Scale shape per round: one join of the (sparse) edge list against
-    the label table on the vertex key plus one min-aggregate — both
-    hash-partitioned on doc_id, no all-pairs, no global sort. The
-    DuckDB oracle computes the same components via a recursive CTE, so
-    the value hash verifies the transitive closure exactly."""
-    pairs = minhash_neardup_pairs(corpus, threshold, hash_family).select(
-        "doc_a", "doc_b"
-    )
+    The edge list is materialized ONCE (localCheckpoint): every
+    propagation round joins it, and without this the lazy plan would
+    re-run the whole upstream candidate pipeline per iteration. Each
+    round is one vertex-keyed join + one min-aggregate, both
+    hash-partitioned — no all-pairs, no global sort; the driver sees
+    only a changed-label count per round (a scalar action)."""
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     )
-    # materialize the edge list ONCE: every propagation round joins it,
-    # and without this the lazy plan re-runs the whole MinHash pair
-    # pipeline (shingle→sig→band join→verify) per iteration — the edge
-    # set is the sparse pair graph, orders of magnitude smaller than
-    # the corpus that produced it
     edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
@@ -362,6 +337,44 @@ def neardup_clusters(
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    return labels
+
+
+def neardup_clusters(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    hash_family: str = "md5",
+    max_iters: int = CLUSTER_MAX_ITERS,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash pair graph — the step that turns pairwise matches into the
+    keep-one-per-group decision a dedup pipeline actually applies
+    (keeper = min doc_id per component, the same rule dedup_exact
+    uses). Output: one row per multi-document cluster
+    (cluster_id = min member, n_docs, sorted member array).
+
+    Algorithm: iterative min-label propagation — each round every
+    vertex takes the minimum label among itself and its neighbors, so
+    labels converge in O(component diameter) rounds (duplicate
+    clusters are near-cliques in practice: a star of copies around a
+    source, diameter ≤ 2–3). The loop runs Spark-side joins with a
+    driver-side convergence CHECK per round (one count of changed
+    labels — a scalar action, not row data) and stops at fixpoint;
+    ``max_iters`` bounds pathological chains. This is the simple
+    member of the map-reduce connected-components family
+    (small-star/large-star, Kiveris et al. "Connected Components in
+    MapReduce and Beyond" — public literature); the alternating-star
+    variant drops in when component diameters are unbounded.
+
+    Scale shape per round: one join of the (sparse) edge list against
+    the label table on the vertex key plus one min-aggregate — both
+    hash-partitioned on doc_id, no all-pairs, no global sort. The
+    DuckDB oracle computes the same components via a recursive CTE, so
+    the value hash verifies the transitive closure exactly."""
+    pairs = minhash_neardup_pairs(corpus, threshold, hash_family).select(
+        "doc_a", "doc_b"
+    )
+    labels = min_label_components(pairs, max_iters)
     return (
         labels.groupBy("label")
         .agg(

@@ -1143,3 +1143,153 @@ _add(
     """,
     ("llm", "dedup", "substring", "two-pass"),
 )
+
+
+# --- round 6 additions: L40 temperature mixture, L41 Gopher rule suite ---
+
+_BUCKET6 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000000"
+
+_add(
+    "temperature_mixture",
+    _doc_q(CU.temperature_mixture),
+    f"""
+    WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_chars,
+                      count(*) AS n_docs
+               FROM documents GROUP BY source),
+    mn AS (SELECT min(src_chars) AS min_chars FROM s),
+    r AS (SELECT source, src_chars, n_docs,
+                 CAST(floor(sqrt(CAST(min_chars AS DOUBLE) / src_chars)
+                            * 1000000) AS BIGINT) AS rate6
+          FROM s, mn),
+    d AS (SELECT doc_id, source, {_BUCKET6} AS bucket FROM documents)
+    SELECT r.source, r.src_chars, r.n_docs, r.rate6,
+           count(*) FILTER (WHERE d.bucket < r.rate6) AS n_kept
+    FROM d JOIN r USING (source)
+    GROUP BY 1, 2, 3, 4
+    """,
+    ("llm", "curation", "sampling", "temperature", "aggregate"),
+)
+
+_STOP_IN = ", ".join(f"'{s}'" for s in T.STOPWORDS_EN)
+
+_add(
+    "gopher_rules",
+    # fixture-scaled word band (docs run 10–99 words; the production
+    # 50..100k default would make the rule vacuous at this SF)
+    _doc_q(lambda docs: T.gopher_rules(docs, min_words=40, max_words=90)),
+    f"""
+    WITH t AS (SELECT doc_id, text, {_WORDS} AS w FROM documents),
+    m AS (SELECT doc_id,
+                 len(w) AS n_words,
+                 round(CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(w), 4)
+                     AS mean_word_len,
+                 round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                            AS DOUBLE) / len(w), 4) AS alpha_ratio,
+                 len(list_filter(w, x -> x IN ({_STOP_IN}))) AS n_stopwords,
+                 round(CAST(list_max(list_transform(list_distinct(w),
+                            x -> len(list_filter(w, y -> y = x))))
+                            AS DOUBLE) / len(w), 4) AS top_token_ratio
+          FROM t)
+    SELECT *,
+           (n_words BETWEEN 40 AND 90) AS ok_word_count,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_word_len,
+           (alpha_ratio >= 0.8) AS ok_alpha_ratio,
+           (n_stopwords >= 2) AS ok_stopwords,
+           (top_token_ratio <= 0.2) AS ok_repetition,
+           ((n_words BETWEEN 40 AND 90) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND alpha_ratio >= 0.8 AND n_stopwords >= 2
+            AND top_token_ratio <= 0.2) AS keep
+    FROM m
+    """,
+    ("llm", "quality", "gopher", "projection"),
+)
+
+_add(
+    "bigram_lm_score",
+    _doc_q(T.bigram_lm_score),
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    toks AS (SELECT doc_id, tok FROM t, unnest(w) AS u(tok)),
+    u1 AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+    uni AS (SELECT tok, c1 FROM u1 ORDER BY c1 DESC, tok LIMIT {T.LM_VOCAB_K}),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM u1),
+    bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
+           FROM t, unnest(range(1, len(w))) AS r(i)),
+    bv AS (SELECT s, count(*) AS c2 FROM bi GROUP BY s
+           ORDER BY c2 DESC, s LIMIT {T.BIGRAM_VOCAB_K}),
+    sc AS (SELECT bi.doc_id, bv.c2, ua.c1 AS c1_w1, ub.c1 AS c1_w2
+           FROM bi LEFT JOIN bv USING (s)
+           LEFT JOIN uni ua ON ua.tok = string_split(bi.s, ' ')[1]
+           LEFT JOIN uni ub ON ub.tok = string_split(bi.s, ' ')[2])
+    SELECT doc_id, count(*) AS n_bigrams,
+           count(*) FILTER (WHERE c2 IS NULL) AS n_oov_bigrams,
+           round(avg(-ln({T.LM_LAMBDA} * (CAST(coalesce(c2, 0) AS DOUBLE)
+                                          / coalesce(c1_w1, 1))
+                         + {T.LM_ONE_MINUS_LAMBDA}
+                           * (CAST(coalesce(c1_w2, 1) AS DOUBLE) / n_total))), 4)
+               AS avg_nll,
+           round(exp(avg(-ln({T.LM_LAMBDA} * (CAST(coalesce(c2, 0) AS DOUBLE)
+                                              / coalesce(c1_w1, 1))
+                             + {T.LM_ONE_MINUS_LAMBDA}
+                               * (CAST(coalesce(c1_w2, 1) AS DOUBLE) / n_total)))), 2)
+               AS perplexity
+    FROM sc, tot GROUP BY doc_id
+    """,
+    ("llm", "quality", "lm", "bigram", "train-then-score"),
+)
+
+_add(
+    "semantic_dedup",
+    _emb_q(SIM.semantic_dedup),
+    f"""
+    WITH RECURSIVE c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + {SIM.NEAR_OFFSET},
+               list_transform(embedding::DOUBLE[], x -> x + {SIM.PERTURB}), label
+        FROM embeddings WHERE vec_id % {SIM.NEAR_MOD} = 0),
+    p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {SIM.SEMDEDUP_TAU}),
+    edges AS (SELECT va, vb FROM p UNION ALL SELECT vb, va FROM p),
+    cc AS (SELECT va AS v, va AS lbl FROM edges
+           UNION
+           SELECT e.va, cc.lbl FROM cc JOIN edges e ON cc.v = e.vb),
+    lab AS (SELECT v, min(lbl) AS keeper FROM cc GROUP BY v)
+    SELECT c.vec_id, c.label, coalesce(lab.keeper, c.vec_id) AS keeper,
+           (coalesce(lab.keeper, c.vec_id) = c.vec_id) AS keep
+    FROM c LEFT JOIN lab ON c.vec_id = lab.v
+    """,
+    ("llm", "similarity", "dedup", "semdedup", "graph"),
+)
+
+_LUHN_SQL = (
+    "list_sum(list_transform(range(1, len(s) + 1), i -> "
+    "CASE WHEN (len(s) - i) % 2 = 1 THEN "
+    "CASE WHEN CAST(s[i] AS INT) * 2 > 9 THEN CAST(s[i] AS INT) * 2 - 9 "
+    "ELSE CAST(s[i] AS INT) * 2 END "
+    "ELSE CAST(s[i] AS INT) END)) % 10 = 0"
+)
+
+_add(
+    "luhn_scan",
+    _doc_q(T.luhn_scan),
+    f"""
+    WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {T.LUHN_PLANT_MOD} = 0
+                    THEN text || ' card 4' ||
+                         lpad(CAST(doc_id % 1000000000000000 AS VARCHAR), 15, '0')
+                    ELSE text END AS planted
+        FROM documents),
+    c AS (SELECT doc_id,
+                 regexp_extract_all(planted, '{T.CARD_RE}') AS cands
+          FROM p)
+    SELECT doc_id,
+           len(cands) AS n_candidates,
+           len(list_filter(cands, s -> {_LUHN_SQL})) AS n_valid_cards,
+           (len(cands) > 0) AS has_digit_run
+    FROM c
+    """,
+    ("llm", "pii", "luhn", "projection"),
+)

@@ -729,3 +729,45 @@ def rag_retrieve(
         .select("query_id", "rank", "doc_id", "cosine_sim", "snippet", "n_chars")
         .orderBy("query_id", "rank")
     )
+
+
+SEMDEDUP_TAU = 0.95
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication in embedding space — vectors whose cosine similarity
+    exceeds ``threshold`` inside a bucket form duplicate groups; ONE
+    representative per group (min vec_id, the same keeper rule
+    ``dedup_exact`` uses) survives. Output: one row per corpus vector
+    with its bucket, its group keeper, and the keep/drop verdict — the
+    row-level decision sheet a curation pipeline applies before
+    training.
+
+    Composition (all pieces exist; this operator is their keep-decision
+    closure): within-bucket ≥τ pairs from the grouped-BLAS matmul
+    (``cosine_neardup_pairs`` — each vector crosses Arrow once per
+    bucket, O(cell²) similarity only inside buckets), components via
+    shared min-label propagation (``dedup.min_label_components``,
+    O(diameter) rounds — duplicate groups are near-cliques), then one
+    left join back to the corpus: unpaired vectors keep themselves.
+    The paper buckets by k-means cell; the fixture buckets by ``label``
+    (the planted near-copies share their source's label), and at scale
+    the bucket key is ``ivf_assign``'s cell — same plan either way."""
+    from ad_data_lake_spark.llm.dedup import min_label_components
+
+    c = near_corpus(embeddings).select("vec_id", "label")
+    pairs = cosine_neardup_pairs(embeddings, threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = min_label_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("label").alias("keeper")
+    )
+    return c.join(comp, "vec_id", "left").select(
+        "vec_id",
+        "label",
+        F.coalesce(F.col("keeper"), F.col("vec_id")).alias("keeper"),
+        (F.coalesce(F.col("keeper"), F.col("vec_id")) == F.col("vec_id")).alias(
+            "keep"
+        ),
+    )

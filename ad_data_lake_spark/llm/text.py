@@ -433,3 +433,226 @@ def tfidf_top_terms(documents: DataFrame, top_k: int = TFIDF_TOP_K) -> DataFrame
         .where(F.col("term_rank") <= top_k)
         .select("doc_id", "token", "tf", "df", "tfidf", "term_rank")
     )
+
+
+# Gopher rule-suite thresholds (Rae et al. 2021, "Scaling Language
+# Models", Table A1): production bounds first; the word-count band is
+# the one knob a fixture-scaled caller narrows (the synthetic docs run
+# 10–99 words, so the production 50..100k band would pass almost
+# everything and the suite would assert nothing).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_BAND = (3.0, 10.0)
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MAX_TOP_TOKEN_RATIO = 0.2
+
+
+def gopher_rules(
+    documents: DataFrame,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+) -> DataFrame:
+    """The Gopher quality-rule suite as one verdict sheet: each rule is
+    its own boolean column (so a corpus report can show WHICH rule
+    rejects how much, the way the paper's ablation does), ``keep`` is
+    their conjunction. Rules, per the paper's repetition/quality
+    filters, restated for a single-line fixture (the line-level rules —
+    bullet starts, ellipsis ends, duplicate lines — have no purchase on
+    one-line docs; their span-level analogue is ``remove_boilerplate``):
+
+    - ``ok_word_count``: word count in [min_words, max_words];
+    - ``ok_mean_word_len``: mean word length in [3, 10];
+    - ``ok_alpha_ratio``: ≥80% of words contain an alphabetic char;
+    - ``ok_stopwords``: ≥2 stopword OCCURRENCES (the paper requires 2
+      of its 8 function words; the fixture vocabulary carries the
+      ``STOPWORDS_EN`` subset);
+    - ``ok_repetition``: the single most frequent token accounts for
+      ≤20% of the document (the top-n-gram-fraction rule at n=1).
+
+    Scale shape: pure per-row array expressions — zero shuffles, fully
+    codegen, same contract as ``quality_score``; the top-token ratio
+    reuses the sorted-token trick (one array_sort per row over the
+    doc's own tokens, bounded by doc length, no aggregate)."""
+    w = words(F.col("text"))
+    n = F.size(w)
+    mean_len = F.length(F.regexp_replace(F.col("text"), " ", "")) / n
+    alpha_ratio = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / n
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS_EN)))
+    # top-token share without a groupBy: sort the tokens, then one
+    # O(n) fold tracks the longest equal-run — per-row bounded work
+    # (the (doc, token) aggregate form lives in repetition_stats; this
+    # keeps the whole suite a single zero-shuffle projection)
+    sorted_w = F.array_sort(w)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    run_next = lambda a, x: F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+    top_cnt = F.aggregate(
+        sorted_w,
+        zero,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            run_next(a, x).alias("run"),
+            F.greatest(a["best"], run_next(a, x)).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    lo, hi = GOPHER_MEAN_LEN_BAND
+    out = documents.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        n_stop.alias("n_stopwords"),
+        F.round(top_cnt / n, 4).alias("top_token_ratio"),
+    )
+    return out.select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "ok_word_count"
+        ),
+        ((F.col("mean_word_len") >= lo) & (F.col("mean_word_len") <= hi)).alias(
+            "ok_mean_word_len"
+        ),
+        (F.col("alpha_ratio") >= GOPHER_MIN_ALPHA_RATIO).alias("ok_alpha_ratio"),
+        (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS).alias("ok_stopwords"),
+        (F.col("top_token_ratio") <= GOPHER_MAX_TOP_TOKEN_RATIO).alias(
+            "ok_repetition"
+        ),
+    ).withColumn(
+        "keep",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_alpha_ratio")
+        & F.col("ok_stopwords")
+        & F.col("ok_repetition"),
+    )
+
+
+# Interpolated-bigram LM: vocab truncation sized against the fixture's
+# 916 bigram types so the OOV backoff path does real work; λ is the
+# interpolation weight on the bigram ML term (CCNet/KenLM-style
+# smoothing reduced to one interpolation level). 1-λ is spelled as its
+# own constant so both engines use the identical double literal.
+BIGRAM_VOCAB_K = 600
+LM_LAMBDA = 0.7
+LM_ONE_MINUS_LAMBDA = 0.3
+
+
+def bigram_lm_score(
+    documents: DataFrame,
+    bigram_k: int = BIGRAM_VOCAB_K,
+    unigram_k: int = LM_VOCAB_K,
+) -> DataFrame:
+    """Corpus-trained INTERPOLATED BIGRAM language-model scoring — one
+    fidelity step above ``unigram_lm_score`` toward the KenLM filter
+    CCNet runs: per document the mean negative log-likelihood of its
+    bigrams under p(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/N, with both
+    vocabularies truncated top-K (count desc, key asc) and OOV floors
+    of 0 (bigram term) / 1 (unigram counts) — the unseen-bigram backoff
+    that makes the score finite everywhere. High perplexity = word
+    SEQUENCES rare in the corpus, which catches shuffled/garbled text
+    the unigram model scores as perfectly normal (pinned in pytest).
+
+    Scale shape (same contract as the unigram trainer): both count
+    models are single map-side-combined aggregates truncated to top-K —
+    bounded by construction, broadcast regardless of corpus size; the
+    scoring pass left-joins the three broadcast tables into one doc_id
+    aggregate. The corpus token/bigram streams are never shuffled."""
+    toks = documents.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    uni_full = toks.groupBy("token").agg(F.count("*").alias("c1"))
+    uni = uni_full.orderBy(F.desc("c1"), F.asc("token")).limit(unigram_k)
+    totals = uni_full.agg(F.sum("c1").alias("n_total"))
+    bi = exploded_shingles(documents, n=2).select("doc_id", "s")
+    bivocab = (
+        bi.groupBy("s")
+        .agg(F.count("*").alias("c2"))
+        .orderBy(F.desc("c2"), F.asc("s"))
+        .limit(bigram_k)
+    )
+    parts = F.split(F.col("s"), " ")
+    scored = (
+        bi.join(F.broadcast(bivocab), "s", "left")
+        .withColumn("w1", parts[0])
+        .withColumn("w2", parts[1])
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("w1"), F.col("c1").alias("c1_w1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("w2"), F.col("c1").alias("c1_w2"))),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    p = F.lit(LM_LAMBDA) * (
+        F.coalesce(F.col("c2"), F.lit(0)) / F.coalesce(F.col("c1_w1"), F.lit(1))
+    ) + F.lit(LM_ONE_MINUS_LAMBDA) * (
+        F.coalesce(F.col("c1_w2"), F.lit(1)) / F.col("n_total")
+    )
+    nll = -F.log(p)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.count_if(F.col("c2").isNull()).alias("n_oov_bigrams"),
+        F.round(F.avg(nll), 4).alias("avg_nll"),
+        F.round(F.exp(F.avg(nll)), 2).alias("perplexity"),
+    )
+
+
+# Card-number detection: every LUHN_PLANT_MOD-th doc gains a 16-digit
+# candidate derived from its doc_id (digit diversity ⇒ ~10% pass the
+# checksum), so both the extraction and the mod-10 validation paths do
+# real, value-oracled work on a corpus that otherwise contains no
+# digit runs.
+LUHN_PLANT_MOD = 11
+CARD_RE = r"[0-9]{13,19}"
+
+
+def _luhn_valid(s: Column) -> Column:
+    """Luhn mod-10 checksum over a digit string: double every second
+    digit from the RIGHT, subtract 9 when the double exceeds 9, valid
+    iff the sum ≡ 0 (mod 10). Pure per-row integer fold — identical
+    arithmetic in the DuckDB oracle."""
+    n = F.length(s)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (n - i) % 2 == 1,
+            F.when(
+                F.substring(s, i, 1).cast("int") * 2 > 9,
+                F.substring(s, i, 1).cast("int") * 2 - 9,
+            ).otherwise(F.substring(s, i, 1).cast("int") * 2),
+        ).otherwise(F.substring(s, i, 1).cast("int")),
+    )
+    return total % 10 == 0
+
+
+def luhn_scan(documents: DataFrame) -> DataFrame:
+    """Payment-card PII detection — the checksum-validated tier above
+    ``pii_redact``'s regex tier: extract 13–19-digit runs, validate
+    each with the Luhn mod-10 checksum (the filter that separates card
+    numbers from order ids/timestamps at ~90% rejection), report
+    candidate and valid counts per document. Zero shuffles: the
+    extraction is a regexp projection, validation a bounded per-row
+    fold over each candidate's digits."""
+    planted = F.when(
+        F.col("doc_id") % LUHN_PLANT_MOD == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" card 4"),
+            F.lpad((F.col("doc_id") % F.lit(10**15)).cast("string"), 15, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    cands = F.regexp_extract_all(planted, F.lit(CARD_RE), 0)
+    n_valid = F.size(F.filter(cands, _luhn_valid))
+    return documents.select(
+        "doc_id",
+        F.size(cands).alias("n_candidates"),
+        n_valid.alias("n_valid_cards"),
+        (F.size(cands) > 0).alias("has_digit_run"),
+    )

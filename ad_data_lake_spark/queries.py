@@ -1453,6 +1453,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "count_summary",
     "sort_by_name",
     "union_pages",
+    # --- NEW in round 6 (no driver row can exist yet) ---
+    "temperature_mixture",
+    "gopher_rules",
+    "bigram_lm_score",
+    "semantic_dedup",
+    "luhn_scan",
     # --- implementation changed in round 6 (perf rewrites / scale
     # knobs), so their driver rows must refresh ---
     "boilerplate_removal",
@@ -1491,13 +1497,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bucketed_join_colocated",
     "compaction_roundtrip",
     "backfill_partition_replace",
-    "streaming_daily_insights",
-    "split_summary",
-    "multimodal_features",
-    "multimodal_resize",
     # ---------------- out-of-window tail (50-query cap reached above;
     # everything below is green in CORRECTNESS_r04 or r05 and
     # unchanged this round) ----------------
+    "split_summary",
+    "multimodal_features",
+    "multimodal_resize",
+    "streaming_daily_insights",
     "scan_project",
     "filter_updated_since",
     "filter_time_range",

@@ -350,3 +350,47 @@ def test_bloom_bitmap_memoized_per_reference_plan(documents):
     assert a1 is a2, "same reference plan must hit the memo"
     b = SEL.bloom_bitmap(ref_b)
     assert b is not a1 and b != a1, "distinct reference plans must not collide"
+
+
+def test_temperature_mixture_flattens_toward_uniform(documents):
+    """The α<1 temperature rule: the smallest source must keep
+    everything (rate6 = 1e6 ⇒ every bucket < rate6), larger sources
+    keep monotonically less, and the kept-share ordering inverts the
+    size ordering — the flattening that is the operator's whole
+    point."""
+    rows = CU.temperature_mixture(documents).collect()
+    assert rows
+    by_size = sorted(rows, key=lambda r: r.src_chars)
+    smallest = by_size[0]
+    assert smallest.rate6 == 1_000_000
+    assert smallest.n_kept == smallest.n_docs
+    rates = [r.rate6 for r in by_size]
+    assert rates == sorted(rates, reverse=True)
+    assert all(0 < r.rate6 <= 1_000_000 for r in rows)
+    # kept fraction ≈ rate (hash buckets are uniform): within 20 pp
+    for r in rows:
+        assert abs(r.n_kept / r.n_docs - r.rate6 / 1e6) < 0.2
+
+
+def test_gopher_rules_verdicts_consistent(documents):
+    """Each rule column must agree with its underlying measure, keep
+    must be the conjunction, and the fixture-scaled word band must
+    actually discriminate (some docs fail, most pass)."""
+    from ad_data_lake_spark.llm.text import gopher_rules
+
+    rows = gopher_rules(documents, min_words=40, max_words=90).collect()
+    assert rows
+    n_fail = sum(1 for r in rows if not r.keep)
+    assert 0 < n_fail < len(rows)
+    for r in rows:
+        assert r.ok_word_count == (40 <= r.n_words <= 90)
+        assert r.ok_repetition == (r.top_token_ratio <= 0.2)
+        assert r.keep == (
+            r.ok_word_count
+            and r.ok_mean_word_len
+            and r.ok_alpha_ratio
+            and r.ok_stopwords
+            and r.ok_repetition
+        )
+        # top-token ratio is a real run-length: between 1/n and 1
+        assert 0 < r.top_token_ratio <= 1

@@ -363,3 +363,89 @@ def test_tfidf_top_terms_ranks_are_dense_and_ordered(spark):
         assert [r.term_rank for r in rs] == list(range(1, len(rs) + 1))
         scores = [r.tfidf for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_bigram_lm_flags_shuffled_text(documents):
+    """The discriminating claim over the unigram model: reversing a
+    document's word order leaves its unigram score EXACTLY unchanged
+    (same bag of words, same corpus model) but must raise its bigram
+    NLL — word-order-destroying corruption is visible only one n-gram
+    level up."""
+    from ad_data_lake_spark.llm.text import bigram_lm_score, unigram_lm_score, words
+
+    OFF = 1_000_000
+    # the raw fixture text is near-iid word salad (no order structure
+    # for ANY sequence model to learn), so the corpus here is the
+    # sorted-token rewrite of each doc — strong, learnable bigram
+    # structure — and the corruption is the order-destroying reverse
+    base = documents.select(
+        "doc_id",
+        F.concat_ws(" ", F.array_sort(words(F.col("text")))).alias("text"),
+    )
+    rev = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + OFF).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(words(F.col("text")))).alias("text"),
+    )
+    corpus = base.unionByName(rev)
+    bi = {r.doc_id: r.avg_nll for r in bigram_lm_score(corpus).collect()}
+    uni = {r.doc_id: r.avg_nll for r in unigram_lm_score(corpus).collect()}
+    base = [d for d in bi if d < OFF and d % 10 == 0 and d + OFF in bi]
+    assert base
+    for d in base:
+        assert uni[d + OFF] == uni[d], "unigram must be order-blind"
+    n_higher = sum(1 for d in base if bi[d + OFF] > bi[d])
+    assert n_higher >= 0.9 * len(base), (
+        f"bigram NLL must rise for reversed docs ({n_higher}/{len(base)})"
+    )
+
+
+def test_semantic_dedup_drops_planted_copies_keeps_sources(spark, embeddings):
+    """Every planted perturbed copy (vec_id ≥ NEAR_OFFSET) must be
+    dropped with its source as keeper; every unpaired vector must keep
+    itself; keepers partition the corpus (a keeper is never itself
+    dropped)."""
+    out = {r.vec_id: r for r in SIM.semantic_dedup(embeddings).collect()}
+    planted = [r for r in out.values() if r.vec_id >= SIM.NEAR_OFFSET]
+    assert planted
+    for r in planted:
+        src = r.vec_id - SIM.NEAR_OFFSET
+        assert not r.keep and r.keeper == src, (r.vec_id, r.keeper)
+        assert out[src].keep and out[src].keeper == src
+    # keep is exactly "keeper == self", and every keeper row is kept
+    for r in out.values():
+        assert r.keep == (r.keeper == r.vec_id)
+        assert out[r.keeper].keep
+
+
+def test_luhn_scan_validates_checksums(documents):
+    """Planted docs must each surface exactly one 16-digit candidate;
+    the Luhn verdict must match a reference Python implementation; and
+    both accept and reject paths must occur (the checksum is doing
+    work, not rubber-stamping the regex)."""
+    from ad_data_lake_spark.llm.text import LUHN_PLANT_MOD, luhn_scan
+
+    def luhn_ok(s: str) -> bool:
+        total = 0
+        for k, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if k % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    rows = {r.doc_id: r for r in luhn_scan(documents).collect()}
+    planted = {d: r for d, r in rows.items() if d % LUHN_PLANT_MOD == 0}
+    assert planted
+    n_valid_total = 0
+    for d, r in rows.items():
+        if d % LUHN_PLANT_MOD == 0:
+            assert r.n_candidates == 1 and r.has_digit_run
+            card = "4" + str(d % 10**15).zfill(15)
+            assert r.n_valid_cards == int(luhn_ok(card)), (d, card)
+            n_valid_total += r.n_valid_cards
+        else:
+            assert r.n_candidates == 0 and r.n_valid_cards == 0
+    # both outcomes must occur across the planted set
+    assert 0 < n_valid_total < len(planted)

@@ -44,6 +44,7 @@ _CROSS_BY_DESIGN = {
     "tfidf_top_terms",
     "rag_retrieve",
     "dsir_weights",  # one-row (t_total, s_total) scalar attach
+    "temperature_mixture",  # one-row min_chars scalar attach
 }
 
 
