@@ -45,6 +45,7 @@ _CROSS_BY_DESIGN = {
     "rag_retrieve",
     "dsir_weights",  # one-row (t_total, s_total) scalar attach
     "temperature_mixture",  # one-row min_chars scalar attach
+    "bigram_lm_score",  # one-row n_total scalar attach
 }
 
 
@@ -316,3 +317,23 @@ def test_exact_substring_dedup_joins_are_equi_on_hash(spark):
             or "ShuffledHashJoin [h#" in ln)
     ]
     assert h_joins, "span filter must equi-join on the span hash"
+
+
+def test_quality_projections_zero_shuffle(spark):
+    """gopher_rules and luhn_scan are pure per-row verdict sheets —
+    any Exchange in their plans means a regression re-introduced an
+    aggregate or join."""
+    for name in ("gopher_rules", "luhn_scan"):
+        p = plan_of(spark, name)
+        assert p.count("Exchange") == 0, f"{name} must stay a pure projection"
+        assert "Join" not in p, f"{name} must not join"
+
+
+def test_bigram_lm_scoring_pass_joins_broadcast_only(spark):
+    """The bigram scorer's corpus stream must meet its three bounded
+    model tables via broadcast joins — a SortMergeJoin would mean a
+    vocab table lost its truncation (unbounded) or the corpus stream
+    shuffled on a token key."""
+    p = plan_of(spark, "bigram_lm_score")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3
