@@ -161,6 +161,50 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sessionize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: native streaming sessionization — the session_window + gap
+    aggregate running UNDER a watermark (streaming/stateful.py::
+    streaming_sessionize), drained over the events fact. The oracle is
+    the batch lag-islands SQL (sessionize_native's), so a hash match
+    proves the streaming session merge reproduces batch gap semantics
+    exactly; state is one row per OPEN session (the watermark closes
+    and evicts the rest), which is what makes live session rollups
+    viable at event-time scale."""
+    from ad_data_lake_spark.streaming.stateful import streaming_sessionize
+
+    events = _events_slim(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    src = os.path.join(_scratch(spark, "sess-src", sf_dir), "events")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    return run_available_now(
+        streaming_sessionize(stream),
+        f"stream_sess_{uuid.uuid4().hex[:8]}",
+        shuffle_partitions=8,
+    )
+
+
+def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: stream-static enrichment join — the events stream joined to
+    the (static) customer dimension on user_id, the per-event payload
+    hydration every serving pipeline runs. The static side broadcasts
+    per micro-batch (no stream state at all — unlike a stream-stream
+    join there is nothing to watermark), so the operator is stateless
+    and scales with batch size; the oracle is the plain batch join."""
+    events = _events_slim(spark, sf_dir)
+    customer = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    src = os.path.join(_scratch(spark, "enrich-src", sf_dir), "events")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = stream.join(F.broadcast(customer), "user_id").select(
+        "event_id", "user_id", "ts", "event_type", "value", "c_name", "c_mktsegment"
+    )
+    return run_available_now(
+        enriched, f"stream_enrich_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+
+
 def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout: bucketed tables co-locate their join (SURVEY §2 scale
     notes; layout.write_bucketed).

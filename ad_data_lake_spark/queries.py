@@ -1172,6 +1172,43 @@ _register(
 )
 
 _register(
+    "streaming_sessionize",
+    QuerySpec(
+        lake_queries.streaming_sessionize_drain,
+        f"""
+        WITH b AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                >= {_sessions.SESSION_GAP_MINUTES} * 60 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM b)
+        SELECT user_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM s GROUP BY user_id, session_no
+        """,
+        ("write", "streaming", "sessionization", "session-window"),
+    ),
+)
+
+_register(
+    "streaming_dim_enrich",
+    QuerySpec(
+        lake_queries.streaming_dim_enrich,
+        """
+        SELECT event_id, e.user_id, ts, event_type, value, c_name, c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        ("write", "streaming", "stream-static-join", "broadcast"),
+    ),
+)
+
+_register(
     "frequency_cap",
     QuerySpec(
         _q(_sessions.frequency_cap, "events"),
@@ -1459,6 +1496,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bigram_lm_score",
     "semantic_dedup",
     "luhn_scan",
+    "streaming_sessionize",
+    "streaming_dim_enrich",
     # --- implementation changed in round 6 (perf rewrites / scale
     # knobs), so their driver rows must refresh ---
     "boilerplate_removal",
@@ -1491,8 +1530,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sessionize_events",
     "sessionize_native",
     "frequency_cap",
-    "pivot_action_metrics",
-    "agg_percentiles",
     "skew_salted_agg",
     "bucketed_join_colocated",
     "compaction_roundtrip",
@@ -1500,6 +1537,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # ---------------- out-of-window tail (50-query cap reached above;
     # everything below is green in CORRECTNESS_r04 or r05 and
     # unchanged this round) ----------------
+    "agg_percentiles",
+    "pivot_action_metrics",
     "split_summary",
     "multimodal_features",
     "multimodal_resize",
