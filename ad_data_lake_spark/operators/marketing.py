@@ -1,0 +1,172 @@
+"""Marketing-analytics operators over the events fact: cohort
+retention, funnel conversion, and linear multi-touch attribution —
+the read-side analyses an ads data lake (the reference's domain,
+reference src/main_extractor.py insights pulls) exists to serve, built
+as single-shuffle plans.
+
+Scale notes (100 TB):
+- cohort_retention: ONE user-keyed aggregate carries both the first
+  event (cohort) and the distinct active weeks (collect_set of
+  week-truncated ts — bounded by the calendar, not event volume), then
+  a calendar-sized rollup. The event stream shuffles once.
+- funnel_conversion: ONE user-keyed sort + per-row fold walks each
+  user's ordered events through the step sequence — the sessionize
+  shape; no per-step self-joins (a K-step funnel as join-chain is K
+  shuffles and K scans).
+- linear_attribution: ONE window (user-partitioned, µs-ordered,
+  rangeBetween the lookback) counts each conversion's in-window
+  touches — the as-of union-marker trick generalized from "last touch"
+  to "all touches in range"; no interval self-join, no pair blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FUNNEL_STEPS: tuple[str, ...] = ("view", "click", "purchase")
+ATTRIBUTION_LOOKBACK_HOURS = 3
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    FIRST event; for each (cohort_week, week_offset) the count of
+    cohort members active in that week. The classic retention triangle
+    every growth dashboard renders.
+
+    Plan: groupBy(user) → (min ts, collect_set(week)) in one combined
+    aggregate (weeks are calendar-bounded, so the set is small no
+    matter how many events a user has), explode the weeks, then one
+    small (cohort, offset) count — one row per (user, active week)
+    after the explode, so count(*) IS distinct users."""
+    per_user = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.collect_set(F.date_trunc("week", F.col("ts"))).alias("weeks"),
+    )
+    exploded = per_user.select(
+        "user_id", "cohort_week", F.explode("weeks").alias("active_week")
+    )
+    return (
+        exploded.withColumn(
+            "week_offset",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+    )
+
+
+def funnel_conversion(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Ordered funnel: a user reaches step k when an event of type
+    steps[k] occurs STRICTLY after the event that satisfied step k-1
+    (the min-ts-after-previous chain). Output: one row per step with
+    the user count and the conversion rate from the previous step.
+
+    Per user the walk is a single O(n) fold over the (ts, event_id)-
+    sorted event list: state = (step index, ts of last satisfied
+    step); an event advances the state when its type is the next step
+    and its ts is strictly later. This is semantically identical to
+    the oracle's chained min-subqueries but runs as ONE user-keyed
+    aggregate instead of K self-joins."""
+    order_key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("eid"))
+    per_user = events.where(F.col("event_type").isin(*steps)).groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(order_key.alias("k"), F.col("event_type").alias("t")))
+        ).alias("evs")
+    )
+    zero = F.struct(
+        F.lit(0).alias("step"),
+        F.lit(None).cast("timestamp").alias("last_ts"),
+    )
+    n_steps = len(steps)
+
+    def advance(acc, e):
+        hit = None
+        for i, s in enumerate(steps):
+            c = (acc["step"] == i) & (e["t"] == F.lit(s)) & (
+                acc["last_ts"].isNull() | (e["k"]["ts"] > acc["last_ts"])
+            )
+            hit = c if hit is None else (hit | c)
+        return F.when(
+            hit,
+            F.struct((acc["step"] + 1).alias("step"), e["k"]["ts"].alias("last_ts")),
+        ).otherwise(acc)
+
+    reached = per_user.select(
+        "user_id",
+        F.aggregate(F.col("evs"), zero, advance, lambda a: a["step"]).alias("reached"),
+    )
+    counts = reached.agg(
+        *[
+            F.count_if(F.col("reached") >= i + 1).alias(f"_s{i}")
+            for i in range(n_steps)
+        ]
+    )
+    rows = []
+    for i, s in enumerate(steps):
+        prev = F.col(f"_s{i - 1}") if i else None
+        rows.append(
+            F.struct(
+                F.lit(i + 1).alias("step_no"),
+                F.lit(s).alias("step"),
+                F.col(f"_s{i}").alias("n_users"),
+                (
+                    F.round(F.col(f"_s{i}") / prev, 4)
+                    if i
+                    else F.lit(None).cast("double")
+                ).alias("conv_from_prev"),
+            )
+        )
+    return counts.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def linear_attribution(
+    events: DataFrame,
+    touch_type: str = "click",
+    conv_type: str = "purchase",
+    lookback_hours: int = ATTRIBUTION_LOOKBACK_HOURS,
+) -> DataFrame:
+    """Linear multi-touch attribution: every ``touch_type`` event in
+    the ``lookback_hours`` window before a conversion shares the
+    conversion's value equally (credit = value / n_touches) — the
+    multi-touch generalization of the last-touch as-of join.
+
+    Plan: ONE window over user_id ordered by unix_micros(ts) with
+    rangeBetween(-lookback, -1 µs) counting touch rows — each
+    conversion reads its preceding range directly from the sorted
+    partition; no interval self-join, no (conv × touch) pair
+    materialization. Strictness matches the interval-join oracle:
+    touch.ts >= conv.ts - lookback AND touch.ts < conv.ts."""
+    lookback_us = lookback_hours * 3_600 * 1_000_000
+    tagged = events.where(
+        F.col("event_type").isin(touch_type, conv_type)
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("event_type") == touch_type).cast("int").alias("is_touch"),
+        (F.col("event_type") == conv_type).alias("is_conv"),
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-lookback_us, -1)
+    )
+    return (
+        tagged.withColumn("n_touches", F.coalesce(F.sum("is_touch").over(w), F.lit(0)))
+        .where(F.col("is_conv"))
+        .select(
+            F.col("event_id").alias("conv_event_id"),
+            "user_id",
+            F.col("ts").alias("conv_ts"),
+            F.col("n_touches").cast("bigint").alias("n_touches"),
+            F.when(
+                F.col("n_touches") > 0,
+                F.round(F.col("value") / F.col("n_touches"), 4),
+            ).alias("credit_per_touch"),
+        )
+    )

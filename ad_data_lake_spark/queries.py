@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ad_data_lake_spark.operators import (
     aggregates,
     hierarchy,
+    marketing,
     relational,
     sanitize_queries,
     windows,
@@ -1460,6 +1461,82 @@ for _name, (_fn, _oracle, _tags) in LLM_TEXT_QUERIES.items():
 
 
 # ---------------------------------------------------------------------------
+# Marketing analytics (cohorts / funnels / multi-touch attribution) —
+# the read-side analyses the reference's ads lake exists to serve,
+# each a single-shuffle plan (see operators/marketing.py scale notes).
+# ---------------------------------------------------------------------------
+
+_register(
+    "cohort_retention",
+    QuerySpec(
+        _q(marketing.cohort_retention, "events"),
+        """
+        WITH fu AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                    FROM events GROUP BY 1),
+        aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+               FROM events)
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, active_week) / 7 AS INT)
+                   AS week_offset,
+               count(*) AS n_active_users
+        FROM aw JOIN fu USING (user_id)
+        GROUP BY 1, 2
+        """,
+        ("aggregate", "cohort", "retention"),
+    ),
+)
+
+_register(
+    "funnel_conversion",
+    QuerySpec(
+        _q(marketing.funnel_conversion, "events"),
+        """
+        WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+               JOIN s2 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        SELECT 1 AS step_no, 'view' AS step,
+               (SELECT count(*) FROM s1) AS n_users,
+               CAST(NULL AS DOUBLE) AS conv_from_prev
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM s2),
+               round((SELECT count(*) FROM s2) * 1.0
+                     / (SELECT count(*) FROM s1), 4)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM s3),
+               round((SELECT count(*) FROM s3) * 1.0
+                     / (SELECT count(*) FROM s2), 4)
+        """,
+        ("aggregate", "funnel", "fold"),
+    ),
+)
+
+_register(
+    "linear_attribution",
+    QuerySpec(
+        _q(marketing.linear_attribution, "events"),
+        """
+        SELECT c.event_id AS conv_event_id, c.user_id, c.ts AS conv_ts,
+               count(i.event_id) AS n_touches,
+               round(CASE WHEN count(i.event_id) > 0
+                          THEN c.value / count(i.event_id) END, 4)
+                   AS credit_per_touch
+        FROM events c LEFT JOIN events i
+          ON c.user_id = i.user_id AND i.event_type = 'click'
+         AND i.ts >= c.ts - INTERVAL 3 HOUR AND i.ts < c.ts
+        WHERE c.event_type = 'purchase'
+        GROUP BY c.event_id, c.user_id, c.ts, c.value
+        """,
+        ("window", "attribution", "multi-touch", "range-window"),
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-facing ordering. The driver's correctness run iterates
 # queries() in registration order and caps how many it checks at 50
 # (CORRECTNESS_r02/r04 both stopped there). Rotation policy: every
@@ -1498,6 +1575,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "luhn_scan",
     "streaming_sessionize",
     "streaming_dim_enrich",
+    "cohort_retention",
+    "funnel_conversion",
+    "linear_attribution",
     # --- implementation changed in round 6 (perf rewrites / scale
     # knobs), so their driver rows must refresh ---
     "boilerplate_removal",
@@ -1530,13 +1610,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sessionize_events",
     "sessionize_native",
     "frequency_cap",
-    "skew_salted_agg",
-    "bucketed_join_colocated",
-    "compaction_roundtrip",
     "backfill_partition_replace",
     # ---------------- out-of-window tail (50-query cap reached above;
     # everything below is green in CORRECTNESS_r04 or r05 and
     # unchanged this round) ----------------
+    "skew_salted_agg",
+    "bucketed_join_colocated",
+    "compaction_roundtrip",
     "agg_percentiles",
     "pivot_action_metrics",
     "split_summary",

@@ -141,3 +141,85 @@ def test_word_shingles_short_docs_yield_empty(spark):
     ).orderBy("doc_id")
     rows = out.collect()
     assert [len(r.sh) for r in rows] == [0, 0, 0, 2]
+
+
+def test_funnel_counts_monotone_and_strictly_ordered(spark):
+    """Step counts must be non-increasing, and the fold must enforce
+    STRICT ordering: a click at exactly the first view's timestamp
+    must not advance the funnel."""
+    from ad_data_lake_spark.operators.marketing import funnel_conversion
+    from ad_data_lake_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    events = load_table(spark, "events", SF_ORACLE)
+    rows = {r.step_no: r for r in funnel_conversion(events).collect()}
+    assert rows[1].n_users >= rows[2].n_users >= rows[3].n_users > 0
+    assert rows[1].conv_from_prev is None
+    # synthetic strictness probe: view and click at the same instant
+    probe = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:00:00", "view", 0.0),
+         (2, 7, "2024-01-01 00:00:00", "click", 0.0),
+         (3, 7, "2024-01-01 00:00:01", "click", 0.0)],
+        "event_id long, user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.step_no: r.n_users for r in funnel_conversion(probe).collect()}
+    assert out[1] == 1 and out[2] == 1 and out[3] == 0  # only the later click counts
+
+
+def test_linear_attribution_matches_pair_join(spark):
+    """The range-window count must equal the interval-join pair count
+    per conversion (the formulation the streaming twin uses), and the
+    credit must split the conversion's value equally."""
+    from ad_data_lake_spark.operators.marketing import linear_attribution
+    from ad_data_lake_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    events = load_table(spark, "events", SF_ORACLE)
+    out = {r.conv_event_id: r for r in linear_attribution(events).collect()}
+    c = events.where(F.col("event_type") == "purchase").alias("c")
+    i = events.where(F.col("event_type") == "click").alias("i")
+    pairs = (
+        c.join(
+            i,
+            (F.col("c.user_id") == F.col("i.user_id"))
+            & (F.col("i.ts") >= F.col("c.ts") - F.expr("INTERVAL 3 HOURS"))
+            & (F.col("i.ts") < F.col("c.ts")),
+            "left",
+        )
+        .groupBy(F.col("c.event_id").alias("eid"), F.col("c.value").alias("v"))
+        .agg(F.count(F.col("i.event_id")).alias("n"))
+        .collect()
+    )
+    assert len(pairs) == len(out)
+    n_with = 0
+    for r in pairs:
+        o = out[r.eid]
+        assert o.n_touches == r.n
+        if r.n > 0:
+            n_with += 1
+            assert o.credit_per_touch == round(r.v / r.n, 4)
+        else:
+            assert o.credit_per_touch is None
+    assert 0 < n_with
+
+
+def test_cohort_week_zero_holds_full_cohort(spark):
+    """Every user is active in their own cohort week, so offset 0 must
+    count the whole cohort and every offset must be non-negative."""
+    from ad_data_lake_spark.operators.marketing import cohort_retention
+    from ad_data_lake_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    events = load_table(spark, "events", SF_ORACLE)
+    rows = cohort_retention(events).collect()
+    assert rows and all(r.week_offset >= 0 for r in rows)
+    zero = {r.cohort_week: r.n_active_users for r in rows if r.week_offset == 0}
+    sizes = {
+        r.cohort_week: r.n
+        for r in events.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+        .groupBy("cohort_week")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert zero == sizes

@@ -337,3 +337,28 @@ def test_bigram_lm_scoring_pass_joins_broadcast_only(spark):
     p = plan_of(spark, "bigram_lm_score")
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_linear_attribution_is_single_window_no_join(spark):
+    """Multi-touch credit must come from ONE user-partitioned range
+    window over the tagged union — an interval self-join here would
+    materialize the (conversion × touch) pair space."""
+    p = plan_of(spark, "linear_attribution")
+    assert "Join" not in p, "linear attribution must not plan a join"
+    assert p.count("Exchange") == 1 and "Window" in p
+
+
+def test_funnel_is_single_user_aggregate(spark):
+    """The K-step funnel must be one user-keyed aggregate + fold —
+    never K chained self-joins (K shuffles, K scans)."""
+    p = plan_of(spark, "funnel_conversion")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_cohort_single_event_shuffle(spark):
+    """The event stream must shuffle ONCE (the user aggregate); the
+    (cohort, offset) rollup above it is calendar-sized."""
+    p = plan_of(spark, "cohort_retention")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning(user_id") == 1
