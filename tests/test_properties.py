@@ -1,0 +1,101 @@
+"""Property tests for the pure scale-rule helpers (hypothesis) and a
+randomized cross-check of the distributed connected-components operator
+against a reference union-find — correctness hardening for the code
+paths whose inputs the fixtures only sample."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ad_data_lake_spark.incremental import (
+    MERGE_BUCKET_TARGET_BYTES,
+    N_MERGE_BUCKETS,
+    _MAX_MERGE_BUCKETS,
+    buckets_for_bytes,
+)
+from ad_data_lake_spark.llm.similarity import IVF_CELLS, ivf_cells_for
+from ad_data_lake_spark.sources.tables import _parse_bytes
+
+
+@given(st.integers(min_value=-(10**6), max_value=10**18))
+@settings(max_examples=300, deadline=None)
+def test_buckets_for_bytes_invariants(nbytes):
+    b = buckets_for_bytes(nbytes)
+    assert N_MERGE_BUCKETS <= b <= _MAX_MERGE_BUCKETS
+    assert b & (b - 1) == 0, "bucket count must be a power of two"
+    if nbytes > 0 and b < _MAX_MERGE_BUCKETS:
+        # under the cap, each bucket holds at most the target bytes
+        assert nbytes / b <= MERGE_BUCKET_TARGET_BYTES
+
+
+@given(st.integers(min_value=0, max_value=10**14), st.integers(min_value=0, max_value=10**14))
+@settings(max_examples=200, deadline=None)
+def test_buckets_for_bytes_monotone(a, b):
+    lo, hi = sorted((a, b))
+    assert buckets_for_bytes(lo) <= buckets_for_bytes(hi)
+
+
+@given(st.integers(min_value=-100, max_value=10**12))
+@settings(max_examples=300, deadline=None)
+def test_ivf_cells_invariants(n):
+    c = ivf_cells_for(n)
+    assert c >= IVF_CELLS
+    assert c & (c - 1) == 0
+    if n > IVF_CELLS**2:
+        # cells ≈ √n within the pow2 rounding: occupancy n/c ≤ 2√n·√2
+        assert n / c <= 2.9 * (n**0.5)
+
+
+@given(
+    st.integers(min_value=0, max_value=10**9),
+    st.sampled_from(["b", "k", "m", "g", "t"]),
+)
+@settings(max_examples=100, deadline=None)
+def test_parse_bytes_units(v, unit):
+    mult = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}[unit]
+    assert _parse_bytes(f"{v}{unit}") == v * mult
+    assert _parse_bytes(str(v)) == v
+
+
+def test_min_label_components_matches_union_find(spark):
+    """Distributed min-label propagation vs a reference union-find on a
+    seeded random graph (chains, stars, cycles, isolated pairs): every
+    vertex that appears in an edge must get the minimum vertex id of
+    its component — including chain graphs whose diameter exercises
+    multiple propagation rounds."""
+    from ad_data_lake_spark.llm.dedup import min_label_components
+
+    rng = random.Random(20240814)
+    n = 120
+    edges = set()
+    # random sparse edges + one long chain (diameter ~ 15) + a star
+    for _ in range(80):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    chain = list(range(100, 116))
+    edges.update((a, b) for a, b in zip(chain, chain[1:]))
+    edges.update((0, k) for k in (30, 60, 90))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in sorted(edges)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.label for r in min_label_components(pairs).collect()}
+    # reference labels via union-find with min-root merging
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    want = {v: find(v) for v in touched}
+    assert got == want
