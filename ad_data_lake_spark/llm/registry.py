@@ -1293,3 +1293,27 @@ _add(
     """,
     ("llm", "pii", "luhn", "projection"),
 )
+
+_add(
+    "embedding_drift",
+    _emb_q(SIM.embedding_drift),
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    m AS (SELECT label, vec_id % 2 = 0 AS is_even, i, avg(v[i]) AS m
+          FROM c, range(1, {SIM.DIM + 1}) t(i) GROUP BY 1, 2, 3),
+    cent AS (SELECT label, is_even, list(m ORDER BY i) AS cv
+             FROM m GROUP BY 1, 2),
+    n AS (SELECT label, vec_id % 2 = 0 AS is_even, count(*) AS n
+         FROM c GROUP BY 1, 2)
+    SELECT a.label,
+           na.n AS n_even, nb.n AS n_odd,
+           round(list_dot_product(a.cv, b.cv)
+                 / (sqrt(list_dot_product(a.cv, a.cv))
+                    * sqrt(list_dot_product(b.cv, b.cv))), 6) AS centroid_cosine
+    FROM cent a
+    JOIN cent b ON a.label = b.label AND a.is_even AND NOT b.is_even
+    JOIN n na ON na.label = a.label AND na.is_even = TRUE
+    JOIN n nb ON nb.label = b.label AND nb.is_even = FALSE
+    """,
+    ("llm", "similarity", "drift", "monitoring"),
+)

@@ -771,3 +771,51 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = SEMDEDUP_TAU) -> Da
             "keep"
         ),
     )
+
+
+def embedding_drift(embeddings: DataFrame) -> DataFrame:
+    """Embedding-pipeline drift check: per label, the cosine between
+    the centroid of the even-id half and the odd-id half of the
+    vectors. In production the halves are "yesterday's batch" vs
+    "today's" over CLUSTERED real embeddings, where a same-label
+    centroid cosine falling from ~1 flags an encoder change, a corrupt
+    batch, or label drift before it poisons an index rebuild. (On the
+    ISOTROPIC fixture the per-label mean is near the origin, so the
+    cosine is sample noise — the registry row verifies the aggregation
+    arithmetic exactly via the oracle, and pytest pins it against a
+    numpy recomputation; the deterministic id split keeps both checks
+    reproducible.)
+
+    Plan: ONE shuffle — groupBy(label, half) computing n plus the
+    64 per-dimension avg() aggregates (codegen'd column aggregates, no
+    explode of the vector rows), then a label-keyed self-pair of the
+    two tiny centroid rows and a JVM fold cosine rounded to 6 dp (the
+    cross-engine contract every similarity op here uses)."""
+    v = as_double(F.col("embedding"))
+    half = (F.col("vec_id") % 2 == 0).alias("is_even")
+    cents = (
+        embeddings.select("label", half, *[v[i].alias(f"_d{i}") for i in range(DIM)])
+        .groupBy("label", "is_even")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.avg(f"_d{i}").alias(f"_m{i}") for i in range(DIM)],
+        )
+        .select(
+            "label",
+            "is_even",
+            "n",
+            F.array(*[F.col(f"_m{i}") for i in range(DIM)]).alias("c"),
+        )
+    )
+    a = cents.where(F.col("is_even")).select(
+        "label", F.col("n").alias("n_even"), F.col("c").alias("ca")
+    )
+    b = cents.where(~F.col("is_even")).select(
+        "label", F.col("n").alias("n_odd"), F.col("c").alias("cb")
+    )
+    return a.join(b, "label").select(
+        "label",
+        "n_even",
+        "n_odd",
+        F.round(cosine(F.col("ca"), F.col("cb")), 6).alias("centroid_cosine"),
+    )

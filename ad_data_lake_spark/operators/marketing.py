@@ -170,3 +170,61 @@ def linear_attribution(
             ).alias("credit_per_touch"),
         )
     )
+
+
+ANOMALY_Z = 2.0
+PACING_WINDOW_DAYS = 7
+
+
+def metric_anomalies(events: DataFrame) -> DataFrame:
+    """Daily-metric anomaly flags: per (day, event_type) totals scored
+    against that type's own day-series mean/stddev — the ops alarm
+    every metrics pipeline hangs off its daily rollup.
+
+    Plan: the event stream shuffles ONCE into the daily aggregate;
+    everything above it (per-type mean/std window, z-score) runs over
+    the calendar-sized series — at 100 TB the window input is still
+    days × types rows. z is rounded to 4 dp and the flag tests the
+    ROUNDED value in both engines, so the verdict can't flip on
+    last-ulp stddev drift."""
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("event_date"), "event_type"
+    ).agg(F.count("*").alias("events"), F.round(F.sum("value"), 2).alias("total_value"))
+    w = Window.partitionBy("event_type")
+    z = F.round(
+        (F.col("total_value") - F.avg("total_value").over(w))
+        / F.stddev_samp("total_value").over(w),
+        4,
+    )
+    return daily.select(
+        "event_date",
+        "event_type",
+        "events",
+        "total_value",
+        z.alias("z_value"),
+        (F.abs(z) > ANOMALY_Z).alias("is_anomaly"),
+    )
+
+
+def spend_pacing(events: DataFrame, window_days: int = PACING_WINDOW_DAYS) -> DataFrame:
+    """Spend pacing: each day's total value per event type against its
+    trailing ``window_days``-day average — the >1/<1 pace ratio a
+    budget controller throttles on. Same one-shuffle shape as
+    ``metric_anomalies``: after the daily rollup the trailing window
+    runs over calendar-sized data."""
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("event_date"), "event_type"
+    ).agg(F.round(F.sum("value"), 2).alias("spend"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_date")
+        .rowsBetween(-(window_days - 1), 0)
+    )
+    trailing = F.round(F.avg("spend").over(w), 4)
+    return daily.select(
+        "event_date",
+        "event_type",
+        "spend",
+        trailing.alias("trailing_avg"),
+        F.round(F.col("spend") / trailing, 4).alias("pace"),
+    )

@@ -1536,6 +1536,48 @@ _register(
 )
 
 
+_register(
+    "metric_anomalies",
+    QuerySpec(
+        _q(marketing.metric_anomalies, "events"),
+        """
+        WITH d AS (SELECT date_trunc('day', ts) AS event_date, event_type,
+                          count(*) AS events,
+                          round(sum(value), 2) AS total_value
+                   FROM events GROUP BY 1, 2),
+        z AS (SELECT *, round((total_value - avg(total_value) OVER w)
+                              / stddev_samp(total_value) OVER w, 4) AS z_value
+              FROM d WINDOW w AS (PARTITION BY event_type))
+        SELECT event_date, event_type, events, total_value, z_value,
+               (abs(z_value) > 2.0) AS is_anomaly
+        FROM z
+        """,
+        ("aggregate", "window", "anomaly", "monitoring"),
+    ),
+)
+
+_register(
+    "spend_pacing",
+    QuerySpec(
+        _q(marketing.spend_pacing, "events"),
+        """
+        WITH d AS (SELECT date_trunc('day', ts) AS event_date, event_type,
+                          round(sum(value), 2) AS spend
+                   FROM events GROUP BY 1, 2),
+        t AS (SELECT *, round(avg(spend) OVER (PARTITION BY event_type
+                              ORDER BY event_date
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+                            AS trailing_avg
+              FROM d)
+        SELECT event_date, event_type, spend, trailing_avg,
+               round(spend / trailing_avg, 4) AS pace
+        FROM t
+        """,
+        ("aggregate", "window", "pacing", "monitoring"),
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing ordering. The driver's correctness run iterates
 # queries() in registration order and caps how many it checks at 50
@@ -1578,6 +1620,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "funnel_conversion",
     "linear_attribution",
+    "metric_anomalies",
+    "spend_pacing",
+    "embedding_drift",
     # --- implementation changed in round 6 (perf rewrites / scale
     # knobs), so their driver rows must refresh ---
     "boilerplate_removal",
@@ -1607,13 +1652,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embed_neardup_pairs",
     "asof_attribution",
     "flight_window_rollup",
-    "sessionize_events",
-    "sessionize_native",
-    "frequency_cap",
     "backfill_partition_replace",
     # ---------------- out-of-window tail (50-query cap reached above;
     # everything below is green in CORRECTNESS_r04 or r05 and
     # unchanged this round) ----------------
+    "sessionize_events",
+    "sessionize_native",
+    "frequency_cap",
     "skew_salted_agg",
     "bucketed_join_colocated",
     "compaction_roundtrip",

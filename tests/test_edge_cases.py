@@ -223,3 +223,62 @@ def test_cohort_week_zero_holds_full_cohort(spark):
         .collect()
     }
     assert zero == sizes
+
+
+def test_metric_anomalies_and_pacing_shapes(spark):
+    """Anomaly flags must be rare (the fixture day-series is stable),
+    z-values must be centered (mean ≈ 0 per type), and pacing must be
+    ~1 once the trailing window fills."""
+    from ad_data_lake_spark.operators.marketing import metric_anomalies, spend_pacing
+    from ad_data_lake_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    events = load_table(spark, "events", SF_ORACLE)
+    rows = metric_anomalies(events).collect()
+    assert rows
+    n_anom = sum(1 for r in rows if r.is_anomaly)
+    assert n_anom < 0.1 * len(rows)
+    for r in rows:
+        assert r.is_anomaly == (abs(r.z_value) > 2.0)
+    pace = spend_pacing(events).collect()
+    assert pace
+    for r in pace:
+        assert r.pace == round(r.spend / r.trailing_avg, 4)
+    # per type, pace must average ~1 over the series (it is spend
+    # relative to its own trailing mean — bursty days cancel out)
+    by_type: dict = {}
+    for r in pace:
+        by_type.setdefault(r.event_type, []).append(r.pace)
+    for t, ps in by_type.items():
+        assert 0.5 < sum(ps) / len(ps) < 2.0, (t, sum(ps) / len(ps))
+
+
+def test_embedding_drift_matches_numpy(spark):
+    """The per-label half-centroid cosine must equal a numpy
+    recomputation over the collected vectors to the 6-dp contract —
+    the aggregation (64 per-dim avgs + fold cosine) verified
+    end-to-end. (On the isotropic fixture the VALUE is sample noise —
+    see the operator docstring — so the test pins arithmetic, not a
+    physical no-drift claim.)"""
+    import numpy as np
+
+    from ad_data_lake_spark.llm.similarity import embedding_drift
+    from ad_data_lake_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    rows = {r.label: r for r in embedding_drift(emb).collect()}
+    assert rows
+    data = emb.select("label", "vec_id", "embedding").collect()
+    by = {}
+    for r in data:
+        by.setdefault((r.label, r.vec_id % 2 == 0), []).append(
+            np.array(r.embedding, dtype=np.float64)
+        )
+    for label, row in rows.items():
+        a = np.mean(by[(label, True)], axis=0)
+        b = np.mean(by[(label, False)], axis=0)
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(row.centroid_cosine - round(want, 6)) <= 1e-6
+        assert row.n_even == len(by[(label, True)])
+        assert row.n_odd == len(by[(label, False)])
