@@ -185,35 +185,52 @@ def _exploded_shingle_hashes(corpus: DataFrame, hash_family: str = "md5") -> Dat
     )
 
 
-def minhash_prepped(corpus: DataFrame, hash_family: str = "md5") -> DataFrame:
-    """(doc_id, sig, jset) in ONE codegen'd aggregate: the 9 signature
-    entries as min() over the permuted 28-bit hashes, and the 60-bit
-    hashed shingle set (Jaccard verification input) as collect_set —
-    one shuffle on doc_id, partial aggregation map-side. min() is
-    invariant to shingle multiplicity and collect_set is a set, so the
-    values are identical to the per-row array formulation (and to the
-    DuckDB oracle)."""
+def minhash_sigs(corpus: DataFrame, hash_family: str = "md5") -> DataFrame:
+    """(doc_id, sig): the 9 signature entries as min() over the
+    permuted 28-bit hashes — ONE fully codegen'd aggregate whose
+    shuffle carries 9 longs per document (map-side partial min), the
+    narrowest possible corpus pass. min() is invariant to shingle
+    multiplicity, so values match the per-row array formulation (and
+    the DuckDB oracle)."""
     ex = _exploded_shingle_hashes(corpus, hash_family)
     aggs = [
         F.min((F.col("h28") * a + b) % MINHASH_P).alias(f"_m{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    aggs.append(F.collect_set("h60").alias("jset"))
     return (
         ex.groupBy("doc_id")
         .agg(*aggs)
         .select(
             "doc_id",
             F.array(*[F.col(f"_m{i}") for i in range(len(MINHASH_COEFFS))]).alias("sig"),
-            "jset",
         )
     )
 
 
+def candidate_jsets(
+    corpus: DataFrame, cand_docs: DataFrame, hash_family: str = "md5"
+) -> DataFrame:
+    """(doc_id, jset) for CANDIDATE documents only: the exploded hash
+    stream is semi-join-filtered to candidate ids before the
+    collect_set, so the heavy object aggregate (and its shuffle of
+    whole shingle sets) touches only documents that actually collided
+    in some band — volume scales with the true duplicate rate, not the
+    corpus. (The former design collect_set'ed EVERY document's shingle
+    set through the signature shuffle: the widest stage in the whole
+    pipeline, paid even when nothing collides.) The semi join is left
+    to AQE: a small candidate set broadcasts (map-side filter), a huge
+    one falls back to a shuffle that is still bounded by dup volume
+    downstream."""
+    ex = _exploded_shingle_hashes(corpus, hash_family)
+    filtered = ex.join(cand_docs, "doc_id", "left_semi")
+    return filtered.groupBy("doc_id").agg(F.collect_set("h60").alias("jset"))
+
+
 def minhash_bands(corpus: DataFrame, hash_family: str = "md5") -> DataFrame:
     """(doc_id, band_id, band_key) — the LSH bucket table, derived from
-    the codegen'd ``minhash_prepped`` aggregate."""
-    return minhash_prepped(corpus, hash_family).select(
+    the codegen'd ``minhash_sigs`` aggregate (signatures only: the
+    index never needs shingle sets)."""
+    return minhash_sigs(corpus, hash_family).select(
         "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_id", "band_key")
     )
 
@@ -245,13 +262,16 @@ def minhash_neardup_pairs(
     exact n-gram Jaccard verification on candidates only. Output:
     (doc_a, doc_b, jaccard) for verified pairs ≥ threshold.
 
-    Signatures and shingle sets come from the same ``minhash_prepped``
-    aggregate; its four consumers (two band sides, two verify sides)
-    share one shuffle via Spark's ReuseExchange, so the document scan +
-    shingle hashing runs once."""
+    Two-tier cost shape: candidate generation runs on the NARROW
+    signature aggregate (``minhash_sigs`` — 9 longs per doc through the
+    shuffle; its two band sides share one exchange via ReuseExchange),
+    and the shingle-set aggregate needed for verification is built ONLY
+    for documents that appear in some candidate pair
+    (``candidate_jsets``) — the wide collect_set pass scales with the
+    true duplicate rate instead of the corpus."""
     corpus = spread(corpus)  # shingle explode is compute-bound; fan out the 1-split fixture scan
-    prepped = minhash_prepped(corpus, hash_family)
-    bands = prepped.select(
+    sigs = minhash_sigs(corpus, hash_family)
+    bands = sigs.select(
         "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_id", "band_key")
     )
     a = bands.alias("a")
@@ -266,8 +286,18 @@ def minhash_neardup_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = prepped.select(F.col("doc_id").alias("doc_a"), F.col("jset").alias("sh_a"))
-    sb = prepped.select(F.col("doc_id").alias("doc_b"), F.col("jset").alias("sh_b"))
+    # pairs feed three consumers (cand ids ×2 sides + the final join):
+    # materialize once — the candidate list is the sparse collision
+    # set, orders of magnitude smaller than the corpus
+    pairs = pairs.localCheckpoint(eager=True)
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    jsets = candidate_jsets(corpus, cand_docs, hash_family)
+    sa = jsets.select(F.col("doc_id").alias("doc_a"), F.col("jset").alias("sh_a"))
+    sb = jsets.select(F.col("doc_id").alias("doc_b"), F.col("jset").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
