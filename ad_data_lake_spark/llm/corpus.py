@@ -31,39 +31,63 @@ _COLS = ("doc_id", "text", "lang", "source")
 
 def dup_corpus(documents: DataFrame) -> DataFrame:
     """Base ∪ exact copies ∪ near copies — input for exact/MinHash/
-    SimHash dedup."""
-    base = documents.select(*_COLS)
-    exact = (
-        documents.where(F.col("doc_id") % EXACT_MOD == 0)
-        .select((F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), "text", "lang", "source")
+    SimHash dedup. Built as ONE scan + a per-row variant explode (each
+    row emits itself plus its planted copies) instead of a 3-branch
+    union: the union form scanned the parquet three times, and every
+    shingle-heavy consumer paid it (~0.25 s/query at sf0.1; values
+    identical — the DuckDB oracle keeps the equivalent UNION ALL)."""
+    variants = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.when(
+            F.col("doc_id") % EXACT_MOD == 0,
+            F.struct(
+                (F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), F.col("text")
+            ),
+        ),
+        F.when(
+            F.col("doc_id") % NEAR_MOD == 0,
+            F.struct(
+                (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
+            ),
+        ),
     )
-    near = (
-        documents.where(F.col("doc_id") % NEAR_MOD == 0)
-        .select(
-            (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
-            "lang",
-            "source",
-        )
+    ex = documents.select("lang", "source", F.explode(variants).alias("v")).where(
+        F.col("v").isNotNull()
     )
-    return base.unionByName(exact).unionByName(near)
+    return ex.select(
+        F.col("v.doc_id").alias("doc_id"),
+        F.col("v.text").alias("text"),
+        "lang",
+        "source",
+    )
 
 
 def norm_corpus(documents: DataFrame) -> DataFrame:
-    """Base ∪ renormalizable copies — input for normalized dedup."""
-    base = documents.select(*_COLS)
-    messy = (
-        documents.where(F.col("doc_id") % NORM_MOD == 0)
-        .select(
-            (F.col("doc_id") + NORM_OFFSET).alias("doc_id"),
-            F.concat(F.lit("  "), F.regexp_replace(F.upper(F.col("text")), " ", "  ")).alias(
-                "text"
+    """Base ∪ renormalizable copies — input for normalized dedup. Same
+    single-scan variant-explode construction as ``dup_corpus``."""
+    variants = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.when(
+            F.col("doc_id") % NORM_MOD == 0,
+            F.struct(
+                (F.col("doc_id") + NORM_OFFSET).alias("doc_id"),
+                F.concat(
+                    F.lit("  "),
+                    F.regexp_replace(F.upper(F.col("text")), " ", "  "),
+                ).alias("text"),
             ),
-            "lang",
-            "source",
-        )
+        ),
     )
-    return base.unionByName(messy)
+    ex = documents.select("lang", "source", F.explode(variants).alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    return ex.select(
+        F.col("v.doc_id").alias("doc_id"),
+        F.col("v.text").alias("text"),
+        "lang",
+        "source",
+    )
 
 
 DUP_CORPUS_SQL = f"""
