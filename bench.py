@@ -48,13 +48,8 @@ def main() -> None:
     # ±1 s on individual queries in a long-lived local JVM) without
     # hiding real cost — both passes run the full plan end-to-end.
     timings: dict[str, float] = {}
-    jvm_gc = spark._jvm.System.gc
     for _ in range(2):
         for name in names:
-            # collect between queries so a 300-execution JVM's deferred
-            # GC pauses don't land inside another query's timed window
-            # (observed ~10-30% late-run inflation without this)
-            jvm_gc()
             t0 = time.perf_counter()
             _materialize(REGISTRY[name].fn(spark, sf_dir))
             el = round(time.perf_counter() - t0, 3)
