@@ -207,6 +207,39 @@ def minhash_sigs(corpus: DataFrame, hash_family: str = "md5") -> DataFrame:
     )
 
 
+def minhash_prepped(corpus: DataFrame, hash_family: str = "md5") -> DataFrame:
+    """(doc_id, sig, jset) in ONE aggregate: the 9 signature entries as
+    codegen'd min() over the permuted 28-bit hashes plus the 60-bit
+    shingle set (Jaccard verification input) as collect_set — one
+    shuffle on doc_id, partial aggregation map-side. min() is invariant
+    to shingle multiplicity and collect_set is a set, so values match
+    the per-row array formulation (and the DuckDB oracle).
+
+    Cost note: carrying the jset makes this shuffle the widest stage
+    in the pair pipeline, but the one-aggregate form lets ALL FOUR
+    consumers (two band sides, two verify sides) share a single
+    exchange — measured faster end-to-end at fixture scale than the
+    two-tier alternative (sig-only aggregate + candidate-filtered jset
+    pass), which runs two extra corpus stages. At extreme corpus-to-
+    duplicate ratios the two-tier shape wins on shuffle bytes: build it
+    from ``minhash_sigs`` + ``candidate_jsets`` below."""
+    ex = _exploded_shingle_hashes(corpus, hash_family)
+    aggs = [
+        F.min((F.col("h28") * a + b) % MINHASH_P).alias(f"_m{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    aggs.append(F.collect_set("h60").alias("jset"))
+    return (
+        ex.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"_m{i}") for i in range(len(MINHASH_COEFFS))]).alias("sig"),
+            "jset",
+        )
+    )
+
+
 def candidate_jsets(
     corpus: DataFrame, cand_docs: DataFrame, hash_family: str = "md5"
 ) -> DataFrame:
@@ -262,16 +295,17 @@ def minhash_neardup_pairs(
     exact n-gram Jaccard verification on candidates only. Output:
     (doc_a, doc_b, jaccard) for verified pairs ≥ threshold.
 
-    Two-tier cost shape: candidate generation runs on the NARROW
-    signature aggregate (``minhash_sigs`` — 9 longs per doc through the
-    shuffle; its two band sides share one exchange via ReuseExchange),
-    and the shingle-set aggregate needed for verification is built ONLY
-    for documents that appear in some candidate pair
-    (``candidate_jsets``) — the wide collect_set pass scales with the
-    true duplicate rate instead of the corpus."""
+    Signatures and shingle sets come from the same ``minhash_prepped``
+    aggregate; its four consumers (two band sides, two verify sides)
+    share one shuffle via Spark's ReuseExchange, so the document scan +
+    shingle hashing runs once. (A two-tier variant — narrow sig
+    aggregate + candidate-filtered jset pass — is available from
+    ``minhash_sigs``/``candidate_jsets`` for corpora whose shingle
+    sets dominate shuffle bytes; it measured slower here because it
+    adds two corpus stages.)"""
     corpus = spread(corpus)  # shingle explode is compute-bound; fan out the 1-split fixture scan
-    sigs = minhash_sigs(corpus, hash_family)
-    bands = sigs.select(
+    prepped = minhash_prepped(corpus, hash_family)
+    bands = prepped.select(
         "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_id", "band_key")
     )
     a = bands.alias("a")
@@ -286,18 +320,8 @@ def minhash_neardup_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # pairs feed three consumers (cand ids ×2 sides + the final join);
-    # AQE's stage reuse covers the shared subtree, so no eager
-    # materialization is needed (measured: a localCheckpoint here COST
-    # ~0.1 s — the extra action outweighs recompute under reuse)
-    cand_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    jsets = candidate_jsets(corpus, cand_docs, hash_family)
-    sa = jsets.select(F.col("doc_id").alias("doc_a"), F.col("jset").alias("sh_a"))
-    sb = jsets.select(F.col("doc_id").alias("doc_b"), F.col("jset").alias("sh_b"))
+    sa = prepped.select(F.col("doc_id").alias("doc_a"), F.col("jset").alias("sh_a"))
+    sb = prepped.select(F.col("doc_id").alias("doc_b"), F.col("jset").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (

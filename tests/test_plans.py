@@ -99,25 +99,13 @@ def test_exact_dedup_single_shuffle(spark):
     assert p.count("Exchange") == 1 and "partial_" in p
 
 
-def test_minhash_two_tier_cost_shape(spark):
-    """Two contracts of the two-tier design: (a) the narrow signature
-    aggregate is computed once and reused by both band sides
-    (ReusedExchange); (b) the WIDE collect_set shingle aggregate runs
-    only behind the candidate semi-filter — never over the full
-    corpus."""
+def test_minhash_heavy_stage_reused(spark):
     df = REGISTRY["dedup_minhash_lsh"].fn(spark, SF_ORACLE)
     df.collect()  # AQE decides reuse at runtime; inspect the final plan
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert p.count("ReusedExchange") >= 1, (
-        "the signature aggregate must be computed once and reused by both "
-        "band sides, not re-evaluated per consumer"
-    )
-    assert "LeftSemi" in p, "jset aggregate must be candidate-filtered"
-    semi_pos = p.index("LeftSemi")
-    cs_pos = p.index("collect_set")
-    assert cs_pos < semi_pos, (
-        "collect_set must sit ABOVE the semi filter in the plan tree "
-        "(printed earlier = executed later), i.e. aggregate only candidates"
+    assert p.count("ReusedExchange") >= 2, (
+        "the shingle-hash aggregate must be computed once and reused by the "
+        "band and verification consumers, not re-evaluated per consumer"
     )
 
 
