@@ -362,10 +362,11 @@ def min_label_components(pairs: DataFrame, max_iters: int = CLUSTER_MAX_ITERS) -
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
-    for _ in range(max_iters):
+
+    def _propagate(lbl: DataFrame) -> DataFrame:
         nbr_min = (
             edges.join(
-                labels.select(
+                lbl.select(
                     F.col("doc_id").alias("doc_b"), F.col("label").alias("nl")
                 ),
                 "doc_b",
@@ -374,21 +375,34 @@ def min_label_components(pairs: DataFrame, max_iters: int = CLUSTER_MAX_ITERS) -
             .agg(F.min("nl").alias("nbr_label"))
             .select(F.col("doc_a").alias("doc_id"), "nbr_label")
         )
-        updated = (
-            labels.join(nbr_min, "doc_id", "left")
+        return lbl.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+
+    # TWO propagation rounds per materialization: convergence is
+    # detected from the SECOND round alone (if applying propagation to
+    # round-one's result changes nothing, round-one's result was
+    # already the fixpoint), so the common near-clique case (stars of
+    # copies, diameter ≤ 2) finishes with ONE checkpoint + ONE scalar
+    # count instead of two of each — half the driver-side actions at
+    # identical labels.
+    for _ in range(max(1, max_iters // 2)):
+        l1 = _propagate(labels)
+        l2 = _propagate(l1).withColumnRenamed("label", "l2")
+        both = (
+            l1.join(l2, "doc_id")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+                F.col("l2").alias("label"),
+                (F.col("l2") < F.col("label")).alias("_changed"),
             )
         )
-        # one scalar action per round: materialize the new labels and
-        # count changes (the fixpoint test every iterative CC runs)
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.where(F.col("_changed")).count()
-        labels = updated.drop("_changed")
+        both = both.localCheckpoint(eager=True)
+        changed = both.where(F.col("_changed")).count()
+        labels = both.drop("_changed")
         if changed == 0:
             break
     return labels

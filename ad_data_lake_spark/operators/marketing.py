@@ -9,10 +9,10 @@ Scale notes (100 TB):
   event (cohort) and the distinct active weeks (collect_set of
   week-truncated ts — bounded by the calendar, not event volume), then
   a calendar-sized rollup. The event stream shuffles once.
-- funnel_conversion: ONE user-keyed sort + per-row fold walks each
-  user's ordered events through the step sequence — the sessionize
-  shape; no per-step self-joins (a K-step funnel as join-chain is K
-  shuffles and K scans).
+- funnel_conversion: ONE user-keyed exchange + K chained unbounded
+  window minima — no per-step self-joins (a K-step funnel as
+  join-chain is K shuffles and K scans), no per-user event-array
+  materialization.
 - linear_attribution: ONE window (user-partitioned, µs-ordered,
   rangeBetween the lookback) counts each conversion's in-window
   touches — the as-of union-marker trick generalized from "last touch"
@@ -64,56 +64,44 @@ def funnel_conversion(
     (the min-ts-after-previous chain). Output: one row per step with
     the user count and the conversion rate from the previous step.
 
-    Per user the walk is a single O(n) fold over the (ts, event_id)-
-    sorted event list: state = (step index, ts of last satisfied
-    step); an event advances the state when its type is the next step
-    and its ts is strictly later. This is semantically identical to
-    the oracle's chained min-subqueries but runs as ONE user-keyed
-    aggregate instead of K self-joins."""
-    order_key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("eid"))
-    per_user = events.where(F.col("event_type").isin(*steps)).groupBy("user_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct(order_key.alias("k"), F.col("event_type").alias("t")))
-        ).alias("evs")
-    )
-    zero = F.struct(
-        F.lit(0).alias("step"),
-        F.lit(None).cast("timestamp").alias("last_ts"),
-    )
+    Plan: ONE user-keyed exchange with K chained UNBOUNDED window
+    aggregates over it — step k's timestamp is min(ts WHERE type =
+    steps[k] AND ts > step_{k-1}) over the whole user partition, so no
+    per-partition SORT, no per-user collect_list materialization, and
+    no interpreted per-row fold (fixture-equal in wall clock, but the
+    fold form held each user's full event array in one row — a skew
+    and memory hazard for million-event users that the window form
+    simply doesn't have). Chained selects keep all K windows on the
+    same partitioning: one shuffle total, then a tiny global count."""
+    w = Window.partitionBy("user_id")
+    df = events.where(F.col("event_type").isin(*steps))
+    prev = None
+    for i, step in enumerate(steps):
+        cond = F.col("event_type") == step
+        if prev is not None:
+            cond = cond & (F.col("ts") > F.col(prev))
+        df = df.withColumn(f"_t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = f"_t{i}"
     n_steps = len(steps)
-
-    def advance(acc, e):
-        hit = None
-        for i, s in enumerate(steps):
-            c = (acc["step"] == i) & (e["t"] == F.lit(s)) & (
-                acc["last_ts"].isNull() | (e["k"]["ts"] > acc["last_ts"])
-            )
-            hit = c if hit is None else (hit | c)
-        return F.when(
-            hit,
-            F.struct((acc["step"] + 1).alias("step"), e["k"]["ts"].alias("last_ts")),
-        ).otherwise(acc)
-
-    reached = per_user.select(
-        "user_id",
-        F.aggregate(F.col("evs"), zero, advance, lambda a: a["step"]).alias("reached"),
+    per_user = df.groupBy("user_id").agg(
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(n_steps)]
     )
-    counts = reached.agg(
+    counts = per_user.agg(
         *[
-            F.count_if(F.col("reached") >= i + 1).alias(f"_s{i}")
+            F.count_if(F.col(f"_t{i}").isNotNull()).alias(f"_s{i}")
             for i in range(n_steps)
         ]
     )
     rows = []
-    for i, s in enumerate(steps):
-        prev = F.col(f"_s{i - 1}") if i else None
+    for i, s_ in enumerate(steps):
+        prev_c = F.col(f"_s{i - 1}") if i else None
         rows.append(
             F.struct(
                 F.lit(i + 1).alias("step_no"),
-                F.lit(s).alias("step"),
+                F.lit(s_).alias("step"),
                 F.col(f"_s{i}").alias("n_users"),
                 (
-                    F.round(F.col(f"_s{i}") / prev, 4)
+                    F.round(F.col(f"_s{i}") / prev_c, 4)
                     if i
                     else F.lit(None).cast("double")
                 ).alias("conv_from_prev"),
