@@ -49,6 +49,14 @@ def get_spark(app_name: str = "ad_data_lake_spark", master: str | None = None) -
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # long-lived-driver hygiene: the ContextCleaner only reclaims
+        # dropped shuffle files / broadcasts / checkpointed RDDs after
+        # a JVM GC notices the dropped references; the 30-min default
+        # lets hundreds of executed queries accumulate block-manager
+        # state in one session (observed ~10-30% late-run inflation in
+        # the bench harness). Standard practice for any long-running
+        # driver, ours included.
+        .config("spark.cleaner.periodicGC.interval", "90s")
         # local JVM sizing; ignored when a real cluster supplies resources
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
