@@ -266,3 +266,93 @@ def backfill_partitions(
         .partitionBy(*partition_cols)
         .parquet(target_path)
     )
+
+
+DELETE_COL = "_deleted"
+
+
+def cdc_apply(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    key: str,
+    order_col: str,
+    tiebreak: str,
+    n_buckets: int | None = None,
+    delete_col: str = DELETE_COL,
+) -> None:
+    """Apply a CDC change stream (upserts + DELETE tombstones) to the
+    bucketed table: per key the LATEST change wins (same (order_col,
+    tiebreak) recency rule as ``merge_upsert``); if that winner is a
+    tombstone the key is REMOVED from the table, otherwise it upserts.
+    Idempotent like MERGE — replaying the same change batch leaves the
+    table byte-identical — which is what makes an at-least-once CDC
+    feed (Debezium-style) safe to apply.
+
+    Built ON the bucket machinery, not beside it: current rows enter
+    the dedupe carrying ``delete_col=false``, so one last-wins window
+    + one tombstone filter computes the final state of the AFFECTED
+    buckets only; untouched buckets hardlink over exactly as in
+    ``merge_upsert``. A tombstone for an absent key is a no-op (the
+    filter drops it), matching MERGE's WHEN-NOT-MATCHED-AND-DELETE
+    semantics."""
+    prev_version = _current_version(target_path)
+    if prev_version is None and os.path.isdir(target_path) and os.listdir(target_path):
+        current = spark.read.parquet(target_path).withColumn(
+            delete_col, F.lit(False)
+        )
+        deduped = (
+            last_wins_dedupe(current.unionByName(changes), key, order_col, tiebreak)
+            .where(~F.col(delete_col))
+            .drop(delete_col)
+        )
+        staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
+        deduped.write.mode("overwrite").parquet(staging)
+        old = f"{target_path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(target_path, old)
+        os.rename(staging, target_path)
+        shutil.rmtree(old)
+        return
+
+    stored = _stored_buckets(target_path)
+    if prev_version is not None:
+        n_buckets = stored if stored is not None else N_MERGE_BUCKETS
+    elif n_buckets is None:
+        n_buckets = buckets_for_bytes(_estimated_plan_bytes(changes))
+
+    changes_b = changes.withColumn(_BUCKET, _bucket_expr(key, n_buckets))
+    new_version = f"v-{uuid.uuid4().hex[:8]}"
+    new_dir = os.path.join(target_path, new_version)
+
+    if prev_version is None:
+        deduped = (
+            last_wins_dedupe(changes_b, key, order_col, tiebreak)
+            .where(~F.col(delete_col))
+            .drop(delete_col)
+        )
+        deduped.repartition(_BUCKET).write.partitionBy(_BUCKET).parquet(new_dir)
+    else:
+        cur_dir = os.path.join(target_path, prev_version)
+        touched = {r[0] for r in changes_b.select(_BUCKET).distinct().collect()}
+        affected = (
+            spark.read.parquet(cur_dir)
+            .where(F.col(_BUCKET).isin(sorted(touched)))
+            .withColumn(delete_col, F.lit(False))
+        )
+        deduped = (
+            last_wins_dedupe(
+                affected.unionByName(changes_b), key, order_col, tiebreak
+            )
+            .where(~F.col(delete_col))
+            .drop(delete_col)
+        )
+        deduped.repartition(_BUCKET).write.partitionBy(_BUCKET).parquet(new_dir)
+        for d in os.listdir(cur_dir):
+            if d.startswith(f"{_BUCKET}=") and int(d.split("=", 1)[1]) not in touched:
+                _link_tree(os.path.join(cur_dir, d), os.path.join(new_dir, d))
+    if _stored_buckets(target_path) != n_buckets:
+        tmp = os.path.join(target_path, f".{_NB}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(str(n_buckets))
+        os.replace(tmp, os.path.join(target_path, _NB))
+    _publish(target_path, new_version, prev_version)

@@ -205,6 +205,63 @@ def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: CDC apply with DELETE tombstones (Debezium-style feed →
+    table). Base table = the events fact keyed on event_id; the change
+    batch carries an UPDATE for every 7th event (ts+1h, value+10) and
+    a DELETE tombstone for every 10th (ts+2h — tombstones outrank the
+    updates they follow). The batch is applied TWICE against the same
+    table — the oracle computes the final state directly, so the hash
+    match proves update recency, tombstone removal, tombstone-newer-
+    than-update precedence, AND replay idempotence in one row."""
+    base = _events_slim(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    lake_dir = _scratch(spark, "cdc-apply", sf_dir)
+    target = os.path.join(lake_dir, "events_cdc")
+    incremental.merge_upsert(spark, target, base, "event_id", "ts", "value")
+    upd = base.where(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        (F.col("value") + 10).alias("value"),
+        F.lit(False).alias(incremental.DELETE_COL),
+    )
+    dele = base.where(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("ts"),
+        "user_id",
+        "value",
+        F.lit(True).alias(incremental.DELETE_COL),
+    )
+    changes = upd.unionByName(dele)
+    incremental.cdc_apply(spark, target, changes, "event_id", "ts", "value")
+    # replay: at-least-once delivery must be a no-op
+    incremental.cdc_apply(spark, target, changes, "event_id", "ts", "value")
+    out = incremental.read_merged(spark, target)
+    return out.select(
+        "event_id", "ts", "user_id", F.round("value", 2).alias("value")
+    )
+
+
+def streaming_frequency_cap_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14: the arbitrary-stateful streaming operator as a driver-
+    checked row — ``applyInPandasWithState`` per-user impression
+    counters drained over the events fact; the oracle is the batch
+    row_number() cap, so the hash match proves the custom stateful
+    operator reproduces batch semantics end to end."""
+    from ad_data_lake_spark.streaming.stateful import streaming_frequency_cap
+
+    events = _events_slim(spark, sf_dir).select("event_id", "user_id", "ts")
+    src = os.path.join(_scratch(spark, "cap-src", sf_dir), "events")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    return run_available_now(
+        streaming_frequency_cap(stream),
+        f"stream_cap_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+        shuffle_partitions=8,
+    )
+
+
 def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout: bucketed tables co-locate their join (SURVEY §2 scale
     notes; layout.write_bucketed).

@@ -1173,6 +1173,37 @@ _register(
 )
 
 _register(
+    "cdc_apply",
+    QuerySpec(
+        lake_queries.cdc_apply_roundtrip,
+        """
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN ts + INTERVAL 1 HOUR
+                    ELSE ts END AS ts,
+               user_id,
+               round(CASE WHEN event_id % 7 = 0 THEN value + 10
+                          ELSE value END, 2) AS value
+        FROM events WHERE event_id % 10 <> 0
+        """,
+        ("write", "cdc", "merge", "tombstone", "incremental"),
+    ),
+)
+
+_register(
+    "streaming_frequency_cap",
+    QuerySpec(
+        lake_queries.streaming_frequency_cap_drain,
+        f"""
+        SELECT event_id, user_id, ts,
+               CAST(row_number() OVER w AS INT) AS impression_no,
+               row_number() OVER w > {_sessions.FREQUENCY_CAP} AS capped
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        ("write", "streaming", "stateful", "frequency-cap"),
+    ),
+)
+
+_register(
     "streaming_sessionize",
     QuerySpec(
         lake_queries.streaming_sessionize_drain,
@@ -1623,6 +1654,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "metric_anomalies",
     "spend_pacing",
     "embedding_drift",
+    "cdc_apply",
+    "streaming_frequency_cap",
     # --- implementation changed in round 6 (perf rewrites / scale
     # knobs), so their driver rows must refresh ---
     "boilerplate_removal",

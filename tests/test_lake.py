@@ -560,3 +560,56 @@ def test_merge_bucket_count_scales_and_persists(spark, events, tmp_path):
     merge_upsert(spark, target, base.limit(10), "event_id", "ts", "value")
     assert _stored_buckets(target) == 16
     assert read_merged(spark, target).count() == base.dropDuplicates(["event_id"]).count()
+
+
+def test_cdc_apply_tombstone_semantics(spark, events, tmp_path):
+    """Recency decides between update and tombstone per key: a NEWER
+    update resurrects a deleted key, a NEWER tombstone removes an
+    updated key, a tombstone for an absent key is a no-op, and
+    replaying the whole change batch is idempotent."""
+    from ad_data_lake_spark.incremental import DELETE_COL, cdc_apply, merge_upsert, read_merged
+
+    base = (
+        events.select("event_id", "ts", "user_id", "value")
+        .where(F.col("event_id") < 100)
+    )
+    target = str(tmp_path / "cdc_t")
+    merge_upsert(spark, target, base, "event_id", "ts", "value")
+
+    def chg(eid, hours, value, deleted):
+        return base.where(F.col("event_id") == eid).select(
+            "event_id",
+            (F.col("ts") + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+            "user_id",
+            F.lit(float(value)).alias("value"),
+            F.lit(deleted).alias(DELETE_COL),
+        )
+
+    ids = [r.event_id for r in base.orderBy("event_id").limit(3).collect()]
+    a, b, c = ids
+    changes = (
+        chg(a, 1, 1.0, True).unionByName(chg(a, 2, 99.0, False))   # delete then NEWER update -> survives at 99
+        .unionByName(chg(b, 1, 50.0, False)).unionByName(chg(b, 2, 0.0, True))  # update then NEWER delete -> gone
+        .unionByName(
+            base.limit(0).select(
+                F.lit(10**9).alias("event_id"), F.col("ts"), F.col("user_id"),
+                F.col("value"), F.lit(True).alias(DELETE_COL),
+            )
+        )
+    )
+    # absent-key tombstone (non-empty): synthesize directly
+    absent = spark.createDataFrame(
+        [(10**9, "2024-01-20 00:00:00", 1, 0.0, True)],
+        f"event_id long, ts string, user_id long, value double, {DELETE_COL} boolean",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    changes = changes.unionByName(absent)
+
+    cdc_apply(spark, target, changes, "event_id", "ts", "value")
+    h1 = {r.event_id: r.value for r in read_merged(spark, target).collect()}
+    assert h1[a] == 99.0, "newer update must resurrect the deleted key"
+    assert b not in h1, "newer tombstone must remove the updated key"
+    assert 10**9 not in h1, "absent-key tombstone must be a no-op"
+    assert c in h1
+    cdc_apply(spark, target, changes, "event_id", "ts", "value")  # replay
+    h2 = {r.event_id: r.value for r in read_merged(spark, target).collect()}
+    assert h1 == h2, "replay must be idempotent"
