@@ -120,7 +120,15 @@ def read_merged(spark: SparkSession, target_path: str) -> DataFrame:
     version = _current_version(target_path)
     if version is None:
         return spark.read.parquet(target_path)
-    return spark.read.parquet(os.path.join(target_path, version)).drop(_BUCKET)
+    # mergeSchema: after a schema-evolving merge the hardlinked
+    # untouched buckets still hold the old column set; merged-footer
+    # reading surfaces evolved columns as nulls there (exactly Delta's
+    # read behavior for files predating an ADD COLUMN)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(target_path, version))
+        .drop(_BUCKET)
+    )
 
 
 def _link_tree(src: str, dst: str) -> None:
@@ -209,8 +217,15 @@ def merge_upsert(
         affected = spark.read.parquet(cur_dir).where(
             F.col(_BUCKET).isin(sorted(touched))
         )
+        # allowMissingColumns = schema evolution: updates may ADD
+        # columns (old rows read as null via read_merged's mergeSchema)
+        # and rewritten buckets may carry columns a given update batch
+        # doesn't know about
         deduped = last_wins_dedupe(
-            affected.unionByName(updates_b), key, order_col, tiebreak
+            affected.unionByName(updates_b, allowMissingColumns=True),
+            key,
+            order_col,
+            tiebreak,
         )
         deduped.repartition(_BUCKET).write.partitionBy(_BUCKET).parquet(new_dir)
         for d in os.listdir(cur_dir):
@@ -237,9 +252,12 @@ def _merge_unbucketed(
     swap. O(table) per merge and a brief FileNotFound window between
     the two renames — exactly the costs the bucketed layout exists to
     remove; kept only so an existing plain directory still merges."""
-    current = spark.read.parquet(target_path)
+    current = spark.read.option("mergeSchema", "true").parquet(target_path)
     deduped = last_wins_dedupe(
-        current.unionByName(updates), key, order_col, tiebreak
+        current.unionByName(updates, allowMissingColumns=True),
+        key,
+        order_col,
+        tiebreak,
     )
     staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
     deduped.write.mode("overwrite").parquet(staging)

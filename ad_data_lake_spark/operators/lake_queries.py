@@ -262,6 +262,31 @@ def streaming_frequency_cap_drain(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def merge_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15: schema-evolving MERGE — the update batch carries a column
+    the table has never seen (``status``). After the merge, updated
+    rows carry their status, every pre-existing row (including whole
+    hardlinked untouched buckets, whose parquet files still have the
+    OLD column set) reads back as NULL via merged-footer reading —
+    Delta's ADD COLUMN read semantics on the plain-parquet layout."""
+    base = _events_slim(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    lake_dir = _scratch(spark, "schema-evo", sf_dir)
+    target = os.path.join(lake_dir, "events_evo")
+    incremental.merge_upsert(spark, target, base, "event_id", "ts", "value")
+    upd = base.where(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        "value",
+        F.lit("updated").alias("status"),
+    )
+    incremental.merge_upsert(spark, target, upd, "event_id", "ts", "value")
+    out = incremental.read_merged(spark, target)
+    return out.select(
+        "event_id", "ts", "user_id", F.round("value", 2).alias("value"), "status"
+    )
+
+
 def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout: bucketed tables co-locate their join (SURVEY §2 scale
     notes; layout.write_bucketed).

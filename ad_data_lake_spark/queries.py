@@ -1204,6 +1204,23 @@ _register(
 )
 
 _register(
+    "merge_schema_evolution",
+    QuerySpec(
+        lake_queries.merge_schema_evolution_roundtrip,
+        """
+        SELECT event_id,
+               CASE WHEN event_id % 5 = 0 THEN ts + INTERVAL 1 HOUR
+                    ELSE ts END AS ts,
+               user_id,
+               round(value, 2) AS value,
+               CASE WHEN event_id % 5 = 0 THEN 'updated' END AS status
+        FROM events
+        """,
+        ("write", "merge", "schema-evolution", "incremental"),
+    ),
+)
+
+_register(
     "streaming_sessionize",
     QuerySpec(
         lake_queries.streaming_sessionize_drain,
@@ -1656,6 +1673,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_drift",
     "cdc_apply",
     "streaming_frequency_cap",
+    "merge_schema_evolution",
     # --- implementation changed in round 6 (perf rewrites / scale
     # knobs), so their driver rows must refresh ---
     "boilerplate_removal",
@@ -1671,7 +1689,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # queries at the tail yield their slots this round ---
     "curation_pipeline",
     "streaming_attribution_join",
-    "mixture_sample",
     "chunk_documents",
     "minhash_index_incremental",
     "dataset_split",
@@ -1695,6 +1712,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_salted_agg",
     "bucketed_join_colocated",
     "compaction_roundtrip",
+    "mixture_sample",
     "agg_percentiles",
     "pivot_action_metrics",
     "split_summary",
