@@ -1634,10 +1634,12 @@ _register(
 # rounds' correctness files, so each round leads with (a) the queries
 # whose latest driver check is two rounds old, then (b) anything whose
 # implementation changed this round, then the queries the previous
-# round's window already re-proved. Round 6: leads are the fixed
-# neardup_clusters plus the 12 names with no row in r04 ∪ r05 (added
-# after round 5's rotation), then this round's perf rewrites, then the
-# round-4-window names so the rolling union stays complete.
+# round's window already re-proved. Round 6: leads are all 28 names
+# with no row in r04 ∪ r05 — the fixed neardup_clusters, the 12 added
+# after round 5's rotation, and this round's 15 new operators — then
+# the queries whose implementation changed this round, then
+# round-4-window names; everything pushed past slot 50 is r4/r5-green
+# and unchanged, keeping the r04 ∪ r05 ∪ r06 union complete.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
