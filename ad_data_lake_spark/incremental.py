@@ -161,6 +161,101 @@ def _publish(target_path: str, new_version: str, prev_version: str | None) -> No
             shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
 
 
+def _apply_bucketed(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    key: str,
+    order_col: str,
+    tiebreak: str,
+    n_buckets: int | None,
+    delete_col: str | None,
+) -> None:
+    """Shared bucket-scoped write core for MERGE and CDC-apply: resolve
+    the bucket count (stored layout wins; first write sizes from the
+    batch), last-wins-dedupe current ∪ batch within the TOUCHED buckets
+    only, optionally drop tombstoned keys (``delete_col``), write a new
+    version, hardlink untouched buckets, persist the count, publish."""
+
+    def finalize(deduped: DataFrame) -> DataFrame:
+        if delete_col is None:
+            return deduped
+        return deduped.where(~F.col(delete_col)).drop(delete_col)
+
+    prev_version = _current_version(target_path)
+    if prev_version is None and os.path.isdir(target_path) and os.listdir(target_path):
+        # legacy unbucketed parquet directory: full-rewrite fallback
+        current = spark.read.option("mergeSchema", "true").parquet(target_path)
+        if delete_col is not None:
+            current = current.withColumn(delete_col, F.lit(False))
+        deduped = finalize(
+            last_wins_dedupe(
+                current.unionByName(batch, allowMissingColumns=True),
+                key,
+                order_col,
+                tiebreak,
+            )
+        )
+        staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
+        deduped.write.mode("overwrite").parquet(staging)
+        old = f"{target_path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(target_path, old)
+        os.rename(staging, target_path)
+        shutil.rmtree(old)
+        return
+
+    stored = _stored_buckets(target_path)
+    if prev_version is not None:
+        # layout-bound: a pre-knob table stored nothing and was always
+        # written with the fixture default
+        n_buckets = stored if stored is not None else N_MERGE_BUCKETS
+    elif n_buckets is None:
+        n_buckets = buckets_for_bytes(_estimated_plan_bytes(batch))
+
+    batch_b = batch.withColumn(_BUCKET, _bucket_expr(key, n_buckets))
+    new_version = f"v-{uuid.uuid4().hex[:8]}"
+    new_dir = os.path.join(target_path, new_version)
+
+    if prev_version is None:
+        # first write: every bucket materializes
+        deduped = finalize(last_wins_dedupe(batch_b, key, order_col, tiebreak))
+        deduped.repartition(_BUCKET).write.partitionBy(_BUCKET).parquet(new_dir)
+    else:
+        cur_dir = os.path.join(target_path, prev_version)
+        # the touched-bucket set is bounded by n_buckets, never by data
+        # volume — a cheap partial-aggregate job over the (small)
+        # batch side, collected so the planner can PRUNE the target
+        # scan to exactly those _mb= directories
+        touched = {r[0] for r in batch_b.select(_BUCKET).distinct().collect()}
+        affected = spark.read.parquet(cur_dir).where(
+            F.col(_BUCKET).isin(sorted(touched))
+        )
+        if delete_col is not None:
+            affected = affected.withColumn(delete_col, F.lit(False))
+        # allowMissingColumns = schema evolution: the batch may ADD
+        # columns (old rows read as null via read_merged's mergeSchema)
+        # and rewritten buckets may carry columns a given batch
+        # doesn't know about
+        deduped = finalize(
+            last_wins_dedupe(
+                affected.unionByName(batch_b, allowMissingColumns=True),
+                key,
+                order_col,
+                tiebreak,
+            )
+        )
+        deduped.repartition(_BUCKET).write.partitionBy(_BUCKET).parquet(new_dir)
+        for d in os.listdir(cur_dir):
+            if d.startswith(f"{_BUCKET}=") and int(d.split("=", 1)[1]) not in touched:
+                _link_tree(os.path.join(cur_dir, d), os.path.join(new_dir, d))
+    if _stored_buckets(target_path) != n_buckets:
+        tmp = os.path.join(target_path, f".{_NB}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(str(n_buckets))
+        os.replace(tmp, os.path.join(target_path, _NB))
+    _publish(target_path, new_version, prev_version)
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -182,89 +277,9 @@ def merge_upsert(
     first write sizes from the incoming frame via ``buckets_for_bytes``
     so the count GROWS with data instead of pinning the fixture's 8.
     The resolved count is persisted next to ``_CURRENT``."""
-    prev_version = _current_version(target_path)
-    if prev_version is None and os.path.isdir(target_path) and os.listdir(target_path):
-        # legacy unbucketed parquet directory: full-rewrite fallback
-        _merge_unbucketed(spark, target_path, updates, key, order_col, tiebreak)
-        return
-
-    stored = _stored_buckets(target_path)
-    if prev_version is not None:
-        # layout-bound: a pre-knob table stored nothing and was always
-        # written with the fixture default
-        n_buckets = stored if stored is not None else N_MERGE_BUCKETS
-    elif n_buckets is None:
-        n_buckets = buckets_for_bytes(_estimated_plan_bytes(updates))
-
-    updates_b = updates.withColumn(_BUCKET, _bucket_expr(key, n_buckets))
-    new_version = f"v-{uuid.uuid4().hex[:8]}"
-    new_dir = os.path.join(target_path, new_version)
-
-    if prev_version is None:
-        # first write: every bucket materializes
-        deduped = last_wins_dedupe(updates_b, key, order_col, tiebreak)
-        deduped.repartition(_BUCKET).write.partitionBy(_BUCKET).parquet(new_dir)
-    else:
-        cur_dir = os.path.join(target_path, prev_version)
-        # the touched-bucket set is bounded by n_buckets, never by data
-        # volume — a cheap partial-aggregate job over the (small)
-        # updates side, collected so the planner can PRUNE the target
-        # scan to exactly those _mb= directories
-        touched = {
-            r[0]
-            for r in updates_b.select(_BUCKET).distinct().collect()
-        }
-        affected = spark.read.parquet(cur_dir).where(
-            F.col(_BUCKET).isin(sorted(touched))
-        )
-        # allowMissingColumns = schema evolution: updates may ADD
-        # columns (old rows read as null via read_merged's mergeSchema)
-        # and rewritten buckets may carry columns a given update batch
-        # doesn't know about
-        deduped = last_wins_dedupe(
-            affected.unionByName(updates_b, allowMissingColumns=True),
-            key,
-            order_col,
-            tiebreak,
-        )
-        deduped.repartition(_BUCKET).write.partitionBy(_BUCKET).parquet(new_dir)
-        for d in os.listdir(cur_dir):
-            if d.startswith(f"{_BUCKET}=") and int(d.split("=", 1)[1]) not in touched:
-                _link_tree(os.path.join(cur_dir, d), os.path.join(new_dir, d))
-    if _stored_buckets(target_path) != n_buckets:
-        tmp = os.path.join(target_path, f".{_NB}.tmp-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            f.write(str(n_buckets))
-        os.replace(tmp, os.path.join(target_path, _NB))
-    _publish(target_path, new_version, prev_version)
-
-
-def _merge_unbucketed(
-    spark: SparkSession,
-    target_path: str,
-    updates: DataFrame,
-    key: str,
-    order_col: str,
-    tiebreak: str,
-) -> None:
-    """Fallback for pre-existing unbucketed parquet targets: read
-    current ∪ updates → last-wins dedupe → full rewrite + directory
-    swap. O(table) per merge and a brief FileNotFound window between
-    the two renames — exactly the costs the bucketed layout exists to
-    remove; kept only so an existing plain directory still merges."""
-    current = spark.read.option("mergeSchema", "true").parquet(target_path)
-    deduped = last_wins_dedupe(
-        current.unionByName(updates, allowMissingColumns=True),
-        key,
-        order_col,
-        tiebreak,
+    _apply_bucketed(
+        spark, target_path, updates, key, order_col, tiebreak, n_buckets, None
     )
-    staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
-    deduped.write.mode("overwrite").parquet(staging)
-    old = f"{target_path}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(target_path, old)
-    os.rename(staging, target_path)
-    shutil.rmtree(old)
 
 
 def backfill_partitions(
@@ -307,70 +322,13 @@ def cdc_apply(
     table byte-identical — which is what makes an at-least-once CDC
     feed (Debezium-style) safe to apply.
 
-    Built ON the bucket machinery, not beside it: current rows enter
-    the dedupe carrying ``delete_col=false``, so one last-wins window
-    + one tombstone filter computes the final state of the AFFECTED
-    buckets only; untouched buckets hardlink over exactly as in
-    ``merge_upsert``. A tombstone for an absent key is a no-op (the
-    filter drops it), matching MERGE's WHEN-NOT-MATCHED-AND-DELETE
+    Built ON the bucket machinery, not beside it (``_apply_bucketed``):
+    current rows enter the dedupe carrying ``delete_col=false``, so one
+    last-wins window + one tombstone filter computes the final state of
+    the AFFECTED buckets only; untouched buckets hardlink over exactly
+    as in ``merge_upsert``. A tombstone for an absent key is a no-op
+    (the filter drops it), matching MERGE's WHEN-NOT-MATCHED-AND-DELETE
     semantics."""
-    prev_version = _current_version(target_path)
-    if prev_version is None and os.path.isdir(target_path) and os.listdir(target_path):
-        current = spark.read.parquet(target_path).withColumn(
-            delete_col, F.lit(False)
-        )
-        deduped = (
-            last_wins_dedupe(current.unionByName(changes), key, order_col, tiebreak)
-            .where(~F.col(delete_col))
-            .drop(delete_col)
-        )
-        staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
-        deduped.write.mode("overwrite").parquet(staging)
-        old = f"{target_path}.old-{uuid.uuid4().hex[:8]}"
-        os.rename(target_path, old)
-        os.rename(staging, target_path)
-        shutil.rmtree(old)
-        return
-
-    stored = _stored_buckets(target_path)
-    if prev_version is not None:
-        n_buckets = stored if stored is not None else N_MERGE_BUCKETS
-    elif n_buckets is None:
-        n_buckets = buckets_for_bytes(_estimated_plan_bytes(changes))
-
-    changes_b = changes.withColumn(_BUCKET, _bucket_expr(key, n_buckets))
-    new_version = f"v-{uuid.uuid4().hex[:8]}"
-    new_dir = os.path.join(target_path, new_version)
-
-    if prev_version is None:
-        deduped = (
-            last_wins_dedupe(changes_b, key, order_col, tiebreak)
-            .where(~F.col(delete_col))
-            .drop(delete_col)
-        )
-        deduped.repartition(_BUCKET).write.partitionBy(_BUCKET).parquet(new_dir)
-    else:
-        cur_dir = os.path.join(target_path, prev_version)
-        touched = {r[0] for r in changes_b.select(_BUCKET).distinct().collect()}
-        affected = (
-            spark.read.parquet(cur_dir)
-            .where(F.col(_BUCKET).isin(sorted(touched)))
-            .withColumn(delete_col, F.lit(False))
-        )
-        deduped = (
-            last_wins_dedupe(
-                affected.unionByName(changes_b), key, order_col, tiebreak
-            )
-            .where(~F.col(delete_col))
-            .drop(delete_col)
-        )
-        deduped.repartition(_BUCKET).write.partitionBy(_BUCKET).parquet(new_dir)
-        for d in os.listdir(cur_dir):
-            if d.startswith(f"{_BUCKET}=") and int(d.split("=", 1)[1]) not in touched:
-                _link_tree(os.path.join(cur_dir, d), os.path.join(new_dir, d))
-    if _stored_buckets(target_path) != n_buckets:
-        tmp = os.path.join(target_path, f".{_NB}.tmp-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            f.write(str(n_buckets))
-        os.replace(tmp, os.path.join(target_path, _NB))
-    _publish(target_path, new_version, prev_version)
+    _apply_bucketed(
+        spark, target_path, changes, key, order_col, tiebreak, n_buckets, delete_col
+    )
