@@ -332,3 +332,26 @@ def cdc_apply(
     _apply_bucketed(
         spark, target_path, changes, key, order_col, tiebreak, n_buckets, delete_col
     )
+
+
+def read_previous(spark: SparkSession, target_path: str) -> DataFrame:
+    """Time travel one version back: read the RETAINED previous version
+    (the one ``_publish`` keeps for in-flight readers). The layout's
+    retention window is exactly one version, so this is "the table as
+    of just before the last merge" — the rollback/audit read a real
+    lake serves via ``VERSION AS OF``. Raises if no previous version
+    exists (first write, or already GC'd by a later merge)."""
+    current = _current_version(target_path)
+    if current is None:
+        raise ValueError(f"{target_path} is not a versioned (bucketed) table")
+    versions = sorted(
+        d for d in os.listdir(target_path) if d.startswith("v-") and d != current
+    )
+    if not versions:
+        raise ValueError(f"{target_path} retains no previous version")
+    # _publish retains at most one non-current version
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(target_path, versions[0]))
+        .drop(_BUCKET)
+    )

@@ -287,6 +287,30 @@ def merge_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def time_travel_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16: VERSION-AS-OF read on the versioned layout — merge an
+    update batch over the base table, then read the RETAINED previous
+    version: it must be byte-identically the pre-merge state (the
+    rollback/audit read). The oracle computes the base state directly,
+    so the hash match proves the retained version is untouched by the
+    merge that superseded it (hardlinked buckets included)."""
+    base = _events_slim(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    lake_dir = _scratch(spark, "time-travel", sf_dir)
+    target = os.path.join(lake_dir, "events_tt")
+    incremental.merge_upsert(spark, target, base, "event_id", "ts", "value")
+    upd = base.where(F.col("event_id") % 9 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        (F.col("value") + 5).alias("value"),
+    )
+    incremental.merge_upsert(spark, target, upd, "event_id", "ts", "value")
+    out = incremental.read_previous(spark, target)
+    return out.select(
+        "event_id", "ts", "user_id", F.round("value", 2).alias("value")
+    )
+
+
 def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout: bucketed tables co-locate their join (SURVEY §2 scale
     notes; layout.write_bucketed).

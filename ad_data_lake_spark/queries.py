@@ -1221,6 +1221,18 @@ _register(
 )
 
 _register(
+    "time_travel_read",
+    QuerySpec(
+        lake_queries.time_travel_read_roundtrip,
+        """
+        SELECT event_id, ts, user_id, round(value, 2) AS value
+        FROM events
+        """,
+        ("write", "time-travel", "versioning", "incremental"),
+    ),
+)
+
+_register(
     "streaming_sessionize",
     QuerySpec(
         lake_queries.streaming_sessionize_drain,
@@ -1676,6 +1688,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cdc_apply",
     "streaming_frequency_cap",
     "merge_schema_evolution",
+    "time_travel_read",
     # --- implementation changed in round 6 (perf rewrites / scale
     # knobs), so their driver rows must refresh ---
     "boilerplate_removal",
@@ -1691,7 +1704,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # queries at the tail yield their slots this round ---
     "curation_pipeline",
     "streaming_attribution_join",
-    "chunk_documents",
     "minhash_index_incremental",
     "dataset_split",
     "pack_sequences",
@@ -1714,6 +1726,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_salted_agg",
     "bucketed_join_colocated",
     "compaction_roundtrip",
+    "chunk_documents",
     "mixture_sample",
     "agg_percentiles",
     "pivot_action_metrics",
