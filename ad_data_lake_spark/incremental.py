@@ -24,9 +24,12 @@ contracts are carried by an explicit bucketed + versioned layout:
   overwrite order). Cost is O(affected buckets), not O(table) — the
   Delta/Iceberg cost model — and readers resolve the pointer, so they
   see strictly old-version-or-new-version, never a partial or missing
-  table. The previous version is retained for in-flight readers and
-  GC'd on the NEXT merge (the standard snapshot-retention trade-off;
-  a real lake tunes the retention window, here it is one version).
+  table. The newest ``RETAIN_VERSIONS`` versions are retained (for
+  in-flight readers and ``read_version`` time travel) and everything
+  older is GC'd — the snapshot-retention window every real lake tunes
+  (Delta ``VERSION AS OF`` + ``VACUUM``); an ordered ``_VERSIONS``
+  log records publish order so "N back" is well-defined even when a
+  crashed merge leaves an orphaned directory.
 - ``read_merged`` = the pointer-resolving reader (falls back to a
   plain parquet read for unbucketed directories).
 - ``backfill_partitions`` = dynamic partition overwrite — only the
@@ -43,12 +46,14 @@ the old full-rewrite + directory-swap path, kept as a fallback.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ad_data_lake_spark.operators.windows import last_wins_dedupe
 
@@ -56,10 +61,16 @@ N_MERGE_BUCKETS = 8
 # target rewrite granularity: one bucket ≈ this many (pre-compression)
 # bytes, so a merge touching one key rewrites ~256 MB, not the table
 MERGE_BUCKET_TARGET_BYTES = 256 << 20
+# versions kept on disk (current + RETAIN_VERSIONS-1 priors). The
+# reference keeps EVERY dated snapshot folder (src/main_extractor.py:363);
+# a real lake bounds that with a retention window — this is that knob.
+RETAIN_VERSIONS = 3
 _MAX_MERGE_BUCKETS = 1 << 16
 _BUCKET = "_mb"
 _PTR = "_CURRENT"
 _NB = "_BUCKETS"
+_LOG = "_VERSIONS"
+_SCHEMA_FILE = "_SCHEMA.json"
 
 
 def buckets_for_bytes(
@@ -112,6 +123,61 @@ def _current_version(target_path: str) -> str | None:
         return None
 
 
+def _version_history(target_path: str) -> list[str]:
+    """Ordered publish history (oldest first) from the ``_VERSIONS``
+    log. A pre-log (legacy) table reconstructs a best-effort history
+    from the directory listing — under the old 1-deep retention at
+    most one non-current dir exists, so the order is unambiguous."""
+    try:
+        with open(os.path.join(target_path, _LOG)) as f:
+            return [line.strip() for line in f if line.strip()]
+    except FileNotFoundError:
+        current = _current_version(target_path)
+        if current is None:
+            return []
+        priors = sorted(
+            d
+            for d in os.listdir(target_path)
+            if d.startswith("v-") and d != current
+        )
+        return priors + [current]
+
+
+def _write_atomic(target_path: str, name: str, content: str) -> None:
+    tmp = os.path.join(target_path, f".{name}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(content)
+    os.replace(tmp, os.path.join(target_path, name))
+
+
+def _save_schema(version_dir: str, schema: StructType) -> None:
+    """Persist the logical schema next to the data so an all-tombstone
+    version (zero part files) still reads back as an EMPTY table with
+    the right columns instead of a schema-inference error."""
+    os.makedirs(version_dir, exist_ok=True)
+    with open(os.path.join(version_dir, _SCHEMA_FILE), "w") as f:
+        f.write(schema.json())
+
+
+def _read_version_dir(spark: SparkSession, version_dir: str) -> DataFrame:
+    """Read one version directory. mergeSchema: after a schema-evolving
+    merge the hardlinked untouched buckets still hold the old column
+    set; merged-footer reading surfaces evolved columns as nulls there
+    (exactly Delta's read behavior for files predating an ADD COLUMN).
+    A version with no bucket directories (every key tombstoned) reads
+    as an empty frame from the persisted schema."""
+    has_data = any(
+        d.startswith(f"{_BUCKET}=") for d in os.listdir(version_dir)
+    )
+    if not has_data:
+        with open(os.path.join(version_dir, _SCHEMA_FILE)) as f:
+            schema = StructType.fromJson(json.load(f))
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.option("mergeSchema", "true").parquet(version_dir).drop(_BUCKET)
+    )
+
+
 def read_merged(spark: SparkSession, target_path: str) -> DataFrame:
     """Resolve the ``_CURRENT`` pointer and read the live version.
     Readers never observe a mid-merge state: the pointer flips
@@ -120,15 +186,7 @@ def read_merged(spark: SparkSession, target_path: str) -> DataFrame:
     version = _current_version(target_path)
     if version is None:
         return spark.read.parquet(target_path)
-    # mergeSchema: after a schema-evolving merge the hardlinked
-    # untouched buckets still hold the old column set; merged-footer
-    # reading surfaces evolved columns as nulls there (exactly Delta's
-    # read behavior for files predating an ADD COLUMN)
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(os.path.join(target_path, version))
-        .drop(_BUCKET)
-    )
+    return _read_version_dir(spark, os.path.join(target_path, version))
 
 
 def _link_tree(src: str, dst: str) -> None:
@@ -147,17 +205,24 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(os.path.join(root, f), os.path.join(tgt, f))
 
 
-def _publish(target_path: str, new_version: str, prev_version: str | None) -> None:
-    """Atomically repoint ``_CURRENT`` at ``new_version``, retain the
-    immediately-previous version for in-flight readers, GC everything
-    older."""
-    tmp = os.path.join(target_path, f".{_PTR}.tmp-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(new_version)
-    os.replace(tmp, os.path.join(target_path, _PTR))
-    retain = {new_version, prev_version}
+def _publish(
+    target_path: str, new_version: str, retain: int = RETAIN_VERSIONS
+) -> None:
+    """Append ``new_version`` to the ordered version log, atomically
+    repoint ``_CURRENT``, and GC versions past the retention window
+    (the newest ``retain`` versions — current plus ``retain - 1``
+    priors — stay readable via ``read_version``). Write order is
+    log → pointer → GC, so a crash at any boundary leaves the table
+    consistent: an unpointed log tail is just an orphaned directory
+    the next publish GCs, never a dangling pointer."""
+    history = [v for v in _version_history(target_path) if v != new_version]
+    history.append(new_version)
+    kept = history[-max(1, retain):]
+    _write_atomic(target_path, _LOG, "\n".join(kept) + "\n")
+    _write_atomic(target_path, _PTR, new_version)
+    retain_set = set(kept)
     for d in os.listdir(target_path):
-        if d.startswith("v-") and d not in retain:
+        if d.startswith("v-") and d not in retain_set:
             shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
 
 
@@ -227,9 +292,27 @@ def _apply_bucketed(
         # batch side, collected so the planner can PRUNE the target
         # scan to exactly those _mb= directories
         touched = {r[0] for r in batch_b.select(_BUCKET).distinct().collect()}
-        affected = spark.read.parquet(cur_dir).where(
-            F.col(_BUCKET).isin(sorted(touched))
-        )
+        touched_dirs = [
+            os.path.join(cur_dir, f"{_BUCKET}={b}")
+            for b in sorted(touched)
+            if os.path.isdir(os.path.join(cur_dir, f"{_BUCKET}={b}"))
+        ]
+        if touched_dirs:
+            # mergeSchema is REQUIRED here: after a schema-evolving
+            # merge the version holds mixed footers (rewritten buckets
+            # carry evolved columns, hardlinked ones don't) — a single-
+            # footer inference could silently drop an evolved column
+            # from the rewrite. basePath-scoped listing keeps the
+            # footer merge O(touched buckets), not O(table).
+            affected = (
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", cur_dir)
+                .parquet(*touched_dirs)
+            )
+        else:
+            affected = spark.createDataFrame(
+                [], batch_b.drop(*([delete_col] if delete_col else [])).schema
+            )
         if delete_col is not None:
             affected = affected.withColumn(delete_col, F.lit(False))
         # allowMissingColumns = schema evolution: the batch may ADD
@@ -248,12 +331,10 @@ def _apply_bucketed(
         for d in os.listdir(cur_dir):
             if d.startswith(f"{_BUCKET}=") and int(d.split("=", 1)[1]) not in touched:
                 _link_tree(os.path.join(cur_dir, d), os.path.join(new_dir, d))
+    _save_schema(new_dir, deduped.drop(_BUCKET).schema)
     if _stored_buckets(target_path) != n_buckets:
-        tmp = os.path.join(target_path, f".{_NB}.tmp-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            f.write(str(n_buckets))
-        os.replace(tmp, os.path.join(target_path, _NB))
-    _publish(target_path, new_version, prev_version)
+        _write_atomic(target_path, _NB, str(n_buckets))
+    _publish(target_path, new_version)
 
 
 def merge_upsert(
@@ -334,24 +415,41 @@ def cdc_apply(
     )
 
 
-def read_previous(spark: SparkSession, target_path: str) -> DataFrame:
-    """Time travel one version back: read the RETAINED previous version
-    (the one ``_publish`` keeps for in-flight readers). The layout's
-    retention window is exactly one version, so this is "the table as
-    of just before the last merge" — the rollback/audit read a real
-    lake serves via ``VERSION AS OF``. Raises if no previous version
-    exists (first write, or already GC'd by a later merge)."""
+def read_version(
+    spark: SparkSession, target_path: str, steps_back: int = 0
+) -> DataFrame:
+    """Time travel: read the table as of ``steps_back`` merges ago
+    (0 = current) — ``VERSION AS OF`` on the versioned layout. The
+    version is resolved from the ordered ``_VERSIONS`` log relative to
+    the ``_CURRENT`` pointer (never from directory-listing order, which
+    a crashed merge's orphan dir would scramble), so "previous" is
+    always the version the last publish actually superseded. Depth is
+    bounded by the ``RETAIN_VERSIONS`` retention window; past it the
+    version is GC'd and this raises — the reference instead retains
+    every dated snapshot folder forever (src/main_extractor.py:363),
+    which is this layout with retention = ∞."""
     current = _current_version(target_path)
     if current is None:
         raise ValueError(f"{target_path} is not a versioned (bucketed) table")
-    versions = sorted(
-        d for d in os.listdir(target_path) if d.startswith("v-") and d != current
-    )
-    if not versions:
-        raise ValueError(f"{target_path} retains no previous version")
-    # _publish retains at most one non-current version
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(os.path.join(target_path, versions[0]))
-        .drop(_BUCKET)
-    )
+    if steps_back == 0:
+        return _read_version_dir(spark, os.path.join(target_path, current))
+    history = _version_history(target_path)
+    try:
+        idx = history.index(current) - steps_back
+    except ValueError:
+        raise ValueError(f"{target_path}: version log does not list {current}")
+    if idx < 0:
+        raise ValueError(
+            f"{target_path} retains no version {steps_back} back "
+            f"(history depth {history.index(current) + 1})"
+        )
+    vdir = os.path.join(target_path, history[idx])
+    if not os.path.isdir(vdir):
+        raise ValueError(f"{target_path}: version {history[idx]} was GC'd")
+    return _read_version_dir(spark, vdir)
+
+
+def read_previous(spark: SparkSession, target_path: str) -> DataFrame:
+    """The table as of just before the last merge — the rollback/audit
+    read; sugar for ``read_version(..., steps_back=1)``."""
+    return read_version(spark, target_path, steps_back=1)

@@ -311,6 +311,44 @@ def time_travel_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_travel_depth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16+: N-deep VERSION-AS-OF — three merges (base, +1 h update on
+    every 9th key, +2 h update on every 13th key), then read BOTH
+    retained priors: two versions back must be byte-identically the
+    base state and one back the state after the first update. The
+    oracle computes both states directly; the union is tagged with
+    ``version_back`` so one hash match pins the whole retained history
+    (the bounded-retention analog of the reference's keep-every-dated-
+    snapshot layout, reference src/main_extractor.py:363)."""
+    base = _events_slim(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    lake_dir = _scratch(spark, "time-travel-depth", sf_dir)
+    target = os.path.join(lake_dir, "events_ttd")
+    incremental.merge_upsert(spark, target, base, "event_id", "ts", "value")
+    upd_a = base.where(F.col("event_id") % 9 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        (F.col("value") + 5).alias("value"),
+    )
+    incremental.merge_upsert(spark, target, upd_a, "event_id", "ts", "value")
+    upd_b = base.where(F.col("event_id") % 13 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("ts"),
+        "user_id",
+        (F.col("value") + 7).alias("value"),
+    )
+    incremental.merge_upsert(spark, target, upd_b, "event_id", "ts", "value")
+    two_back = incremental.read_version(spark, target, 2).withColumn(
+        "version_back", F.lit(2)
+    )
+    one_back = incremental.read_version(spark, target, 1).withColumn(
+        "version_back", F.lit(1)
+    )
+    return two_back.unionByName(one_back).select(
+        "event_id", "ts", "user_id", F.round("value", 2).alias("value"), "version_back"
+    )
+
+
 def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout: bucketed tables co-locate their join (SURVEY §2 scale
     notes; layout.write_bucketed).

@@ -1233,6 +1233,28 @@ _register(
 )
 
 _register(
+    "time_travel_depth",
+    QuerySpec(
+        lake_queries.time_travel_depth_roundtrip,
+        """
+        SELECT event_id, ts, user_id, round(value, 2) AS value,
+               2 AS version_back
+        FROM events
+        UNION ALL
+        SELECT event_id,
+               CASE WHEN event_id % 9 = 0 THEN ts + INTERVAL 1 HOUR
+                    ELSE ts END AS ts,
+               user_id,
+               round(CASE WHEN event_id % 9 = 0 THEN value + 5
+                          ELSE value END, 2) AS value,
+               1 AS version_back
+        FROM events
+        """,
+        ("write", "time-travel", "versioning", "retention", "incremental"),
+    ),
+)
+
+_register(
     "streaming_sessionize",
     QuerySpec(
         lake_queries.streaming_sessionize_drain,

@@ -613,3 +613,125 @@ def test_cdc_apply_tombstone_semantics(spark, events, tmp_path):
     cdc_apply(spark, target, changes, "event_id", "ts", "value")  # replay
     h2 = {r.event_id: r.value for r in read_merged(spark, target).collect()}
     assert h1 == h2, "replay must be idempotent"
+
+
+def test_schema_evolution_survives_later_merge(spark, events, tmp_path):
+    """Regression for the mixed-footer hazard: after a schema-evolving
+    merge the version dir holds rewritten buckets WITH the new column
+    and hardlinked buckets WITHOUT it. A LATER non-evolving merge that
+    touches an evolved bucket must read that bucket with merged
+    footers — otherwise single-footer inference can silently drop the
+    evolved column's values from the rewrite."""
+    from ad_data_lake_spark.incremental import merge_upsert, read_merged
+
+    base = events.select("event_id", "ts", "user_id", "value")
+    target = str(tmp_path / "evo2_t")
+    merge_upsert(spark, target, base, "event_id", "ts", "value")
+
+    # evolving merge: every 5th key gains status='updated'
+    evo = base.where(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        "value",
+        F.lit("updated").alias("status"),
+    )
+    merge_upsert(spark, target, evo, "event_id", "ts", "value")
+    n_status = read_merged(spark, target).where(F.col("status") == "updated").count()
+    assert n_status == evo.count()
+
+    # second, NON-evolving merge over keys spread across every bucket
+    # (10 keys >> 8 buckets): rewritten buckets must keep their evolved
+    # rows' status values
+    upd2 = base.where((F.col("event_id") % 97 == 1)).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("ts"),
+        "user_id",
+        (F.col("value") + 1).alias("value"),
+    )
+    assert upd2.count() >= 8
+    merge_upsert(spark, target, upd2, "event_id", "ts", "value")
+    after = read_merged(spark, target)
+    # untouched evolved rows keep status; touched rows (batch has no
+    # status) survive as NULL-status upserts but every evolved key NOT
+    # in upd2 must still read 'updated'
+    survivors = evo.join(upd2.select("event_id"), "event_id", "left_anti").count()
+    assert (
+        after.where(F.col("status") == "updated").count() == survivors
+    ), "evolved column values were dropped by a later merge"
+
+
+def test_cdc_all_tombstones_leaves_readable_empty_table(spark, events, tmp_path):
+    """Tombstoning every remaining key must leave an EMPTY but readable
+    table (schema preserved from the version's _SCHEMA.json), not a
+    schema-inference error."""
+    from ad_data_lake_spark.incremental import DELETE_COL, cdc_apply, merge_upsert, read_merged
+
+    base = events.select("event_id", "ts", "user_id", "value").where(
+        F.col("event_id") < 50
+    )
+    target = str(tmp_path / "cdc_empty_t")
+    merge_upsert(spark, target, base, "event_id", "ts", "value")
+    tomb = base.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        "value",
+        F.lit(True).alias(DELETE_COL),
+    )
+    cdc_apply(spark, target, tomb, "event_id", "ts", "value")
+    out = read_merged(spark, target)
+    assert out.count() == 0
+    assert set(out.columns) == {"event_id", "ts", "user_id", "value"}
+    # and the table comes back to life on a later upsert
+    merge_upsert(spark, target, base.limit(5), "event_id", "ts", "value")
+    assert read_merged(spark, target).count() == 5
+
+
+def test_time_travel_depth_and_orphan_robustness(spark, events, tmp_path):
+    """N-version retention: after three merges the log retains
+    RETAIN_VERSIONS versions, read_version(1)/(2) reproduce the exact
+    intermediate states, past-retention raises, and an orphaned v-* dir
+    from a crashed merge never perturbs which version 'previous' is."""
+    from ad_data_lake_spark.incremental import (
+        RETAIN_VERSIONS,
+        merge_upsert,
+        read_merged,
+        read_version,
+    )
+
+    assert RETAIN_VERSIONS >= 3
+    base = events.select("event_id", "ts", "user_id", "value")
+    target = str(tmp_path / "tt_depth")
+    merge_upsert(spark, target, base, "event_id", "ts", "value")
+    h0 = _table_hash(read_merged(spark, target))
+
+    def upd(i):
+        return base.where(F.col("event_id") % 11 == i).select(
+            "event_id",
+            (F.col("ts") + F.expr(f"INTERVAL {i} HOUR")).alias("ts"),
+            "user_id",
+            (F.col("value") + i).alias("value"),
+        )
+
+    merge_upsert(spark, target, upd(1), "event_id", "ts", "value")
+    h1 = _table_hash(read_merged(spark, target))
+    # plant an orphan dir (a crashed merge wrote data, never published);
+    # name sorts lexicographically first to maximally confuse a
+    # listing-order reader
+    orphan = os.path.join(target, "v-0000dead")
+    os.makedirs(orphan)
+    merge_upsert(spark, target, upd(2), "event_id", "ts", "value")
+    h2 = _table_hash(read_merged(spark, target))
+
+    assert _table_hash(read_version(spark, target, 0)) == h2
+    assert _table_hash(read_version(spark, target, 1)) == h1
+    assert _table_hash(read_version(spark, target, 2)) == h0
+    with pytest.raises(ValueError):
+        read_version(spark, target, RETAIN_VERSIONS)
+    # a fourth merge GCs the oldest version; depth-2 now lands on h1
+    merge_upsert(spark, target, upd(3), "event_id", "ts", "value")
+    assert _table_hash(read_version(spark, target, 1)) == h2
+    assert _table_hash(read_version(spark, target, 2)) == h1
+    with pytest.raises(ValueError):
+        read_version(spark, target, 3)
