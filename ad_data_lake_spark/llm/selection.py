@@ -30,6 +30,8 @@ the oracle reproduces the same bit math, so the FP set is identical.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -68,7 +70,7 @@ def _probe_positions(h60):
 # sees a fixed reference frame), so any caller probing the same
 # reference plan + geometry reuses the 16 KB list instead of re-running
 # the build job (0.7 s/pass at sf0.1 — rebuilt per bench pass before).
-_BITMAP_CACHE: dict[tuple[int, int, int], list[int]] = {}
+_BITMAP_CACHE: dict[tuple, list[int]] = {}
 _BITMAP_CACHE_MAX = 64
 
 
@@ -82,6 +84,29 @@ def _plan_key(df: DataFrame) -> int | None:
         return None
 
 
+def _data_fingerprint(df: DataFrame) -> int | None:
+    """Fingerprint of the frame's underlying FILES (path, size, mtime)
+    — the plan hash alone encodes the source path but not the data, so
+    regenerating the reference parquet at the same path within a
+    session would otherwise serve a stale bitmap. ``inputFiles()`` is
+    a driver-side listing (no job); a non-file source (in-memory
+    frame) fingerprints as the empty tuple, falling back to
+    plan-hash-only semantics."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    sig = []
+    for uri in sorted(files):
+        path = uri[len("file:") :] if uri.startswith("file:") else uri
+        try:
+            st = os.stat(path)
+            sig.append((uri, st.st_size, st.st_mtime_ns))
+        except OSError:
+            sig.append((uri, -1, -1))
+    return hash(tuple(sig))
+
+
 def bloom_bitmap(reference: DataFrame) -> list[int]:
     """Build the bit array from the reference corpus' distinct shingle
     hashes: explode each hash's k positions, one bounded aggregate to
@@ -90,9 +115,16 @@ def bloom_bitmap(reference: DataFrame) -> list[int]:
     the same bounded-model pattern as the IVF centroid literals; the
     reference corpus itself streams through one scan + one aggregate
     whose output cannot exceed BLOOM_WORDS rows. Results are memoized
-    per (reference plan, m, k) — see ``_BITMAP_CACHE``."""
+    per (reference plan, data fingerprint, m, k) — the fingerprint
+    covers the scanned files' sizes/mtimes, so regenerating the
+    reference at the same path invalidates the cache entry — see
+    ``_BITMAP_CACHE``."""
     key = _plan_key(reference)
-    cache_key = (key, BLOOM_BITS, BLOOM_K) if key is not None else None
+    cache_key = (
+        (key, _data_fingerprint(reference), BLOOM_BITS, BLOOM_K)
+        if key is not None
+        else None
+    )
     if cache_key is not None and cache_key in _BITMAP_CACHE:
         return _BITMAP_CACHE[cache_key]
     hashes = _exploded_shingle_hashes(reference).select("h60").distinct()

@@ -176,6 +176,12 @@ IVF_CELLS = 8
 # overhead. Raise for clustered real-world corpora.
 IVF_ITERS = 2
 IVF_NPROBE = 2
+# Hard ceiling on the coarse-quantizer training collect: no call path
+# may materialize more than this many vectors on the driver, whatever
+# frame it is handed (the faiss contract, ENFORCED rather than
+# documented). 100k × 128-dim float64 ≈ 100 MB — bounded by
+# construction regardless of corpus size.
+IVF_TRAIN_MAX = 100_000
 
 
 def ivf_cells_for(n_vectors: int, min_cells: int = IVF_CELLS) -> int:
@@ -299,10 +305,16 @@ def ivf_centroids(
     """Spherical k-means coarse quantizer, trained IN-MEMORY on the
     driver over the passed training set — the faiss contract: a coarse
     quantizer trains on a bounded SAMPLE (O(100k) vectors regardless of
-    corpus size; at 100 TB pass
+    corpus size; at 100 TB pass a deterministic sample such as
     ``embeddings.where(col('vec_id') % s == 0)``), so training is one
     bounded collect + a numpy Lloyd loop, not a Spark job per
-    iteration. The former in-plan trainer ran assignment + re-center +
+    iteration. The contract is enforced, not just documented: the
+    collect goes through ``limit(IVF_TRAIN_MAX)``, so handing this the
+    full-scale table trains on an arbitrary-but-bounded 100k-vector
+    prefix instead of driving an unbounded driver collect (pass your
+    own sample when you care WHICH vectors train the quantizer; below
+    the cap — every fixture — the limit is a no-op and centroids are
+    unchanged). The former in-plan trainer ran assignment + re-center +
     collect per Lloyd round — 3+ sub-second jobs whose scheduling floor
     dominated every IVF query while touching the same few thousand
     sampled vectors a single batch holds trivially. Only ASSIGNMENT
@@ -317,9 +329,11 @@ def ivf_centroids(
     the DuckDB oracle's unrolled SQL loop follow, so the trained
     centroids are identical to the digit (empty cells drop, matching
     the oracle's GROUP BY)."""
-    rows = embeddings.select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    ).collect()
+    rows = (
+        embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .limit(IVF_TRAIN_MAX)
+        .collect()
+    )
     if n_cells is None:  # default: √n scale rule over the training set
         n_cells = ivf_cells_for(len(rows))
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)

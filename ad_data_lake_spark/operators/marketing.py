@@ -174,14 +174,17 @@ def metric_anomalies(events: DataFrame) -> DataFrame:
     the calendar-sized series — at 100 TB the window input is still
     days × types rows. z is rounded to 4 dp and the flag tests the
     ROUNDED value in both engines, so the verdict can't flip on
-    last-ulp stddev drift."""
+    last-ulp stddev drift. The divisor goes through nullif(stddev, 0):
+    a constant day-series has stddev 0, where Spark's non-ANSI division
+    yields NULL but IEEE engines yield inf/NaN — the guard makes every
+    engine agree on NULL (no score, no anomaly) for degenerate series."""
     daily = events.groupBy(
         F.date_trunc("day", F.col("ts")).alias("event_date"), "event_type"
     ).agg(F.count("*").alias("events"), F.round(F.sum("value"), 2).alias("total_value"))
     w = Window.partitionBy("event_type")
     z = F.round(
         (F.col("total_value") - F.avg("total_value").over(w))
-        / F.stddev_samp("total_value").over(w),
+        / F.nullif(F.stddev_samp("total_value").over(w), F.lit(0.0)),
         4,
     )
     return daily.select(

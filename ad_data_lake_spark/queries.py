@@ -1628,7 +1628,8 @@ _register(
                           round(sum(value), 2) AS total_value
                    FROM events GROUP BY 1, 2),
         z AS (SELECT *, round((total_value - avg(total_value) OVER w)
-                              / stddev_samp(total_value) OVER w, 4) AS z_value
+                              / nullif(stddev_samp(total_value) OVER w, 0), 4)
+                            AS z_value
               FROM d WINDOW w AS (PARTITION BY event_type))
         SELECT event_date, event_type, events, total_value, z_value,
                (abs(z_value) > 2.0) AS is_anomaly

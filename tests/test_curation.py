@@ -394,3 +394,29 @@ def test_gopher_rules_verdicts_consistent(documents):
         )
         # top-token ratio is a real run-length: between 1/n and 1
         assert 0 < r.top_token_ratio <= 1
+
+
+def test_bloom_bitmap_cache_invalidated_by_data_change(spark, documents, tmp_path):
+    """Regenerating the reference parquet AT THE SAME PATH must
+    invalidate the memoized bitmap: the cache key folds in a file
+    fingerprint (size + mtime), so the plan hash alone — identical for
+    re-derived reads of the same path — can no longer serve stale
+    bits."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ad_data_lake_spark.llm import selection as SEL
+
+    path = str(tmp_path / "ref_docs")
+    documents.where(F.col("doc_id") % 41 == 0).write.parquet(path)
+    a = SEL.bloom_bitmap(spark.read.parquet(path))
+    # regenerate DIFFERENT data under the same path
+    documents.where(F.col("doc_id") % 43 == 0).write.mode("overwrite").parquet(path)
+    # parquet mtime granularity can be coarse; nudge mtimes to be sure
+    now = time.time() + 2
+    for f in os.listdir(path):
+        os.utime(os.path.join(path, f), (now, now))
+    b = SEL.bloom_bitmap(spark.read.parquet(path))
+    assert b != a, "stale bitmap served after the reference data changed"
