@@ -408,6 +408,104 @@ def min_label_components(pairs: DataFrame, max_iters: int = CLUSTER_MAX_ITERS) -
     return labels
 
 
+def star_components(pairs: DataFrame, max_iters: int = 32) -> DataFrame:
+    """(doc_id, label): connected components by the ALTERNATING
+    large-star/small-star algorithm (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond" — the O(log n)-round answer
+    for high-diameter graphs, vs ``min_label_components``'
+    O(diameter) propagation; public reference implementations exist in
+    Spark GraphX/GraphFrames). Same output contract as
+    ``min_label_components`` — every vertex labeled with its
+    component's minimum id — proven equivalent on clique, path, and
+    fixture pair graphs in tests/test_llm_pipeline.py.
+
+    Per round (each one vertex-keyed aggregate + one equi-join, no
+    all-pairs):
+    - large-star: every node u computes m = min(N(u) ∪ {u}) and
+      re-points each LARGER neighbor v > u at m — long chains halve.
+    - small-star: edges oriented large→small; u re-points its smaller
+      neighbors and itself at its minimum neighbor — stars flatten.
+
+    Convergence = edge-set fixpoint, detected from a (count, xor of
+    row hashes) signature — one scalar action per round, the same
+    driver footprint as min-label's changed-count. At fixpoint the
+    edges ARE the component map (v → component min). Use this variant
+    when duplicate chains can be long (transcription chains, quote
+    graphs); ``min_label_components`` stays the oracle path for the
+    near-clique common case (diameter ≤ 2–3, where it needs fewer
+    rounds). Raises if ``max_iters`` rounds don't converge — the
+    default 32 covers any graph a 64-bit id space can hold."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionByName(edges.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(e: DataFrame) -> tuple:
+        row = (
+            e.select(F.xxhash64("a", "b").alias("h"))
+            .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x"))
+            .collect()[0]
+        )
+        return (row.n, row.x)
+
+    def _large(e: DataFrame) -> DataFrame:
+        s = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = (
+            s.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("a", "mb").alias("m"))
+        )
+        # m < every larger neighbor by construction: no self-loops
+        return (
+            s.join(m, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    def _small(e: DataFrame) -> DataFrame:
+        s = (
+            e.select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            ).distinct()
+        )
+        m = s.groupBy("a").agg(F.min("b").alias("m"))  # all b < a, so min ∈ N⁻
+        return (
+            s.join(m, "a")
+            .select(F.col("b").alias("v"), "m")
+            .unionByName(m.select(F.col("a").alias("v"), "m"))
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    prev_sig = _sig(edges)
+    for _ in range(max_iters):
+        edges = _small(_large(edges)).localCheckpoint(eager=True)
+        cur_sig = _sig(edges)
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+    else:
+        raise RuntimeError(f"star_components did not converge in {max_iters} rounds")
+    # fixpoint edges are star edges (member -> component min); minima
+    # and isolated vertices label themselves
+    member = edges.groupBy("a").agg(F.min("b").alias("label")).select(
+        F.col("a").alias("doc_id"), "label"
+    )
+    return vertices.join(member, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("label")
+    )
+
+
 def neardup_clusters(
     corpus: DataFrame,
     threshold: float = 0.5,

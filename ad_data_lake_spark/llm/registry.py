@@ -430,17 +430,14 @@ _add(
     ("llm", "similarity", "ann", "bruteforce"),
 )
 
-def _ivf_sql(
-    n_cells: int = SIM.IVF_CELLS,
-    iters: int = SIM.IVF_ITERS,
-    nprobe: int = SIM.IVF_NPROBE,
-    k: int = 5,
-    query_mod: int = 97,
-) -> str:
-    """Unrolled spherical-k-means IVF as DuckDB SQL — the SAME loop
-    similarity.ivf_centroids/topk_ivf run (6-dp-rounded centroids and
-    scores, lowest-cell tie-breaks), so the value hash verifies the
-    trained quantizer itself, not just the final join."""
+def _ivf_train_ctes(
+    n_cells: int = SIM.IVF_CELLS, iters: int = SIM.IVF_ITERS
+) -> tuple[list[str], str]:
+    """The unrolled spherical-k-means trainer as DuckDB CTEs — the SAME
+    loop similarity.ivf_centroids runs (6-dp-rounded centroids and
+    scores, lowest-cell tie-breaks). Returns (ctes, final_centroid_cte)
+    so every IVF-derived oracle (top-k, index maintenance, SemDeDup)
+    verifies the trained quantizer itself, from one source of truth."""
     dim = SIM.DIM
     ctes = [
         "u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u"
@@ -466,6 +463,18 @@ def _ivf_sql(
             f" FROM (SELECT cell, list(m ORDER BY i) AS mv FROM m{i} GROUP BY cell))"
         )
         prev = f"c{i}"
+    return ctes, prev
+
+
+def _ivf_sql(
+    n_cells: int = SIM.IVF_CELLS,
+    iters: int = SIM.IVF_ITERS,
+    nprobe: int = SIM.IVF_NPROBE,
+    k: int = 5,
+    query_mod: int = 97,
+) -> str:
+    """IVF top-k over the unrolled trainer (``_ivf_train_ctes``)."""
+    ctes, prev = _ivf_train_ctes(n_cells, iters)
     ctes.append(
         "af AS (SELECT vec_id, cell FROM ("
         "SELECT u.vec_id, cc.cell, row_number() OVER (PARTITION BY u.vec_id"
@@ -1261,6 +1270,56 @@ _add(
     FROM c LEFT JOIN lab ON c.vec_id = lab.v
     """,
     ("llm", "similarity", "dedup", "semdedup", "graph"),
+)
+
+
+def _semantic_dedup_ivf_sql() -> str:
+    """SemDeDup over REAL k-means cells: the unrolled IVF trainer
+    (``_ivf_train_ctes``) supplies the centroids, the near corpus is
+    assigned with the same 6-dp/lowest-cell rule, pairs form within
+    cells, components via the recursive min-label reach."""
+    ctes, prev = _ivf_train_ctes()
+    train = ", ".join(ctes)
+    return f"""
+    WITH RECURSIVE {train},
+    nc AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + {SIM.NEAR_OFFSET},
+               list_transform(embedding::DOUBLE[], x -> x + {SIM.PERTURB})
+        FROM embeddings WHERE vec_id % {SIM.NEAR_MOD} = 0),
+    ncu AS (SELECT vec_id, v,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nu
+            FROM nc),
+    afn AS (SELECT vec_id, cell FROM (
+        SELECT ncu.vec_id, cc.cell,
+               row_number() OVER (PARTITION BY ncu.vec_id
+                   ORDER BY round(list_dot_product(ncu.nu, cc.c), 6) DESC,
+                            cc.cell) AS rn
+        FROM ncu, {prev} cc) WHERE rn = 1),
+    cv AS (SELECT ncu.vec_id, ncu.v, afn.cell
+           FROM ncu JOIN afn ON ncu.vec_id = afn.vec_id),
+    p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM cv a JOIN cv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6)
+                    >= {SIM.SEMDEDUP_TAU}),
+    edges AS (SELECT va, vb FROM p UNION ALL SELECT vb, va FROM p),
+    reach AS (SELECT va AS v, va AS lbl FROM edges
+              UNION
+              SELECT e.va, reach.lbl FROM reach JOIN edges e ON reach.v = e.vb),
+    lab AS (SELECT v, min(lbl) AS keeper FROM reach GROUP BY v)
+    SELECT cv.vec_id, cv.cell,
+           coalesce(lab.keeper, cv.vec_id) AS keeper,
+           (coalesce(lab.keeper, cv.vec_id) = cv.vec_id) AS keep
+    FROM cv LEFT JOIN lab ON cv.vec_id = lab.v
+    """
+
+
+_add(
+    "semantic_dedup_ivf",
+    _emb_q(lambda emb: SIM.semantic_dedup_ivf(emb, n_cells=SIM.IVF_CELLS)),
+    _semantic_dedup_ivf_sql(),
+    ("llm", "similarity", "dedup", "semdedup", "ivf", "graph"),
 )
 
 _LUHN_SQL = (

@@ -787,6 +787,63 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = SEMDEDUP_TAU) -> Da
     )
 
 
+def semantic_dedup_ivf(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_TAU,
+    n_cells: int | None = None,
+) -> DataFrame:
+    """SemDeDup bucketed by REAL IVF cells (Abbas et al. 2023,
+    arXiv:2303.09540 §2: "cluster with k-means, dedup within
+    clusters") — the production form of ``semantic_dedup``, whose
+    fixture ``label`` bucket stood proxy for exactly this cell key.
+    Plan: train the coarse quantizer once (bounded-sample driver
+    k-means, ``ivf_centroids``), assign the corpus to cells in one
+    Arrow pass (``_unit_and_cell_pd`` — zero shuffle), grouped-BLAS
+    within-cell ≥τ pairs (one shuffle on cell), min-label connected
+    components, one left join back for the keep verdict. Candidate
+    volume is Σ cell² — with √n cells per the ``ivf_cells_for`` rule
+    the pair space stays ~n·√n, never all-pairs; every piece is the
+    already-plan-asserted machinery of ``topk_ivf`` and
+    ``semantic_dedup``. The DuckDB oracle unrolls the SAME k-means
+    (6-dp contract) so cells, pairs, components, and verdicts are all
+    value-checked."""
+    from ad_data_lake_spark.llm.dedup import min_label_components
+
+    cents = ivf_centroids(embeddings, n_cells)
+    assigned = near_corpus(embeddings).select(
+        "vec_id",
+        "v",
+        _unit_and_cell_pd(cents)(F.col("v"))["cell"].alias("cell"),
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.vstack(pdf["v"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.linalg.norm(V, axis=1)
+        sims = np.round((V @ V.T) / np.outer(norms, norms), 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {"doc_a": np.minimum(ia, ib), "doc_b": np.maximum(ia, ib)}
+        )
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        cell_pairs, "doc_a long, doc_b long"
+    )
+    comp = min_label_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("label").alias("keeper")
+    )
+    return assigned.drop("v").join(comp, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(F.col("keeper"), F.col("vec_id")).alias("keeper"),
+        (F.coalesce(F.col("keeper"), F.col("vec_id")) == F.col("vec_id")).alias(
+            "keep"
+        ),
+    )
+
+
 def embedding_drift(embeddings: DataFrame) -> DataFrame:
     """Embedding-pipeline drift check: per label, the cosine between
     the centroid of the even-id half and the odd-id half of the

@@ -449,3 +449,54 @@ def test_luhn_scan_validates_checksums(documents):
             assert r.n_candidates == 0 and r.n_valid_cards == 0
     # both outcomes must occur across the planted set
     assert 0 < n_valid_total < len(planted)
+
+
+def test_star_components_equivalent_and_round_bounded(spark):
+    """star_components must label identically to min_label_components
+    on clique, long-path, and mixed graphs — and converge within its
+    O(log n) round budget where min-label would need O(diameter)
+    rounds (the 100 TB answer for long duplicate chains)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ad_data_lake_spark.llm.dedup import min_label_components, star_components
+
+    def labels_of(df):
+        return {(r.doc_id, r.label) for r in df.collect()}
+
+    # equivalence graph: clique 0..9 + diameter-16 path + isolated
+    # pair (min-label at diameter 16 is cheap enough to be the test
+    # baseline; its correctness on long paths is structural, below)
+    clique = [(i, j) for i in range(10) for j in range(i + 1, 10)]
+    path16 = [(100 + i, 100 + i + 1) for i in range(16)]
+    extra = [(9000, 9001)]
+    pairs = spark.createDataFrame(
+        clique + path16 + extra, "doc_a long, doc_b long"
+    )
+    star = star_components(pairs, max_iters=2 * math.ceil(math.log2(16)) + 6)
+    base = min_label_components(pairs, max_iters=40)
+    assert labels_of(star) == labels_of(base)
+
+    # round bound where it matters: a diameter-256 path must converge
+    # within the O(log n) budget (min-label would need ~256 rounds —
+    # too slow to even run here, which is the point) and collapse to
+    # the single component min
+    n_path = 256
+    long_path = spark.createDataFrame(
+        [(100 + i, 100 + i + 1) for i in range(n_path)], "doc_a long, doc_b long"
+    )
+    budget = 2 * math.ceil(math.log2(n_path)) + 6
+    star_long = star_components(long_path, max_iters=budget)
+    got = labels_of(star_long)
+    assert got == {(100 + i, 100) for i in range(n_path + 1)}
+
+
+def test_star_components_empty_and_reversed_edges(spark):
+    from ad_data_lake_spark.llm.dedup import star_components
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert star_components(empty).count() == 0
+    rev = spark.createDataFrame([(5, 2), (2, 1)], "doc_a long, doc_b long")
+    got = {(r.doc_id, r.label) for r in star_components(rev).collect()}
+    assert got == {(1, 1), (2, 1), (5, 1)}
