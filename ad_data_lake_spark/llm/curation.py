@@ -371,25 +371,38 @@ def remove_boilerplate(
     aggregate, one corpus join on doc_id to attach the (sparse) covered
     sets — the same two-pass contract every corpus-frequency cleaner
     (CCNet/C4) runs; no all-pairs, no global sort. Both passes key on
-    xxhash64(shingle) instead of the shingle string: the frequency
-    shuffle and the broadcast head carry 8-byte longs (~4× narrower
-    than the 3-word strings), and a 64-bit collision (~n²/2^65) can
-    only merge two shingles' doc-counts — output text is unchanged
-    with overwhelming probability, verified exactly by the
-    string-keyed DuckDB oracle."""
-    from ad_data_lake_spark.llm.text import exploded_shingles, exploded_shingles_with_pos
+    xxhash64 over the token TRIPLE (no shingle string is ever built —
+    with fixed n the triple determines the joined string, tokens can't
+    contain whitespace): the frequency shuffle and the broadcast head
+    carry 8-byte longs (~4× narrower than the 3-word strings), and a
+    64-bit collision (~n²/2^65) can only merge two shingles'
+    doc-counts — output text is unchanged with overwhelming
+    probability, verified exactly by the string-keyed DuckDB oracle.
+    The (doc_id, pos, h) occurrence stream — 20 B/row, the same
+    bounded carrier ``exact_substring_dedup`` materializes — is
+    localCheckpointed ONCE and feeds both the frequency aggregate and
+    the probe join; re-deriving it per consumer re-paid the tokenize +
+    explode corpus pass twice (measured 6.5 s → 4.4 s at sf1)."""
+    from ad_data_lake_spark.llm.text import words
+    from ad_data_lake_spark.sources.tables import spread
 
-    h = F.xxhash64("s")
+    w = words(F.col("text"))
+    idx = spread(documents).select(
+        "doc_id",
+        w.alias("_w"),
+        F.explode(
+            F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("pos"),
+    )
+    h = F.xxhash64(*[F.element_at("_w", F.col("pos") + k) for k in range(n)])
+    sh = idx.select("doc_id", "pos", h.alias("h")).localCheckpoint(eager=False)
     boiler = (
-        exploded_shingles(documents, n=n)
-        .select(h.alias("h"), "doc_id")
-        .groupBy("h")
+        sh.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
         .select("h")
-    )
-    sh = exploded_shingles_with_pos(documents, n=n).select(
-        "doc_id", "pos", h.alias("h")
     )
     hits = (
         sh.join(F.broadcast(boiler), "h")
