@@ -549,3 +549,52 @@ def fn_brand_safety(customer: DataFrame) -> DataFrame:
         F.lit(None).cast("array<string>").alias("excluded_brand_safety_content_types"),
     )
     return customer.select("c_custkey", F.to_json(payload).alias("payload_json"))
+
+
+def dynamic_json_payload(events: DataFrame) -> Column:
+    """Planted DRIFTED payload per event row (built identically by the
+    DuckDB oracle so the sanitize itself is what the hash verifies):
+    numeric strings with padding/whitespace, an id-like key, an
+    empty-on-some-rows key, a per-row UNKNOWN key (``extra_K``), a
+    collection needing normalization, a boolean string, an
+    unparseable pseudo-number, a raw JSON number, and a nested object
+    with its own drift plus a depth-2 object and a non-collection
+    array (both must pass through verbatim)."""
+    E = F.col("event_id").cast("string")
+    return F.concat(
+        F.lit('{"event_id":'), E,
+        F.lit(',"spend":" '), (F.col("user_id") % 900).cast("string"), F.lit('.25"'),
+        F.lit(',"campaign_id":"'), F.col("user_id").cast("string"), F.lit('"'),
+        F.lit(',"note":"'),
+        F.when(F.col("event_id") % 5 == 0, F.lit("")).otherwise(
+            F.lit('says \\"hi\\"')
+        ),
+        F.lit('"'),
+        F.lit(',"padded":"007"'),
+        F.lit(',"special_ad_categories":[" HOUSING ",""," credit"]'),
+        F.lit(',"extra_'), (F.col("event_id") % 3).cast("string"), F.lit('":"x"'),
+        F.lit(',"flag":"true"'),
+        F.lit(',"ratio":"1.2.3"'),
+        F.lit(',"n_items":'), (F.col("event_id") % 40).cast("string"),
+        F.lit(',"meta":{"adset_id":"'), E,
+        F.lit('","budget":" '), (F.col("user_id") % 90 + 10).cast("string"),
+        F.lit('.50","empty":"","deep":{"z":"9"},"levels":["a ",""]}'),
+        F.lit("}"),
+    )
+
+
+def sanitize_dynamic_json_events(events: DataFrame) -> DataFrame:
+    """Dynamic-JSON sanitize over drifted payloads (reference
+    src/utils/api_helpers.py:268-279; drift flagged in reference
+    docs/technical-spec.md:88): no schema is declared anywhere — the
+    permissive map parse surfaces whatever keys each payload carries,
+    the scalar rules apply to all of them (unknown keys included), and
+    the result re-serializes canonically. See functions/dynamic_json
+    for the full rule contract and scale notes (pure codegen
+    projection, zero shuffles)."""
+    from ad_data_lake_spark.functions.dynamic_json import sanitize_json_fragment
+
+    return spread(events).select(
+        "event_id",
+        dynamic_json_payload(events).alias("payload"),
+    ).withColumn("sanitized", sanitize_json_fragment(F.col("payload")))

@@ -876,6 +876,97 @@ _register(
 )
 
 
+def _dynj_oracle_sql() -> str:
+    """DuckDB twin of functions/dynamic_json.sanitize_json_fragment:
+    json_keys + json_extract_string expose the same permissive view
+    Spark's map<string,string> parse does; the rule CASE is generated
+    once per depth level from the same constants."""
+    from ad_data_lake_spark.functions import dynamic_json as DJ
+
+    excl = ", ".join(f"'{k}'" for k in DJ.NUMERIC_EXCLUSIONS)
+    coll = ", ".join(f"'{k}'" for k in DJ.COLLECTION_KEYS)
+
+    def quote(v: str) -> str:
+        return f"""'"' || replace(replace({v}, '\\', '\\\\'), '"', '\\"') || '"'"""
+
+    def collection(frag: str) -> str:
+        q = quote("x")
+        return (
+            f"'[' || array_to_string(list_transform(list_filter("
+            f"list_transform(range(CAST(json_array_length({frag}) AS BIGINT)), "
+            f"i -> trim(json_extract_string({frag}, '$[' || i || ']'))), "
+            f"x -> x IS NOT NULL AND x <> ''), x -> {q}), ',') || ']'"
+        )
+
+    def render(j: str, p: str, k: str, nested_obj: str) -> str:
+        v = f"json_extract_string({j}, {p})"
+        typ = f"json_type({j}, {p})"
+        frag = f"CAST(json_extract({j}, {p}) AS VARCHAR)"
+        return f"""CASE
+            WHEN {typ} IS NULL OR {typ} = 'NULL' OR trim({v}) = '' THEN NULL
+            WHEN {typ} = 'OBJECT' THEN {nested_obj}
+            WHEN {typ} = 'ARRAY' AND {k} IN ({coll}) THEN {collection(frag)}
+            WHEN {typ} = 'ARRAY' THEN {frag}
+            WHEN {k} IN ({excl}) OR ends_with({k}, '_id') OR ends_with({k}, '_ids')
+                THEN {quote(v)}
+            WHEN regexp_matches(trim({v}), '^-?[0-9]{{1,18}}$')
+                THEN CAST(CAST(trim({v}) AS BIGINT) AS VARCHAR)
+            WHEN regexp_matches(trim({v}), '^-?[0-9]+\\.[0-9]+$') THEN trim({v})
+            WHEN trim({v}) IN ('true', 'false') THEN trim({v})
+            ELSE {quote(v)}
+        END"""
+
+    # depth-1 (nested) level: objects below it pass through verbatim
+    p2 = "p1 || '.\"' || k2 || '\"'"
+    render2 = render("payload", p2, "k2", 'CAST(json_extract(payload, ' + p2 + ") AS VARCHAR)")
+    nested = f"""(
+        SELECT '{{' || coalesce(string_agg('"' || k2 || '":' || r2, ',' ORDER BY k2)
+                                FILTER (r2 IS NOT NULL), '') || '}}'
+        FROM (SELECT k2, {render2} AS r2
+              FROM unnest(json_keys(payload, p1)) AS u2(k2))
+    )"""
+    render1 = render("payload", "p1", "k1", nested)
+    return f"""
+        WITH src AS (
+            SELECT event_id,
+                   '{{"event_id":' || event_id
+                   || ',"spend":" ' || (user_id % 900) || '.25"'
+                   || ',"campaign_id":"' || user_id || '"'
+                   || ',"note":"'
+                   || CASE WHEN event_id % 5 = 0 THEN '' ELSE 'says \\"hi\\"' END
+                   || '"'
+                   || ',"padded":"007"'
+                   || ',"special_ad_categories":[" HOUSING ",""," credit"]'
+                   || ',"extra_' || (event_id % 3) || '":"x"'
+                   || ',"flag":"true"'
+                   || ',"ratio":"1.2.3"'
+                   || ',"n_items":' || (event_id % 40)
+                   || ',"meta":{{"adset_id":"' || event_id
+                   || '","budget":" ' || (user_id % 90 + 10)
+                   || '.50","empty":"","deep":{{"z":"9"}},"levels":["a ",""]}}'
+                   || '}}' AS payload
+            FROM events),
+        tl AS (
+            SELECT event_id, payload, k1, {render1} AS r1
+            FROM (SELECT event_id, payload, '$."' || k1 || '"' AS p1, k1
+                  FROM src, unnest(json_keys(payload)) AS u(k1)))
+        SELECT event_id, any_value(payload) AS payload,
+               '{{' || coalesce(string_agg('"' || k1 || '":' || r1, ',' ORDER BY k1)
+                                FILTER (r1 IS NOT NULL), '') || '}}' AS sanitized
+        FROM tl GROUP BY event_id
+    """
+
+
+_register(
+    "sanitize_dynamic_json",
+    QuerySpec(
+        _q(sanitize_queries.sanitize_dynamic_json_events, "events"),
+        _dynj_oracle_sql(),
+        ("sanitize", "dynamic-json", "schema-drift", "projection"),
+    ),
+)
+
+
 _register(
     "stamp_parent_keys",
     QuerySpec(

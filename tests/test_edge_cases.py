@@ -282,3 +282,36 @@ def test_embedding_drift_matches_numpy(spark):
         assert abs(row.centroid_cosine - round(want, 6)) <= 1e-6
         assert row.n_even == len(by[(label, True)])
         assert row.n_odd == len(by[(label, False)])
+
+
+def test_dynamic_json_sanitize_rules(spark):
+    """Rule-level contract of the dynamic (schema-free) sanitizer:
+    unknown keys survive, empties drop, digit strings autocast with
+    zeros stripped, id-like keys never autocast, collections
+    normalize, depth-2 objects and non-collection arrays pass through
+    verbatim, and INVALID JSON passes through unchanged (drift never
+    kills the batch)."""
+    from pyspark.sql import functions as F
+
+    from ad_data_lake_spark.functions.dynamic_json import sanitize_json_fragment
+
+    rows = [
+        ('{"zz_unknown":"42","a_id":"042","gone":"  ","keep":"x"}',),
+        ('{"special_ad_categories":["  a ","","b"],"other":[" a ",""]}',),
+        ('{"outer":{"mid":{"inner":{"deep":"1"}}}}',),
+        ("not json at all",),
+        ('{"neg":"-7","dec":" -1.50 ","exotic":"1e3","bool":"false"}',),
+    ]
+    df = spark.createDataFrame(rows, "payload string")
+    got = [
+        r.s
+        for r in df.select(
+            sanitize_json_fragment(F.col("payload")).alias("s")
+        ).collect()
+    ]
+    assert got[0] == '{"a_id":"042","keep":"x","zz_unknown":42}'
+    assert got[1] == '{"other":[" a ",""],"special_ad_categories":["a","b"]}'
+    # depth 2: outer sanitized, mid sanitized, inner passes verbatim
+    assert got[2] == '{"outer":{"mid":{"inner":{"deep":"1"}}}}'
+    assert got[3] == "not json at all"
+    assert got[4] == '{"bool":false,"dec":-1.50,"exotic":"1e3","neg":-7}'
