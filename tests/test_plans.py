@@ -15,7 +15,7 @@ from __future__ import annotations
 import pytest
 
 from ad_data_lake_spark.queries import REGISTRY
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def plan_of(spark, name: str) -> str:
@@ -362,3 +362,38 @@ def test_cohort_single_event_shuffle(spark):
     p = plan_of(spark, "cohort_retention")
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_sql_surface_views_run_and_match(spark):
+    """Every headline operator view must be runnable from spark.sql and
+    return the same rows as the DataFrame registry plan it wraps."""
+    from ad_data_lake_spark.queries import REGISTRY
+    from ad_data_lake_spark.sql import HEADLINE_VIEWS, register_sql_surface
+
+    registered = register_sql_surface(spark, SF_SMOKE)
+    assert list(registered) == list(HEADLINE_VIEWS)
+    for name in ("hierarchy_flat", "dedup_exact", "sessionize_events"):
+        via_sql = spark.sql(f"SELECT * FROM {name}")
+        via_df = REGISTRY[name].fn(spark, SF_SMOKE)
+        assert via_sql.columns == via_df.columns
+        assert via_sql.count() == via_df.count()
+    # ad-hoc SQL over a view composes (filter + aggregate)
+    n = spark.sql(
+        "SELECT count(*) AS n FROM frequency_cap WHERE capped"
+    ).collect()[0].n
+    assert n > 0
+
+
+def test_sql_view_pushdown(spark):
+    """A WHERE on a SQL view must reach the parquet scan — views are
+    inlined logical plans, not materialization boundaries."""
+    from ad_data_lake_spark.sql import register_sql_surface
+
+    register_sql_surface(spark, SF_SMOKE)
+    plan = (
+        spark.sql("SELECT o_orderkey FROM scan_project WHERE o_orderkey = 42")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters", 1)[1][:200]
