@@ -1769,71 +1769,22 @@ _register(
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round 6 leads: the one red row from round 5 (output shape
-    # fixed: doc_ids now JSON-serialized) plus every name with no row
-    # in CORRECTNESS_r04 ∪ r05 ---
-    "neardup_clusters",
-    "bloom_decontaminate",
-    "dsir_weights",
-    "exact_substring_dedup",
-    "snapshot_diff",
-    "scd2_history",
-    "streaming_sliding_insights",
-    "reach_sketch_rollup",
-    "zorder_roundtrip",
-    "dedup_minhash_lsh_xx",
-    "count_summary",
-    "sort_by_name",
-    "union_pages",
-    # --- NEW in round 6 (no driver row can exist yet) ---
-    "temperature_mixture",
-    "gopher_rules",
-    "bigram_lm_score",
-    "semantic_dedup",
-    "luhn_scan",
-    "streaming_sessionize",
-    "streaming_dim_enrich",
-    "cohort_retention",
-    "funnel_conversion",
-    "linear_attribution",
-    "metric_anomalies",
-    "spend_pacing",
-    "embedding_drift",
-    "cdc_apply",
-    "streaming_frequency_cap",
-    "merge_schema_evolution",
-    "time_travel_read",
-    # --- implementation changed in round 6 (perf rewrites / scale
-    # knobs), so their driver rows must refresh ---
-    "boilerplate_removal",
-    "cross_split_leakage",
-    "contamination_check",
-    "dedup_simhash",
-    "embed_topk_ivf",
-    "ivf_index_incremental",
-    "merge_upsert_idempotent",
-    "daily_extract_pipeline",
-    # --- round-4-window names (driver-green r4, none since): keep the
-    # two-round rolling union fresh; the 15 trivial scan/projection
-    # queries at the tail yield their slots this round ---
-    "curation_pipeline",
-    "streaming_attribution_join",
-    "minhash_index_incremental",
-    "dataset_split",
-    "pack_sequences",
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_minhash_lsh",
-    "ngram_jaccard_pairs",
-    "embed_topk_bruteforce",
-    "embed_topk_lsh",
-    "embed_neardup_pairs",
+    # ---------------------------------------------------------------
+    # Round 7 window (50 slots). Policy: every name green in the union
+    # of the last two rounds' driver files. Leads: (a) the 3 rows NEW
+    # this round, (b) the 32 names with no row in r05 ∪ r06 (they were
+    # r04-green and rotated out), (c) the 11 rows whose implementation
+    # changed this round (incremental.py rewrite, topk_ivf/bigram/
+    # boilerplate re-plans, metric_anomalies guard, bloom cache,
+    # IVF train cap), (d) 4 stalest r05-window pads. Everything past
+    # slot 50 is r05/r06-green and unchanged.
+    # ---------------------------------------------------------------
+    "sanitize_dynamic_json",
+    "time_travel_depth",
+    "semantic_dedup_ivf",
     "asof_attribution",
     "flight_window_rollup",
     "backfill_partition_replace",
-    # ---------------- out-of-window tail (50-query cap reached above;
-    # everything below is green in CORRECTNESS_r04 or r05 and
-    # unchanged this round) ----------------
     "sessionize_events",
     "sessionize_native",
     "frequency_cap",
@@ -1863,6 +1814,63 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "repetition_stats",
     "pii_redact",
     "doc_fingerprint",
+    "embed_topk_ivf",
+    "bigram_lm_score",
+    "boilerplate_removal",
+    "metric_anomalies",
+    "bloom_decontaminate",
+    "merge_upsert_idempotent",
+    "cdc_apply",
+    "merge_schema_evolution",
+    "time_travel_read",
+    "ivf_index_incremental",
+    "streaming_corpus_ingest",
+    "agg_action_type",
+    "agg_reach_frequency",
+    "agg_rollup",
+    "nested_report",
+    "derived_ratio_metrics",
+    "latest_snapshot_window",
+    "per_user_frequency",
+    "top_k",
+    "collect_list_nest",
+    "fn_positive_amount",
+    "fn_budget_exclusion",
+    "fn_spend_cap",
+    "fn_string_collection",
+    "fn_parse_datetime",
+    "fn_clamp_start_time",
+    "fn_numeric_autocast",
+    "fn_boolean_coerce",
+    "fn_actid_norm",
+    "fn_flatten_ref",
+    "fn_coalesce_spec",
+    "fn_gather_arrays",
+    "fn_nested_update",
+    "fn_story_spec_update",
+    "fn_unicode_unescape",
+    "sanitize_nested_struct",
+    "sanitize_campaign_payload",
+    "agg_action_breakdown",
+    "last_wins_dedupe",
+    "fn_cbo_resolve",
+    "fn_build_cta",
+    "fn_asset_kind",
+    "fn_creative_payload",
+    "fn_parse_targeting",
+    "fn_null_strip",
+    "sanitize_adset_payload",
+    "stamp_parent_keys",
+    "json_decode_ingest",
+    "fn_brand_safety",
+    "lake_write_roundtrip",
+    "token_vocab",
+    "unigram_lm_score",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "epoch_shuffle",
+    "rag_retrieve",
+    "corpus_health",
 )
 
 
