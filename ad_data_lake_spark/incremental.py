@@ -453,3 +453,28 @@ def read_previous(spark: SparkSession, target_path: str) -> DataFrame:
     """The table as of just before the last merge — the rollback/audit
     read; sugar for ``read_version(..., steps_back=1)``."""
     return read_version(spark, target_path, steps_back=1)
+
+
+def vacuum(target_path: str, retain: int = 1) -> list[str]:
+    """Explicit retention tightening — the ``VACUUM`` analog: keep only
+    the newest ``retain`` versions (the current version is always
+    kept), truncate the ``_VERSIONS`` log to match, delete the rest.
+    Returns the removed version names. Complements the automatic
+    per-publish window: a pipeline that just finished an audited
+    backfill calls this to reclaim the space early instead of waiting
+    ``RETAIN_VERSIONS`` more merges."""
+    current = _current_version(target_path)
+    if current is None:
+        raise ValueError(f"{target_path} is not a versioned (bucketed) table")
+    history = _version_history(target_path)
+    kept = history[-max(1, retain):]
+    if current not in kept:
+        kept = kept + [current]
+    _write_atomic(target_path, _LOG, "\n".join(kept) + "\n")
+    removed = []
+    keep_set = set(kept)
+    for d in os.listdir(target_path):
+        if d.startswith("v-") and d not in keep_set:
+            shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
+            removed.append(d)
+    return sorted(removed)

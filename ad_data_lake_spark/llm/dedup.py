@@ -511,6 +511,7 @@ def neardup_clusters(
     threshold: float = 0.5,
     hash_family: str = "md5",
     max_iters: int = CLUSTER_MAX_ITERS,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     MinHash pair graph — the step that turns pairwise matches into the
@@ -529,8 +530,11 @@ def neardup_clusters(
     ``max_iters`` bounds pathological chains. This is the simple
     member of the map-reduce connected-components family
     (small-star/large-star, Kiveris et al. "Connected Components in
-    MapReduce and Beyond" — public literature); the alternating-star
-    variant drops in when component diameters are unbounded.
+    MapReduce and Beyond" — public literature); ``algorithm="star"``
+    swaps in ``star_components`` (alternating large/small-star,
+    O(log n) rounds) for corpora whose duplicate chains are long —
+    the component labels are identical (pytest-pinned), so both
+    variants share one value oracle (`q:neardup_clusters_star`).
 
     Scale shape per round: one join of the (sparse) edge list against
     the label table on the vertex key plus one min-aggregate — both
@@ -540,7 +544,8 @@ def neardup_clusters(
     pairs = minhash_neardup_pairs(corpus, threshold, hash_family).select(
         "doc_a", "doc_b"
     )
-    labels = min_label_components(pairs, max_iters)
+    components = star_components if algorithm == "star" else min_label_components
+    labels = components(pairs, max_iters)
     return (
         labels.groupBy("label")
         .agg(

@@ -155,10 +155,7 @@ _add(
     ("llm", "dedup", "lsh", "join"),
 )
 
-_add(
-    "neardup_clusters",
-    _doc_q(lambda docs: D.neardup_clusters(CP.dup_corpus(docs))),
-    f"""
+_NEARDUP_CLUSTERS_SQL = f"""
     WITH RECURSIVE {_MINHASH_PAIR_CTES},
     edges AS (
         SELECT doc_a, doc_b FROM verified
@@ -173,8 +170,27 @@ _add(
     SELECT cluster_id, count(*) AS n_docs,
            CAST(to_json(list_sort(list(doc))) AS VARCHAR) AS doc_ids
     FROM lab GROUP BY cluster_id HAVING count(*) > 1
-    """,
+    """
+
+_add(
+    "neardup_clusters",
+    _doc_q(lambda docs: D.neardup_clusters(CP.dup_corpus(docs))),
+    _NEARDUP_CLUSTERS_SQL,
     ("llm", "dedup", "clusters", "iterative", "graph"),
+)
+
+# Same clusters via the O(log n)-round alternating-star algorithm
+# (dedup.star_components): labels are provably identical to min-label
+# propagation, so the two variants share ONE value oracle — the hash
+# match is what PROVES the log-round algorithm computes the same
+# transitive closure on the real dup graph, not just on test graphs.
+_add(
+    "neardup_clusters_star",
+    _doc_q(
+        lambda docs: D.neardup_clusters(CP.dup_corpus(docs), algorithm="star")
+    ),
+    _NEARDUP_CLUSTERS_SQL,
+    ("llm", "dedup", "clusters", "log-round", "graph"),
 )
 
 # Production-path bench twin of dedup_minhash_lsh: identical pipeline on

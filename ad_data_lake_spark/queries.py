@@ -1771,17 +1771,20 @@ _register(
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # ---------------------------------------------------------------
     # Round 7 window (50 slots). Policy: every name green in the union
-    # of the last two rounds' driver files. Leads: (a) the 3 rows NEW
-    # this round, (b) the 32 names with no row in r05 ∪ r06 (they were
-    # r04-green and rotated out), (c) the 11 rows whose implementation
-    # changed this round (incremental.py rewrite, topk_ivf/bigram/
-    # boilerplate re-plans, metric_anomalies guard, bloom cache,
-    # IVF train cap), (d) 4 stalest r05-window pads. Everything past
-    # slot 50 is r05/r06-green and unchanged.
+    # of the last two rounds' driver files, best-effort now that the
+    # registry (133) exceeds two windows (100) — the judge gate covers
+    # the complement. Leads: (a) the 4 rows NEW this round, (b) the 32
+    # names with no row in r05 ∪ r06 (they were r04-green and rotated
+    # out), (c) the 11 rows whose implementation changed this round
+    # (incremental.py rewrite, topk_ivf/bigram/boilerplate re-plans,
+    # metric_anomalies guard, bloom cache, IVF train cap), (d) 3
+    # stalest r05-window pads. Everything past slot 50 is r05/r06-
+    # green and unchanged.
     # ---------------------------------------------------------------
     "sanitize_dynamic_json",
     "time_travel_depth",
     "semantic_dedup_ivf",
+    "neardup_clusters_star",
     "asof_attribution",
     "flight_window_rollup",
     "backfill_partition_replace",
@@ -1828,7 +1831,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_action_type",
     "agg_reach_frequency",
     "agg_rollup",
-    "nested_report",
     "derived_ratio_metrics",
     "latest_snapshot_window",
     "per_user_frequency",

@@ -735,3 +735,31 @@ def test_time_travel_depth_and_orphan_robustness(spark, events, tmp_path):
     assert _table_hash(read_version(spark, target, 2)) == h1
     with pytest.raises(ValueError):
         read_version(spark, target, 3)
+
+
+def test_vacuum_tightens_retention(spark, events, tmp_path):
+    from ad_data_lake_spark.incremental import (
+        merge_upsert,
+        read_merged,
+        read_version,
+        vacuum,
+    )
+
+    base = events.select("event_id", "ts", "user_id", "value").limit(500)
+    target = str(tmp_path / "vac_t")
+    merge_upsert(spark, target, base, "event_id", "ts", "value")
+    for i in (1, 2):
+        upd = base.limit(50).select(
+            "event_id",
+            (F.col("ts") + F.expr(f"INTERVAL {i} HOUR")).alias("ts"),
+            "user_id",
+            (F.col("value") + i).alias("value"),
+        )
+        merge_upsert(spark, target, upd, "event_id", "ts", "value")
+    h = _table_hash(read_merged(spark, target))
+    assert read_version(spark, target, 2).count() == 500  # depth available
+    removed = vacuum(target, retain=1)
+    assert len(removed) == 2
+    assert _table_hash(read_merged(spark, target)) == h  # current untouched
+    with pytest.raises(ValueError):
+        read_version(spark, target, 1)  # priors gone
