@@ -868,10 +868,7 @@ _add(
 # stratified sampling, epoch shuffle, split-leakage audit
 # ---------------------------------------------------------------------------
 
-_add(
-    "unigram_lm_score",
-    _doc_q(T.unigram_lm_score),
-    f"""
+_UNIGRAM_LM_SQL = f"""
     WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
     vocab AS (
         SELECT token, count(*) AS cnt FROM toks GROUP BY token
@@ -883,8 +880,38 @@ _add(
            round(exp(avg(ln(n_total / COALESCE(cnt, 1)))), 2) AS perplexity
     FROM toks LEFT JOIN vocab USING (token) CROSS JOIN tot
     GROUP BY doc_id
-    """,
+    """
+
+_add(
+    "unigram_lm_score",
+    _doc_q(T.unigram_lm_score),
+    _UNIGRAM_LM_SQL,
     ("llm", "text", "quality", "language-model"),
+)
+
+def _perplexity_buckets_fn(docs):
+    from ad_data_lake_spark.llm import selection as _sel
+
+    return _sel.perplexity_buckets(docs)
+
+
+_add(
+    "perplexity_buckets",
+    _doc_q(_perplexity_buckets_fn),
+    f"""
+    WITH u AS ({_UNIGRAM_LM_SQL}),
+    s AS (SELECT d.doc_id, d.lang, u.perplexity
+          FROM documents d JOIN u ON d.doc_id = u.doc_id),
+    thr AS (SELECT lang, quantile_cont(perplexity, 1.0/3) AS t1,
+                   quantile_cont(perplexity, 2.0/3) AS t2
+            FROM s GROUP BY lang)
+    SELECT s.doc_id, s.lang, s.perplexity,
+           CASE WHEN s.perplexity <= thr.t1 THEN 'head'
+                WHEN s.perplexity <= thr.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM s JOIN thr ON s.lang = thr.lang
+    """,
+    ("llm", "selection", "quality", "ccnet", "bucketing"),
 )
 
 _add(

@@ -253,3 +253,40 @@ def dsir_weights(
         )
         .withColumn("selected", F.col("avg_log_ratio") > 0)
     )
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3): score every document with the corpus
+    language model, split each LANGUAGE's score distribution into
+    head/middle/tail tertiles, and tag documents with their bucket —
+    the selection step CCNet applies before keeping head(+middle) for
+    training. Buckets are per-language because perplexity scales are
+    not comparable across languages (the paper's design).
+
+    Plan: the LM scoring pass (bounded broadcast model —
+    ``unigram_lm_score``'s scale notes apply) → one language-keyed
+    aggregate computing both tertile thresholds EXACTLY
+    (``percentile``; languages are few, so the per-group value buffer
+    is per-language corpus size — at 100 TB swap in
+    ``approx_percentile``, same plan shape, the A11 exact/approx twin
+    pattern) → thresholds broadcast back over the scored stream.
+    Assignment is `<=` against the interpolated thresholds, identical
+    arithmetic in the DuckDB oracle (quantile_cont)."""
+    from ad_data_lake_spark.llm.text import unigram_lm_score
+
+    scores = unigram_lm_score(documents).select("doc_id", "perplexity")
+    scored = documents.select("doc_id", "lang").join(scores, "doc_id")
+    thr = scored.groupBy("lang").agg(
+        F.percentile("perplexity", F.lit(1.0 / 3)).alias("t1"),
+        F.percentile("perplexity", F.lit(2.0 / 3)).alias("t2"),
+    )
+    return scored.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "perplexity",
+        F.when(F.col("perplexity") <= F.col("t1"), F.lit("head"))
+        .when(F.col("perplexity") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
