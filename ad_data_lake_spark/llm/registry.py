@@ -1224,12 +1224,7 @@ _add(
 
 _STOP_IN = ", ".join(f"'{s}'" for s in T.STOPWORDS_EN)
 
-_add(
-    "gopher_rules",
-    # fixture-scaled word band (docs run 10–99 words; the production
-    # 50..100k default would make the rule vacuous at this SF)
-    _doc_q(lambda docs: T.gopher_rules(docs, min_words=40, max_words=90)),
-    f"""
+_GOPHER_SQL = f"""
     WITH t AS (SELECT doc_id, text, {_WORDS} AS w FROM documents),
     m AS (SELECT doc_id,
                  len(w) AS n_words,
@@ -1252,8 +1247,57 @@ _add(
             AND alpha_ratio >= 0.8 AND n_stopwords >= 2
             AND top_token_ratio <= 0.2) AS keep
     FROM m
-    """,
+    """
+
+_add(
+    "gopher_rules",
+    # fixture-scaled word band (docs run 10–99 words; the production
+    # 50..100k default would make the rule vacuous at this SF)
+    _doc_q(lambda docs: T.gopher_rules(docs, min_words=40, max_words=90)),
+    _GOPHER_SQL,
     ("llm", "quality", "gopher", "projection"),
+)
+
+
+def _nb_quality_fn(docs):
+    from ad_data_lake_spark.llm import selection as _sel
+
+    # same fixture-scaled Gopher band as the gopher_rules row
+    return _sel.nb_quality_score(docs, min_words=40, max_words=90)
+
+
+_add(
+    "nb_quality_score",
+    _doc_q(_nb_quality_fn),
+    f"""
+    WITH g AS ({_GOPHER_SQL}),
+    lab AS (SELECT doc_id, keep AS label FROM g),
+    toks AS (SELECT d.doc_id, lab.label, tok
+             FROM documents d JOIN lab ON d.doc_id = lab.doc_id,
+                  unnest({_WORDS.replace('text', 'd.text')}) AS u(tok)),
+    counts AS (SELECT tok, count(*) FILTER (label) AS c_pos,
+                      count(*) FILTER (NOT label) AS c_neg
+               FROM toks GROUP BY tok),
+    vocab AS (SELECT * FROM counts
+              ORDER BY (c_pos + c_neg) DESC, tok LIMIT {64}),
+    mt AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg,
+                  count(*) AS v FROM vocab),
+    llr AS (SELECT tok, ln((c_pos + 1.0) / (n_pos + v))
+                        - ln((c_neg + 1.0) / (n_neg + v)) AS llr
+            FROM vocab, mt),
+    pri AS (SELECT ln((count(*) FILTER (label) + 1.0)
+                      / (count(*) FILTER (NOT label) + 1.0)) AS prior
+            FROM lab),
+    sc AS (SELECT doc_id, any_value(label) AS label,
+                  count(*) FILTER (llr.llr IS NOT NULL) AS n_vocab_tokens,
+                  sum(COALESCE(llr.llr, 0)) AS s
+           FROM toks LEFT JOIN llr USING (tok) GROUP BY doc_id)
+    SELECT doc_id, label, n_vocab_tokens,
+           round(prior + s, 4) AS score,
+           (round(prior + s, 4) > 0) AS pred
+    FROM sc, pri
+    """,
+    ("llm", "selection", "quality", "classifier", "train-then-score"),
 )
 
 _add(

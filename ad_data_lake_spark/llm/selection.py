@@ -290,3 +290,91 @@ def perplexity_buckets(documents: DataFrame) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+NB_VOCAB_K = 64
+
+
+def nb_quality_score(
+    documents: DataFrame,
+    vocab_k: int = NB_VOCAB_K,
+    min_words: int | None = None,
+    max_words: int | None = None,
+) -> DataFrame:
+    """Model-based quality filtering — the fastText-classifier tier of
+    a curation stack (CCNet/LLaMA-style "quality classifier"), reduced
+    to a deterministically-reproducible core: a Naive-Bayes log-odds
+    model over a bounded token vocabulary, TRAINED ON WEAK LABELS from
+    the rule tier (``gopher_rules.keep``) and scoring every document —
+    the standard bootstrap when no human labels exist (rules label,
+    model generalizes; a real deployment swaps in fastText weights,
+    the plan shape is identical).
+
+    score(d) = ln((n_pos+1)/(n_neg+1)) + Σ_{t ∈ d ∩ vocab} llr(t),
+    llr(t) = ln((c_pos(t)+1)/(N_pos+V)) − ln((c_neg(t)+1)/(N_neg+V))
+    (Laplace smoothing throughout); ``pred`` tests the 4-dp-ROUNDED
+    score so the verdict can't flip on last-ulp ln() drift.
+
+    Scale shape: label pass is the zero-shuffle Gopher projection;
+    training is ONE token aggregate truncated to top-K — the model is
+    bounded by construction and BROADCASTS at any corpus size (same
+    contract as the unigram/bigram LM trainers); scoring left-joins
+    the broadcast model into one doc aggregate. The corpus shuffles
+    zero times on the token stream."""
+    from ad_data_lake_spark.llm.text import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+        gopher_rules,
+        words,
+    )
+
+    lab = gopher_rules(
+        documents,
+        min_words=GOPHER_MIN_WORDS if min_words is None else min_words,
+        max_words=GOPHER_MAX_WORDS if max_words is None else max_words,
+    ).select("doc_id", F.col("keep").alias("label"))
+    toks = (
+        documents.join(lab, "doc_id")
+        .select("doc_id", "label", F.explode(words(F.col("text"))).alias("token"))
+    )
+    counts = toks.groupBy("token").agg(
+        F.count_if(F.col("label")).alias("c_pos"),
+        F.count_if(~F.col("label")).alias("c_neg"),
+    )
+    vocab = counts.orderBy(
+        F.desc(F.col("c_pos") + F.col("c_neg")), F.asc("token")
+    ).limit(vocab_k)
+    mt = vocab.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count("*").alias("v"),
+    )
+    llr = vocab.crossJoin(F.broadcast(mt)).select(
+        "token",
+        (
+            F.log((F.col("c_pos") + 1.0) / (F.col("n_pos") + F.col("v")))
+            - F.log((F.col("c_neg") + 1.0) / (F.col("n_neg") + F.col("v")))
+        ).alias("llr"),
+    )
+    pri = lab.agg(
+        F.log(
+            (F.count_if(F.col("label")) + 1.0)
+            / (F.count_if(~F.col("label")) + 1.0)
+        ).alias("prior")
+    )
+    per_doc = (
+        toks.join(F.broadcast(llr), "token", "left")
+        .groupBy("doc_id", "label")
+        .agg(
+            F.count_if(F.col("llr").isNotNull()).alias("n_vocab_tokens"),
+            F.sum(F.coalesce(F.col("llr"), F.lit(0.0))).alias("s"),
+        )
+    )
+    score = F.round(F.col("prior") + F.col("s"), 4)
+    return per_doc.crossJoin(F.broadcast(pri)).select(
+        "doc_id",
+        "label",
+        "n_vocab_tokens",
+        score.alias("score"),
+        (score > 0).alias("pred"),
+    )

@@ -1777,8 +1777,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # names with no row in r05 ∪ r06 (they were r04-green and rotated
     # out), (c) the 11 rows whose implementation changed this round
     # (incremental.py rewrite, topk_ivf/bigram/boilerplate re-plans,
-    # metric_anomalies guard, bloom cache, IVF train cap), (d) 2
-    # stalest r05-window pads. Everything past slot 50 is r05/r06-
+    # metric_anomalies guard, bloom cache, IVF train cap), (d) 1
+    # stalest r05-window pad. Everything past slot 50 is r05/r06-
     # green and unchanged.
     # ---------------------------------------------------------------
     "sanitize_dynamic_json",
@@ -1786,6 +1786,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "semantic_dedup_ivf",
     "neardup_clusters_star",
     "perplexity_buckets",
+    "nb_quality_score",
     "asof_attribution",
     "flight_window_rollup",
     "backfill_partition_replace",
@@ -1830,7 +1831,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_index_incremental",
     "streaming_corpus_ingest",
     "agg_action_type",
-    "agg_reach_frequency",
     "derived_ratio_metrics",
     "latest_snapshot_window",
     "per_user_frequency",

@@ -397,3 +397,63 @@ def test_sql_view_pushdown(spark):
         .toString()
     )
     assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_dynamic_json_sanitize_zero_shuffle(spark):
+    """The schema-free sanitizer is one generated column expression —
+    an Exchange or Join in its plan means the permissive-parse path
+    regressed into something non-projection-shaped."""
+    p = plan_of(spark, "sanitize_dynamic_json")
+    # the spread() round-robin repartition is deliberate parallelism
+    # (single-file scan), not a semantic shuffle — no hash exchange,
+    # no join allowed
+    assert "hashpartitioning" not in p
+    assert "Join" not in p
+
+
+def test_nb_quality_model_broadcasts_over_token_stream(spark):
+    """The NB classifier's corpus token stream must meet the bounded
+    llr model via broadcast — a SortMergeJoin means the top-K vocab
+    truncation (what makes the model broadcastable by construction)
+    was lost."""
+    p = plan_of(spark, "nb_quality_score")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_perplexity_buckets_thresholds_broadcast(spark):
+    """Tertile thresholds are a language-keyed aggregate broadcast
+    back over the scored stream — the scored corpus must never
+    sort-merge against the threshold table."""
+    p = plan_of(spark, "perplexity_buckets")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_semantic_dedup_ivf_no_cartesian(spark):
+    """IVF-bucketed SemDeDup must pair only within cells (grouped
+    applyInPandas) — a cartesian/nested-loop anywhere means the pair
+    space stopped being bucketed."""
+    p = plan_of(spark, "semantic_dedup_ivf")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the within-cell pair stage runs under the components
+    # localCheckpoint, so assert its shape directly on the pairs plan
+    from pyspark.sql import functions as F
+
+    from ad_data_lake_spark.llm import similarity as SIM
+    from ad_data_lake_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    cents = SIM.ivf_centroids(emb, SIM.IVF_CELLS)
+    assigned = SIM.near_corpus(emb).select(
+        "vec_id", "v",
+        SIM._unit_and_cell_pd(cents)(F.col("v"))["cell"].alias("cell"),
+    )
+    pp = (
+        assigned.groupBy("cell")
+        .applyInPandas(lambda g: g.iloc[:0][["vec_id"]], "vec_id long")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in pp
+    assert "CartesianProduct" not in pp
