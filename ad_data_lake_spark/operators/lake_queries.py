@@ -462,3 +462,32 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         shuffle_partitions=8,
     )
+
+
+def api_pages_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/S11 as a REAL Spark source: the events fact is materialized
+    as the reference's paginated JSON envelopes ({"data": [...],
+    "paging": ...}, 1000 rows/page — reference
+    src/extractors/api_extractor.py:87) and read back through the
+    custom ``ad_api_pages`` Python DataSource, whose partitions ARE
+    the pages — the reference's sequential cursor walk executed as a
+    parallel scan with per-page task retry. The oracle computes the
+    same projection straight from parquet, so the hash match proves
+    the source's partition planning + per-page decode is lossless.
+    (The page WRITER here is fixture scaffolding standing in for the
+    remote API; the source/reader is the product surface.)"""
+    from ad_data_lake_spark.sources import api_source
+
+    events = _events_slim(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+    rows = [r.asDict() for r in events.collect()]
+    out = os.path.join(_scratch(spark, "api-pages", sf_dir), "pages")
+    n_pages = api_source.write_pages(rows, out)
+    assert n_pages >= 1
+    api_source.register(spark)
+    return (
+        spark.read.format(api_source.FORMAT_NAME)
+        .schema("event_id long, user_id long, event_type string, value double")
+        .load(out)
+    )

@@ -1324,6 +1324,18 @@ _register(
 )
 
 _register(
+    "api_pages_ingest",
+    QuerySpec(
+        lake_queries.api_pages_ingest,
+        """
+        SELECT event_id, user_id, event_type, round(value, 2) AS value
+        FROM events
+        """,
+        ("source", "ingest", "pagination", "datasource", "write"),
+    ),
+)
+
+_register(
     "time_travel_depth",
     QuerySpec(
         lake_queries.time_travel_depth_roundtrip,
@@ -1777,8 +1789,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # names with no row in r05 ∪ r06 (they were r04-green and rotated
     # out), (c) the 11 rows whose implementation changed this round
     # (incremental.py rewrite, topk_ivf/bigram/boilerplate re-plans,
-    # metric_anomalies guard, bloom cache, IVF train cap), (d) 1
-    # stalest r05-window pad. Everything past slot 50 is r05/r06-
+    # metric_anomalies guard, bloom cache, IVF train cap). Everything past slot 50 is r05/r06-
     # green and unchanged.
     # ---------------------------------------------------------------
     "sanitize_dynamic_json",
@@ -1787,6 +1798,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "neardup_clusters_star",
     "perplexity_buckets",
     "nb_quality_score",
+    "api_pages_ingest",
     "asof_attribution",
     "flight_window_rollup",
     "backfill_partition_replace",
@@ -1830,7 +1842,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "time_travel_read",
     "ivf_index_incremental",
     "streaming_corpus_ingest",
-    "agg_action_type",
     "derived_ratio_metrics",
     "latest_snapshot_window",
     "per_user_frequency",
