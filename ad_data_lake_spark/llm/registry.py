@@ -1441,6 +1441,35 @@ _add(
 )
 
 _add(
+    "url_domain_filter",
+    _doc_q(T.url_domain_filter),
+    f"""
+    WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {T.URL_PLANT_MOD} = 0
+                    THEN text || ' see http://dom' || (doc_id % 20)
+                         || '.example/p/' || doc_id
+                    ELSE text END AS planted
+        FROM documents),
+    u AS (SELECT doc_id,
+                 regexp_extract_all(planted, '{T.URL_RE}') AS urls
+          FROM p),
+    d AS (SELECT doc_id, urls,
+                 list_sort(list_distinct(list_transform(urls,
+                     x -> regexp_extract(x, '{T.URL_DOMAIN_RE}', 1)))) AS domains
+          FROM u)
+    SELECT doc_id,
+           len(urls) AS n_urls,
+           CAST(to_json(domains) AS VARCHAR) AS domains,
+           len(list_filter(domains,
+               x -> x IN ({", ".join("'" + b + "'" for b in T.URL_BLOCKLIST)}))) > 0
+               AS is_blocked
+    FROM d
+    """,
+    ("llm", "filtering", "url", "blocklist", "projection"),
+)
+
+_add(
     "embedding_drift",
     _emb_q(SIM.embedding_drift),
     f"""

@@ -678,3 +678,50 @@ def luhn_scan(documents: DataFrame) -> DataFrame:
         n_valid.alias("n_valid_cards"),
         (F.size(cands) > 0).alias("has_digit_run"),
     )
+
+
+# C4-style URL filtering: every URL_PLANT_MOD-th doc gains a planted
+# URL whose domain is derived from its doc_id, so extraction, domain
+# parsing, and the blocklist join all do real value-oracled work on a
+# corpus that otherwise contains no URLs (same planting pattern as
+# luhn_scan).
+URL_PLANT_MOD = 7
+URL_RE = r"https?://[^ ]+"
+URL_DOMAIN_RE = r"https?://([^/ ]+)"
+URL_BLOCKLIST: tuple[str, ...] = ("dom0.example", "dom1.example", "dom2.example")
+
+
+def url_domain_filter(documents: DataFrame) -> DataFrame:
+    """C4-style URL/domain filtering (Raffel et al. 2020 §2.2 cleaned
+    C4 uses a domain blocklist): extract URLs, parse their domains,
+    flag documents whose domain set intersects the blocklist — the
+    drop-before-tokenize tier every web-corpus pipeline runs first.
+    Zero shuffles: regex extraction + array transforms + a LITERAL
+    blocklist membership test (a real blocklist of millions of domains
+    becomes a broadcast semi-join on the exploded domain column — same
+    contract as contamination_check's broadcast tier)."""
+    planted = F.when(
+        F.col("doc_id") % URL_PLANT_MOD == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" see http://dom"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    urls = F.regexp_extract_all(planted, F.lit(URL_RE), 0)
+    domains = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                urls, lambda u: F.regexp_extract(u, URL_DOMAIN_RE, 1)
+            )
+        )
+    )
+    blocked = F.exists(domains, lambda d: d.isin(*URL_BLOCKLIST))
+    return documents.select(
+        "doc_id",
+        F.size(urls).alias("n_urls"),
+        F.to_json(domains).alias("domains"),
+        blocked.alias("is_blocked"),
+    )

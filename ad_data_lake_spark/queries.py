@@ -1799,6 +1799,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "perplexity_buckets",
     "nb_quality_score",
     "api_pages_ingest",
+    "url_domain_filter",
     "asof_attribution",
     "flight_window_rollup",
     "backfill_partition_replace",
@@ -1841,7 +1842,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "merge_schema_evolution",
     "time_travel_read",
     "ivf_index_incremental",
-    "streaming_corpus_ingest",
     "derived_ratio_metrics",
     "latest_snapshot_window",
     "per_user_frequency",

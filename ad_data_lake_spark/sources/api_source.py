@@ -59,6 +59,8 @@ class AdApiPagesReader(DataSourceReader):
         ]
 
     def read(self, partition):
+        if partition is None:  # zero pages: Spark still schedules one task
+            return
         with open(partition.path) as fh:
             envelope = json.load(fh)
         for row in envelope.get("data", []):
