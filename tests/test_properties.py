@@ -99,3 +99,72 @@ def test_min_label_components_matches_union_find(spark):
     touched = {v for e in edges for v in e}
     want = {v: find(v) for v in touched}
     assert got == want
+
+
+def test_star_components_matches_union_find(spark):
+    """Same randomized union-find cross-check for the log-round
+    alternating-star variant — one seeded graph mixing sparse random
+    edges, a chain, and a star hub."""
+    from ad_data_lake_spark.llm.dedup import star_components
+
+    rng = random.Random(20250814)
+    n = 120
+    edges = set()
+    for _ in range(80):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    chain = list(range(100, 116))
+    edges.update((a, b) for a, b in zip(chain, chain[1:]))
+    edges.update((0, k) for k in (30, 60, 90))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in sorted(edges)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.label for r in star_components(pairs).collect()}
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    want = {v: find(v) for v in touched}
+    assert got == want
+
+
+def test_dynamic_json_sanitize_idempotent(spark):
+    """sanitize(sanitize(x)) == sanitize(x): the canonical form is a
+    fixpoint — autocast numerics re-parse as numbers, normalized
+    collections re-normalize to themselves, sorted keys stay sorted.
+    Randomized payloads over the rule-relevant alphabet (digit
+    strings, paddings, empties, id-keys, collections, nesting)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ad_data_lake_spark.functions.dynamic_json import sanitize_json_fragment
+
+    rng = random.Random(7)
+    vals = ['"007"', '" 12.5"', '""', '"x y"', '"true"', "3", '"-8"',
+            '[" a ","","b"]', '{"inner_id":"05","w":" 9.25"}', '"1e3"']
+    keys = ["alpha", "beta_id", "special_ad_categories", "gamma", "n_items", "zz"]
+    rows = []
+    for _ in range(40):
+        ks = rng.sample(keys, rng.randrange(1, len(keys) + 1))
+        body = ",".join(f'"{k}":{rng.choice(vals)}' for k in ks)
+        rows.append(("{" + body + "}",))
+    df = spark.createDataFrame(rows, "payload string")
+    once = sanitize_json_fragment(F.col("payload"))
+    out = df.select(
+        once.alias("s1"),
+        sanitize_json_fragment(once).alias("s2"),
+    ).collect()
+    for r in out:
+        assert r.s1 == r.s2, f"not a fixpoint: {r.s1!r} -> {r.s2!r}"
+        _json.loads(r.s1)  # and the canonical form is valid JSON
