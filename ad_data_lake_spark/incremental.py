@@ -478,3 +478,51 @@ def vacuum(target_path: str, retain: int = 1) -> list[str]:
             shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
             removed.append(d)
     return sorted(removed)
+
+
+def lake_stats(target_path: str) -> dict:
+    """Table-inspection utility (DESCRIBE DETAIL analog): version
+    history, live-version file/byte/bucket counts, and how many bytes
+    the live version SHARES with prior versions via hardlinks (the
+    observable form of the O(affected-buckets) merge cost). Pure
+    driver-side directory walk — no Spark job."""
+    current = _current_version(target_path)
+    if current is None:
+        n_files = n_bytes = 0
+        for root, _dirs, files in os.walk(target_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+        return {
+            "versioned": False,
+            "n_files": n_files,
+            "n_bytes": n_bytes,
+        }
+    history = _version_history(target_path)
+    vdir = os.path.join(target_path, current)
+    n_files = n_bytes = shared_bytes = 0
+    buckets = set()
+    for root, _dirs, files in os.walk(vdir):
+        b = os.path.basename(root)
+        if b.startswith(f"{_BUCKET}="):
+            buckets.add(b)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            st = os.stat(os.path.join(root, f))
+            n_files += 1
+            n_bytes += st.st_size
+            if st.st_nlink > 1:  # hardlinked into other versions
+                shared_bytes += st.st_size
+    return {
+        "versioned": True,
+        "current_version": current,
+        "n_versions": len(history),
+        "version_history": history,
+        "n_buckets": _stored_buckets(target_path),
+        "n_bucket_dirs": len(buckets),
+        "n_files": n_files,
+        "n_bytes": n_bytes,
+        "shared_bytes": shared_bytes,
+    }

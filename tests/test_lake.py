@@ -763,3 +763,31 @@ def test_vacuum_tightens_retention(spark, events, tmp_path):
     assert _table_hash(read_merged(spark, target)) == h  # current untouched
     with pytest.raises(ValueError):
         read_version(spark, target, 1)  # priors gone
+
+
+def test_lake_stats_reports_versions_and_shared_bytes(spark, events, tmp_path):
+    from ad_data_lake_spark.incremental import lake_stats, merge_upsert
+
+    base = events.select("event_id", "ts", "user_id", "value")
+    target = str(tmp_path / "stats_t")
+    merge_upsert(spark, target, base, "event_id", "ts", "value")
+    s0 = lake_stats(target)
+    assert s0["versioned"] and s0["n_versions"] == 1
+    assert s0["n_files"] > 0 and s0["shared_bytes"] == 0
+    one = base.limit(1).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        (F.col("value") + 1).alias("value"),
+    )
+    merge_upsert(spark, target, one, "event_id", "ts", "value")
+    s1 = lake_stats(target)
+    assert s1["n_versions"] == 2 and s1["current_version"] != s0["current_version"]
+    # untouched buckets hardlink across: the live version shares bytes
+    assert s1["shared_bytes"] > 0
+    assert s1["n_bucket_dirs"] == s1["n_buckets"] or s1["n_bucket_dirs"] <= s1["n_buckets"]
+    # unversioned fallback
+    plain = str(tmp_path / "plain")
+    base.write.parquet(plain)
+    sp = lake_stats(plain)
+    assert not sp["versioned"] and sp["n_files"] > 0
