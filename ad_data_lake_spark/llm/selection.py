@@ -328,15 +328,24 @@ def nb_quality_score(
         words,
     )
 
-    lab = gopher_rules(
-        documents,
+    from ad_data_lake_spark.sources.tables import spread
+
+    # ONE corpus pass computes label + token explode together (the
+    # Gopher verdict is a pure expression — no label join exists), and
+    # the (doc_id, label, token) stream is checkpointed once for its
+    # two consumers (trainer aggregate, scorer join) — the same
+    # shared-carrier pattern as remove_boilerplate
+    g = gopher_rules(
+        spread(documents),
         min_words=GOPHER_MIN_WORDS if min_words is None else min_words,
         max_words=GOPHER_MAX_WORDS if max_words is None else max_words,
-    ).select("doc_id", F.col("keep").alias("label"))
-    toks = (
-        documents.join(lab, "doc_id")
-        .select("doc_id", "label", F.explode(words(F.col("text"))).alias("token"))
+        keep_text=True,
     )
+    toks = g.select(
+        "doc_id",
+        F.col("keep").alias("label"),
+        F.explode(words(F.col("text"))).alias("token"),
+    ).localCheckpoint(eager=False)
     counts = toks.groupBy("token").agg(
         F.count_if(F.col("label")).alias("c_pos"),
         F.count_if(~F.col("label")).alias("c_neg"),
@@ -356,12 +365,6 @@ def nb_quality_score(
             - F.log((F.col("c_neg") + 1.0) / (F.col("n_neg") + F.col("v")))
         ).alias("llr"),
     )
-    pri = lab.agg(
-        F.log(
-            (F.count_if(F.col("label")) + 1.0)
-            / (F.count_if(~F.col("label")) + 1.0)
-        ).alias("prior")
-    )
     per_doc = (
         toks.join(F.broadcast(llr), "token", "left")
         .groupBy("doc_id", "label")
@@ -369,6 +372,13 @@ def nb_quality_score(
             F.count_if(F.col("llr").isNotNull()).alias("n_vocab_tokens"),
             F.sum(F.coalesce(F.col("llr"), F.lit(0.0))).alias("s"),
         )
+    )
+    per_doc = per_doc.localCheckpoint(eager=False)
+    pri = per_doc.agg(
+        F.log(
+            (F.count_if(F.col("label")) + 1.0)
+            / (F.count_if(~F.col("label")) + 1.0)
+        ).alias("prior")
     )
     score = F.round(F.col("prior") + F.col("s"), 4)
     return per_doc.crossJoin(F.broadcast(pri)).select(

@@ -452,6 +452,7 @@ def gopher_rules(
     documents: DataFrame,
     min_words: int = GOPHER_MIN_WORDS,
     max_words: int = GOPHER_MAX_WORDS,
+    keep_text: bool = False,
 ) -> DataFrame:
     """The Gopher quality-rule suite as one verdict sheet: each rule is
     its own boolean column (so a corpus report can show WHICH rule
@@ -501,6 +502,7 @@ def gopher_rules(
     lo, hi = GOPHER_MEAN_LEN_BAND
     out = documents.select(
         "doc_id",
+        *(["text"] if keep_text else []),
         n.alias("n_words"),
         F.round(mean_len, 4).alias("mean_word_len"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
