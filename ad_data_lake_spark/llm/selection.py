@@ -373,7 +373,8 @@ def nb_quality_score(
             F.sum(F.coalesce(F.col("llr"), F.lit(0.0))).alias("s"),
         )
     )
-    per_doc = per_doc.localCheckpoint(eager=False)
+    # pri re-aggregates from the CHECKPOINTED token stream (cheap),
+    # keeping the scoring plan visible for the plan-shape tests
     pri = per_doc.agg(
         F.log(
             (F.count_if(F.col("label")) + 1.0)

@@ -46,6 +46,8 @@ _CROSS_BY_DESIGN = {
     "dsir_weights",  # one-row (t_total, s_total) scalar attach
     "temperature_mixture",  # one-row min_chars scalar attach
     "bigram_lm_score",  # one-row n_total scalar attach
+    "perplexity_buckets",  # composes unigram's n_total scalar attach
+    "nb_quality_score",  # one-row model-totals + prior scalar attaches
 }
 
 
