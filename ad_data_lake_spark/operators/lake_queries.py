@@ -491,3 +491,26 @@ def api_pages_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("event_id long, user_id long, event_type string, value double")
         .load(out)
     )
+
+
+def streaming_json_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-row: the schema-free dynamic-JSON sanitizer running UNDER
+    Structured Streaming — drifted payloads arrive on a file stream and
+    sanitize in-flight (a pure stateless projection, so the streaming
+    plan is the batch plan per micro-batch: no state, no watermark).
+    The oracle is the batch sanitize SQL, so the hash match proves the
+    streaming path emits byte-identical canonical JSON."""
+    from ad_data_lake_spark.functions.dynamic_json import sanitize_json_fragment
+    from ad_data_lake_spark.operators.sanitize_queries import dynamic_json_payload
+
+    events = _events_slim(spark, sf_dir)
+    payloads = events.select(
+        "event_id", dynamic_json_payload(events).alias("payload")
+    )
+    src = os.path.join(_scratch(spark, "json-sanitize-src", sf_dir), "payloads")
+    payloads.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(payloads.schema).parquet(src)
+    out = stream.withColumn("sanitized", sanitize_json_fragment(F.col("payload")))
+    return run_available_now(
+        out, f"stream_sanitize_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )

@@ -1324,6 +1324,15 @@ _register(
 )
 
 _register(
+    "streaming_json_sanitize",
+    QuerySpec(
+        lake_queries.streaming_json_sanitize,
+        _dynj_oracle_sql(),
+        ("sanitize", "dynamic-json", "streaming", "write"),
+    ),
+)
+
+_register(
     "api_pages_ingest",
     QuerySpec(
         lake_queries.api_pages_ingest,
@@ -1789,7 +1798,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # names with no row in r05 ∪ r06 (they were r04-green and rotated
     # out), (c) the 11 rows whose implementation changed this round
     # (incremental.py rewrite, topk_ivf/bigram/boilerplate re-plans,
-    # metric_anomalies guard, bloom cache, IVF train cap). Everything past slot 50 is r05/r06-
+    # metric_anomalies guard, IVF train cap; bloom's cache-key-only
+    # change stays r6-green and yields its slot). Everything past slot 50 is r05/r06-
     # green and unchanged.
     # ---------------------------------------------------------------
     "sanitize_dynamic_json",
@@ -1800,6 +1810,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "nb_quality_score",
     "api_pages_ingest",
     "url_domain_filter",
+    "streaming_json_sanitize",
     "asof_attribution",
     "flight_window_rollup",
     "backfill_partition_replace",
@@ -1836,7 +1847,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bigram_lm_score",
     "boilerplate_removal",
     "metric_anomalies",
-    "bloom_decontaminate",
     "merge_upsert_idempotent",
     "cdc_apply",
     "merge_schema_evolution",
