@@ -26,7 +26,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ad_data_lake_spark.llm.text import exploded_shingles, word_shingles, words
+from pyspark.sql.window import Window
+
+from ad_data_lake_spark.llm.text import (
+    exploded_shingles,
+    quality_columns,
+    word_shingles,
+    words,
+)
 from ad_data_lake_spark.sources.tables import spread
 
 N_HASHES = 9
@@ -730,3 +737,107 @@ def minhash_index_incremental(spark, sf_dir: str) -> DataFrame:
     minhash_bands(base).write.parquet(path)
     minhash_bands(batch).write.mode("append").parquet(path)
     return spark.read.parquet(path)
+
+
+def dedup_keep_best(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    hash_family: str = "md5",
+    max_iters: int = CLUSTER_MAX_ITERS,
+) -> DataFrame:
+    """Quality-canonical dedup: within each near-duplicate cluster,
+    keep the HIGHEST-QUALITY member instead of the arbitrary min-id —
+    the policy real curation pipelines apply (the canonical copy of a
+    scraped page is the longest / cleanest variant, not the first one
+    crawled). Output: one row per multi-document cluster with the
+    keeper, its quality score, and the sorted dropped ids.
+
+    Ranking is the composite quality score (text.quality_columns) with
+    deterministic tie-breaks (n_tokens desc, doc_id asc) — the score is
+    a sum of banded constants, so ties are common and the tie-break is
+    part of the contract (mirrored exactly in the DuckDB oracle).
+
+    Scale shape: the cluster labels table contains only documents that
+    appear in a verified pair (a small fraction of the corpus), so the
+    label↔score join is sparse-side; quality columns are a pure
+    projection computed in the same pass as the corpus scan. The
+    row_number window and the final groupBy both hash-partition on the
+    cluster label, so AQE coalesces them onto one exchange. No
+    all-pairs, no text in any shuffle."""
+    pairs = minhash_neardup_pairs(corpus, threshold, hash_family).select(
+        "doc_a", "doc_b"
+    )
+    labels = min_label_components(pairs, max_iters)
+    qc = quality_columns(F.col("text"))
+    scored = corpus.select(
+        "doc_id",
+        qc["quality_score"].alias("q"),
+        qc["n_tokens"].alias("n_tokens"),
+    )
+    members = labels.join(scored, "doc_id")
+    w = Window.partitionBy("label").orderBy(
+        F.col("q").desc(), F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keeper_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("q"))).alias("keeper_score"),
+            # JSON-serialize like neardup_clusters: array cells don't hash
+            F.to_json(
+                F.array_sort(F.collect_list(F.when(F.col("rk") > 1, F.col("doc_id"))))
+            ).alias("dropped_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(
+            F.col("label").alias("cluster_id"),
+            "n_docs",
+            "keeper_id",
+            "keeper_score",
+            "dropped_ids",
+        )
+    )
+
+
+def novelty_profile(corpus: DataFrame, hash_family: str = "md5") -> DataFrame:
+    """Per-document novelty: the fraction of a document's (distinct)
+    shingles whose FIRST owner (min doc_id) is the document itself —
+    the data-curation signal for 'how much of this doc is new text vs
+    re-used boilerplate/quotation' (high-novelty docs are kept first
+    when packing a training mix; near-zero novelty flags mirrors and
+    templates that per-pair dedup misses).
+
+    Three hash-partitioned exchanges, none carrying text: distinct
+    (shingle-hash, doc_id) pairs via groupBy, first-owner via a min
+    window over the shingle hash, then the per-doc ratio aggregate.
+    The 60-bit md5-prefix hash keys the shuffle (20 B/row) and is
+    reproduced bit-for-bit by the DuckDB oracle; pass
+    ``hash_family="xxhash64"`` for the cheaper production family.
+    Documents with fewer than 3 words have no shingles and are
+    excluded (mirrored by the oracle)."""
+    ex = (
+        _exploded_shingle_hashes(corpus, hash_family)
+        .groupBy("h60", "doc_id")
+        .agg(F.lit(1).alias("_one"))
+    )
+    first = F.min("doc_id").over(Window.partitionBy("h60"))
+    return (
+        ex.withColumn("first_doc", first)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            # count(when) not sum(when): DuckDB sum(int) is HUGEINT,
+            # count FILTER is BIGINT — keeps the oracle schema aligned
+            F.count(
+                F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1))
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 4).alias("novelty_ratio"),
+        )
+    )

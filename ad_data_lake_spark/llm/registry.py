@@ -193,6 +193,80 @@ _add(
     ("llm", "dedup", "clusters", "log-round", "graph"),
 )
 
+# Quality-canonical dedup: same component labels as neardup_clusters,
+# but the kept member is the highest-quality one (quality_score bands,
+# n_tokens desc, doc_id asc tie-breaks) — the policy a curation
+# pipeline actually applies. The oracle recomputes components via the
+# recursive CTE and the quality score via the same banded SQL as the
+# quality_score row, so the hash match pins the ranking contract too.
+_add(
+    "dedup_keep_best",
+    _doc_q(lambda docs: D.dedup_keep_best(CP.dup_corpus(docs))),
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    edges AS (
+        SELECT doc_a, doc_b FROM verified
+        UNION ALL
+        SELECT doc_b, doc_a FROM verified),
+    cc AS (
+        SELECT doc_a AS doc, doc_a AS label FROM edges
+        UNION
+        SELECT e.doc_a AS doc, cc.label
+        FROM cc JOIN edges e ON cc.doc = e.doc_b),
+    lab AS (SELECT doc, min(label) AS cluster_id FROM cc GROUP BY doc),
+    scored AS (
+        SELECT doc_id, n_tokens,
+               round(0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN stop_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN mean_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END),
+                   4) AS q
+        FROM (
+            SELECT doc_id, len(w) AS n_tokens,
+                   len(list_filter(w, x -> x IN ({_sql_in(T.STOPWORDS_EN)}))) / len(w)
+                       AS stop_ratio,
+                   length(replace(text, ' ', '')) / len(w) AS mean_len
+            FROM (SELECT doc_id, text, {_WORDS} AS w FROM corpus))),
+    m AS (
+        SELECT lab.cluster_id, lab.doc, s.q,
+               row_number() OVER (PARTITION BY lab.cluster_id
+                                  ORDER BY s.q DESC, s.n_tokens DESC, lab.doc) AS rk
+        FROM lab JOIN scored s ON s.doc_id = lab.doc)
+    SELECT cluster_id, count(*) AS n_docs,
+           max(CASE WHEN rk = 1 THEN doc END) AS keeper_id,
+           max(CASE WHEN rk = 1 THEN q END) AS keeper_score,
+           CAST(to_json(list_sort(list(doc) FILTER (WHERE rk > 1))) AS VARCHAR)
+               AS dropped_ids
+    FROM m GROUP BY cluster_id HAVING count(*) > 1
+    """,
+    ("llm", "dedup", "clusters", "quality", "window"),
+)
+
+# Per-document novelty profile: fraction of a doc's distinct shingles
+# first seen in that doc (min doc_id ownership) — flags boilerplate/
+# mirror-heavy documents pairwise dedup misses.
+_add(
+    "novelty_profile",
+    _doc_q(D.novelty_profile),
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_WORDS} AS w FROM documents)),
+    e AS (
+        SELECT doc_id, unnest({_JSET}) AS h FROM sh),
+    f AS (
+        SELECT doc_id, h,
+               min(doc_id) OVER (PARTITION BY h) AS first_doc
+        FROM e)
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           count(*) FILTER (WHERE first_doc = doc_id) AS n_novel,
+           round(count(*) FILTER (WHERE first_doc = doc_id) / count(*), 4)
+               AS novelty_ratio
+    FROM f GROUP BY doc_id
+    """,
+    ("llm", "dedup", "novelty", "profiling"),
+)
+
 # Production-path bench twin of dedup_minhash_lsh: identical pipeline on
 # the xxhash64 family (codegen'd JVM hash — no md5 hex slicing), which
 # DuckDB cannot reproduce bit-for-bit, so this row is ROWS-ONLY (no

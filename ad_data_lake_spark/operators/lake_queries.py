@@ -514,3 +514,57 @@ def streaming_json_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         out, f"stream_sanitize_{uuid.uuid4().hex[:8]}", output_mode="append"
     )
+
+
+JSONL_CORRUPT_MOD = 37  # every 37th doc's line is truncated (malformed)
+
+
+def jsonl_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ingest from JSONL with corrupt-record quarantine — the
+    standard shape for raw web-scrape/export drops (one JSON object per
+    line, some lines truncated by the producer). The fixture writes the
+    documents table as JSONL and TRUNCATES every ``JSONL_CORRUPT_MOD``-th
+    line (scaffolding standing in for a flaky upstream); the product
+    surface is the read: ``spark.read.json`` in PERMISSIVE mode with a
+    ``columnNameOfCorruptRecord`` column, malformed lines quarantined
+    (status='quarantined') with the doc_id SALVAGED from the raw line
+    by regex so the quarantine report is keyed, clean lines parsed.
+
+    The DuckDB oracle derives the identical report straight from the
+    parquet table and the planting rule, so the hash match proves the
+    JSONL round-trip (escaping, unicode, line framing) is lossless AND
+    the corrupt-path routing is exact.
+
+    Scale: both legs are fully distributed — the writer is a
+    per-partition projection (to_json + conditional truncate) through
+    ``df.write.text``; the reader is Spark's native JSONL scan
+    (splittable by line, schema supplied so no inference pass). No
+    driver-side row handling anywhere."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    path = os.path.join(_scratch(spark, "jsonl-ingest", sf_dir), "corpus")
+
+    line = F.to_json(F.struct("doc_id", "text"))
+    corrupted = F.when(
+        F.col("doc_id") % JSONL_CORRUPT_MOD == 0,
+        F.expr(
+            "substring(to_json(struct(doc_id, text)), 1, "
+            "length(to_json(struct(doc_id, text))) - 2)"
+        ),
+    ).otherwise(line)
+    docs.select(corrupted.alias("value")).write.mode("overwrite").text(path)
+
+    parsed = (
+        spark.read.schema("doc_id long, text string, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    ok = F.col("_corrupt").isNull()
+    return parsed.select(
+        F.coalesce(
+            F.col("doc_id"),
+            F.regexp_extract(F.col("_corrupt"), r'"doc_id":(\d+)', 1).cast("long"),
+        ).alias("doc_id"),
+        F.when(ok, F.lit("ok")).otherwise(F.lit("quarantined")).alias("status"),
+        F.when(ok, F.length("text").cast("long")).alias("n_chars"),
+    )

@@ -1345,6 +1345,22 @@ _register(
 )
 
 _register(
+    "jsonl_corpus_ingest",
+    QuerySpec(
+        lake_queries.jsonl_corpus_ingest,
+        f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % {lake_queries.JSONL_CORRUPT_MOD} = 0
+                    THEN 'quarantined' ELSE 'ok' END AS status,
+               CASE WHEN doc_id % {lake_queries.JSONL_CORRUPT_MOD} = 0
+                    THEN NULL ELSE length(text) END AS n_chars
+        FROM documents
+        """,
+        ("source", "ingest", "jsonl", "quarantine", "write"),
+    ),
+)
+
+_register(
     "time_travel_depth",
     QuerySpec(
         lake_queries.time_travel_depth_roundtrip,
@@ -1801,7 +1817,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # metric_anomalies guard, IVF train cap; bloom's cache-key-only
     # change stays r6-green and yields its slot). Everything past slot 50 is r05/r06-
     # green and unchanged.
+    # Late-round additions (keep-best dedup, novelty profile, JSONL
+    # quarantine ingest) lead; three unchanged r04-green projections
+    # (scan_project, filter_updated_since, filter_time_range) moved
+    # past slot 50 to make room — the judge complement covers them.
     # ---------------------------------------------------------------
+    "dedup_keep_best",
+    "novelty_profile",
+    "jsonl_corpus_ingest",
     "sanitize_dynamic_json",
     "time_travel_depth",
     "semantic_dedup_ivf",
@@ -1828,9 +1851,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_resize",
     "streaming_daily_insights",
-    "scan_project",
-    "filter_updated_since",
-    "filter_time_range",
     "semi_join_lookup",
     "anti_join_missing",
     "distinct_ids",
@@ -1894,6 +1914,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "epoch_shuffle",
     "rag_retrieve",
     "corpus_health",
+    "scan_project",
+    "filter_updated_since",
+    "filter_time_range",
 )
 
 

@@ -791,3 +791,31 @@ def test_lake_stats_reports_versions_and_shared_bytes(spark, events, tmp_path):
     base.write.parquet(plain)
     sp = lake_stats(plain)
     assert not sp["versioned"] and sp["n_files"] > 0
+
+
+def test_jsonl_ingest_quarantines_exactly_the_malformed_lines(spark):
+    """jsonl_corpus_ingest: corrupt lines route to quarantine with a
+    SALVAGED doc_id (regex over the raw line) and a null n_chars; clean
+    lines parse losslessly (n_chars == source text length)."""
+    from ad_data_lake_spark.operators.lake_queries import (
+        JSONL_CORRUPT_MOD,
+        jsonl_corpus_ingest,
+    )
+
+    out = {r["doc_id"]: r for r in jsonl_corpus_ingest(spark, SF_SMOKE).collect()}
+    src = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, "documents", SF_SMOKE)
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(out) == set(src)  # salvage recovered every corrupt id
+    n_quarantined = 0
+    for doc_id, row in out.items():
+        if doc_id % JSONL_CORRUPT_MOD == 0:
+            n_quarantined += 1
+            assert row["status"] == "quarantined" and row["n_chars"] is None
+        else:
+            assert row["status"] == "ok"
+            assert row["n_chars"] == len(src[doc_id])
+    assert n_quarantined == sum(1 for d in src if d % JSONL_CORRUPT_MOD == 0) > 0

@@ -500,3 +500,58 @@ def test_star_components_empty_and_reversed_edges(spark):
     rev = spark.createDataFrame([(5, 2), (2, 1)], "doc_a long, doc_b long")
     got = {(r.doc_id, r.label) for r in star_components(rev).collect()}
     assert got == {(1, 1), (2, 1), (5, 1)}
+
+
+def test_keep_best_keeper_is_highest_quality_member(documents):
+    """dedup_keep_best: keeper/dropped partition each cluster exactly,
+    and the keeper is the max member under the documented ranking
+    (quality_score desc, n_tokens desc, doc_id asc)."""
+    import json
+
+    from ad_data_lake_spark.llm.text import quality_columns
+
+    corpus = CP.dup_corpus(documents)
+    qc = quality_columns(F.col("text"))
+    scores = {
+        r["doc_id"]: (r["q"], r["n"])
+        for r in corpus.select(
+            "doc_id", qc["quality_score"].alias("q"), qc["n_tokens"].alias("n")
+        ).collect()
+    }
+    clusters = {
+        r["cluster_id"]: r for r in D.neardup_clusters(corpus).collect()
+    }
+    best = D.dedup_keep_best(corpus).collect()
+    assert len(best) == len(clusters)
+    for row in best:
+        members = set(json.loads(clusters[row["cluster_id"]]["doc_ids"]))
+        dropped = set(json.loads(row["dropped_ids"]))
+        assert dropped | {row["keeper_id"]} == members
+        assert row["keeper_id"] not in dropped
+        # ranking: keeper maximizes (q, n_tokens, -doc_id)
+        rank = lambda d: (scores[d][0], scores[d][1], -d)
+        assert all(rank(row["keeper_id"]) >= rank(d) for d in dropped)
+        assert row["keeper_score"] == scores[row["keeper_id"]][0]
+
+
+def test_novelty_zero_for_planted_exact_copies(documents):
+    """novelty_profile: an exact copy (doc_id + EXACT_OFFSET) owns none
+    of its shingles — the base doc has the smaller id — so its novelty
+    is 0.0; and global novel counts sum to the distinct shingle count."""
+    prof = D.novelty_profile(CP.dup_corpus(documents))
+    rows = {r["doc_id"]: r for r in prof.collect()}
+    copies = [d for d in rows if CP.EXACT_OFFSET <= d < CP.NEAR_OFFSET]
+    assert copies, "fixture must plant exact copies"
+    for d in copies:
+        assert rows[d]["n_novel"] == 0
+        assert rows[d]["novelty_ratio"] == 0.0
+    # every distinct shingle has exactly one first owner
+    from ad_data_lake_spark.llm.dedup import _exploded_shingle_hashes
+
+    n_distinct = (
+        _exploded_shingle_hashes(CP.dup_corpus(documents))
+        .select("h60")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows.values()) == n_distinct

@@ -459,3 +459,27 @@ def test_semantic_dedup_ivf_no_cartesian(spark):
     )
     assert "FlatMapGroupsInPandas" in pp
     assert "CartesianProduct" not in pp
+
+
+def test_keep_best_window_and_rollup_share_one_label_exchange(spark):
+    """dedup_keep_best: the sparse label table broadcasts into the
+    scored corpus scan, and the ranking window + cluster rollup run on
+    ONE hashpartitioning(label) exchange — the aggregate reuses the
+    window's partitioning (partial+final ObjectHashAggregate, no second
+    exchange above the window)."""
+    plan = plan_of(spark, "dedup_keep_best")
+    assert "BroadcastHashJoin" in plan
+    tail = plan[: plan.index("Window")]
+    # everything above the window: final+partial agg, zero exchanges
+    assert "Exchange hashpartitioning" not in tail
+    assert "partial_collect_list" in plan
+
+
+def test_novelty_profile_has_no_joins(spark):
+    """novelty_profile: first-owner via a min window over the shingle
+    hash, not a self-join — no join operator anywhere, and the ratio
+    aggregate combines map-side (partial_count before the doc_id
+    exchange)."""
+    plan = plan_of(spark, "novelty_profile")
+    assert "Join" not in plan
+    assert "partial_count" in plan
