@@ -142,6 +142,51 @@ def pack_sequences(
     )
 
 
+BALANCE_SHARDS = 8
+BALANCE_GROUPS = 4
+
+
+def shard_assign(
+    documents: DataFrame,
+    n_shards: int = BALANCE_SHARDS,
+    n_groups: int = BALANCE_GROUPS,
+) -> DataFrame:
+    """Size-BALANCED shard assignment for training export — the step
+    before ``pack_sequences`` when shards must finish together on a
+    synchronous trainer (a shard 10% heavier than its peers idles the
+    whole data-parallel group 10% of every epoch).
+
+    Algorithm: serpentine sorted round-robin (the streaming LPT
+    approximation) — docs sort by token count DESC within a group and
+    deal out boustrophedon (0..N-1 then N-1..0), so each round of 2N
+    docs contributes equal rank-bias to every shard; imbalance is
+    bounded by one round's token spread per group rather than growing
+    with corpus size. The sort is per-GROUP (doc_id mod n_groups), not
+    global: each group's window sorts 1/n_groups of the corpus in
+    parallel and the serpentine property holds within every group, so
+    there is no global-order bottleneck at any scale — groups are the
+    parallelism knob (set n_groups ~ cluster cores at 100 TB).
+
+    Output: one row per document (doc_id, n_tokens, shard). Balance is
+    pinned in pytest (max/min shard token totals); the DuckDB oracle
+    reproduces the exact assignment, tie-breaks included."""
+    n_tok = F.size(words(F.col("text")))
+    base = documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (F.col("doc_id") % n_groups).alias("grp"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    rn = F.row_number().over(w) - 1
+    pos = rn % (2 * n_shards)
+    shard = F.when(pos < n_shards, pos).otherwise(2 * n_shards - 1 - pos)
+    return base.select("doc_id", "n_tokens", shard.cast("long").alias("shard"))
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame | None = None,

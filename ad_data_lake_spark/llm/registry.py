@@ -720,6 +720,32 @@ _add(
     ("llm", "curation", "packing", "window"),
 )
 
+# Size-balanced shard assignment (serpentine sorted round-robin per
+# doc_id-mod group — no global sort). The oracle reproduces the exact
+# assignment including tie-breaks; balance quality is pytest-pinned.
+_add(
+    "shard_assign",
+    _doc_q(CU.shard_assign),
+    f"""
+    WITH b AS (
+        SELECT doc_id, len({_WORDS}) AS n_tokens,
+               doc_id % {CU.BALANCE_GROUPS} AS grp
+        FROM documents),
+    r AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY n_tokens DESC, doc_id ASC) - 1 AS rn
+        FROM b)
+    SELECT doc_id, n_tokens,
+           CASE WHEN rn % {2 * CU.BALANCE_SHARDS} < {CU.BALANCE_SHARDS}
+                THEN rn % {2 * CU.BALANCE_SHARDS}
+                ELSE {2 * CU.BALANCE_SHARDS - 1} - (rn % {2 * CU.BALANCE_SHARDS})
+           END AS shard
+    FROM r
+    """,
+    ("llm", "curation", "sharding", "window"),
+)
+
 _add(
     "contamination_check",
     _doc_q(CU.contamination_check),

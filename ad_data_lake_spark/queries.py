@@ -1822,6 +1822,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (scan_project, filter_updated_since, filter_time_range) moved
     # past slot 50 to make room — the judge complement covers them.
     # ---------------------------------------------------------------
+    "shard_assign",
     "dedup_keep_best",
     "novelty_profile",
     "jsonl_corpus_ingest",
@@ -1851,7 +1852,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_resize",
     "streaming_daily_insights",
-    "semi_join_lookup",
     "anti_join_missing",
     "distinct_ids",
     "broadcast_dim_join",
@@ -1914,6 +1914,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "epoch_shuffle",
     "rag_retrieve",
     "corpus_health",
+    "semi_join_lookup",
     "scan_project",
     "filter_updated_since",
     "filter_time_range",

