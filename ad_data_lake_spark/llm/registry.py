@@ -520,6 +520,34 @@ _add(
     ("llm", "similarity", "ann", "bruteforce"),
 )
 
+# int8-quantized twin of the brute-force row: codes = round(x / (max|x|
+# / 127)), scales cancel in cosine so the score is a pure integer-array
+# cosine — exact in both engines by construction (integer dots sum
+# exactly in doubles). The 4-8x storage/bandwidth saving is the scale
+# story; the quantization error vs float top-k is measured in REPORT.md.
+_add(
+    "embed_topk_int8",
+    _emb_q(SIM.topk_int8),
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                          {SIM.INT8_EPS}) AS sc
+          FROM v),
+    q8 AS (SELECT vec_id, list_transform(v, x -> round(x / sc)) AS q FROM s),
+    q AS (SELECT vec_id AS query_id, q AS qv FROM q8 WHERE vec_id < 5),
+    c AS (SELECT vec_id, q AS cv FROM q8)
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT query_id, vec_id, {_COS} AS cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_COS} DESC, vec_id) AS rank
+        FROM q, c WHERE query_id <> vec_id)
+    WHERE rank <= 10
+    """,
+    ("llm", "similarity", "ann", "quantization", "bruteforce"),
+)
+
 def _ivf_train_ctes(
     n_cells: int = SIM.IVF_CELLS, iters: int = SIM.IVF_ITERS
 ) -> tuple[list[str], str]:

@@ -1822,6 +1822,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (scan_project, filter_updated_since, filter_time_range) moved
     # past slot 50 to make room — the judge complement covers them.
     # ---------------------------------------------------------------
+    "embed_topk_int8",
     "shard_assign",
     "dedup_keep_best",
     "novelty_profile",
@@ -1852,7 +1853,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_resize",
     "streaming_daily_insights",
-    "anti_join_missing",
     "distinct_ids",
     "broadcast_dim_join",
     "hierarchy_flat",
@@ -1915,6 +1915,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rag_retrieve",
     "corpus_health",
     "semi_join_lookup",
+    "anti_join_missing",
     "scan_project",
     "filter_updated_since",
     "filter_time_range",
