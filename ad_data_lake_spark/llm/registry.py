@@ -634,6 +634,67 @@ _add(
     ("llm", "similarity", "ann", "ivf"),
 )
 
+
+def _ivf_sq8_sql(
+    n_cells: int = SIM.IVF_CELLS,
+    iters: int = SIM.IVF_ITERS,
+    nprobe: int = SIM.IVF_NPROBE,
+    k: int = 5,
+    query_mod: int = 97,
+) -> str:
+    """IVF top-k scored on int8 codes (the faiss IVF,SQ8 analog):
+    identical trainer/assignment/probe CTEs as ``_ivf_sql``, with the
+    candidate scoring swapped to the quantized-code cosine — codes from
+    RAW vectors, so they are bit-identical to Spark's numpy codes."""
+    ctes, prev = _ivf_train_ctes(n_cells, iters)
+    ctes.append(
+        "af AS (SELECT vec_id, cell FROM ("
+        "SELECT u.vec_id, cc.cell, row_number() OVER (PARTITION BY u.vec_id"
+        f" ORDER BY round(list_dot_product(u.u, cc.c), 6) DESC, cc.cell) AS rn"
+        f" FROM u, {prev} cc) WHERE rn = 1)"
+    )
+    ctes.append(
+        "q8 AS (SELECT vec_id, list_transform(v, x -> round(x / sc)) AS q FROM ("
+        "SELECT vec_id, v,"
+        f" greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, {SIM.INT8_EPS}) AS sc"
+        " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)))"
+    )
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, u AS qu FROM u WHERE vec_id % {query_mod} = 0)"
+    )
+    ctes.append(
+        "p AS (SELECT query_id, cell FROM ("
+        "SELECT q.query_id, cc.cell, row_number() OVER (PARTITION BY q.query_id"
+        f" ORDER BY round(list_dot_product(q.qu, cc.c), 6) DESC, cc.cell) AS rn"
+        f" FROM q, {prev} cc) WHERE rn <= {nprobe})"
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT query_id, cell, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT p.query_id, af.cell, af.vec_id,
+               round(list_cosine_similarity(qc.q, cc.q), 6) AS cosine_sim,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY round(list_cosine_similarity(qc.q, cc.q), 6) DESC,
+                                           af.vec_id) AS rank
+        FROM p JOIN af USING (cell)
+               JOIN q8 cc ON af.vec_id = cc.vec_id
+               JOIN q8 qc ON p.query_id = qc.vec_id
+        WHERE p.query_id <> af.vec_id)
+    WHERE rank <= {k}
+    """
+
+
+# faiss-style IVF,SQ8: coarse-quantizer pruning + int8-code candidate
+# scoring — the production ANN pairing at scale. Cells/probes identical
+# to embed_topk_ivf; the value oracle pins the quantized scoring too.
+_add(
+    "embed_topk_ivf_sq8",
+    _emb_q(lambda emb: SIM.topk_ivf_sq8(emb, n_cells=SIM.IVF_CELLS)),
+    _ivf_sq8_sql(),
+    ("llm", "similarity", "ann", "ivf", "quantization"),
+)
+
 _add(
     "embed_neardup_pairs",
     _emb_q(SIM.cosine_neardup_pairs),

@@ -573,6 +573,110 @@ def topk_ivf(
     return _ranked(cand, k).select("query_id", "cell", "vec_id", "cosine_sim", "rank")
 
 
+def topk_ivf_sq8(
+    embeddings: DataFrame,
+    query_mod: int = 97,
+    k: int = 5,
+    n_cells: int | None = None,
+    iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF + int8 scalar quantization — the faiss ``IVF,SQ8`` analog
+    and the production ANN configuration at 100 TB: the coarse
+    quantizer prunes the scan to ~nprobe/n_cells of the corpus (the
+    IVF story) and the candidates score against int8 CODES instead of
+    floats (the SQ8 story: 1 byte/dim in the cell layout → 4-8× less
+    candidate bandwidth). Cells, probes, and tie-breaks are identical
+    to ``topk_ivf``; only the scoring representation changes, so the
+    recall delta measured in pytest is exactly the quantization cost.
+
+    Codes are derived from the RAW vectors (float→double is exact, so
+    the codes — and therefore every integer dot — are bit-identical in
+    both engines; unit vectors would carry an engine-dependent ulp
+    from the norm's summation order into the round()). The per-cell
+    scorer re-derives codes from the carried vector batch to keep the
+    oracle contract self-contained; a cell-partitioned production
+    layout stores the codes column instead and never ships floats.
+
+    Same grouped-BLAS shape as ``topk_ivf``: one matmul per (cell ×
+    probing queries) cogroup, only per-(query, cell) top-k rows leave
+    Python, global rank over candidates."""
+    if n_cells is None:
+        n_cells = ivf_cells_for(embeddings.count())
+    cents = ivf_centroids(embeddings, n_cells, iters)
+    v = as_double(F.col("embedding"))
+    assigned = embeddings.select(
+        "vec_id",
+        v.alias("v"),
+        _unit_and_cell_pd(cents)(v).alias("uc"),
+    ).select("vec_id", "v", F.col("uc.cell").alias("cell"))
+    probe_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                _cell_scores(F.col("u"), cents),
+                lambda sc: F.struct((-sc["s"]).alias("ns"), (-sc["nc"]).alias("cell")),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q = (
+        embeddings.where(F.col("vec_id") % query_mod == 0)
+        .select("vec_id", v.alias("qv"), _unit_pd(v).alias("u"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "qv",
+            F.explode(probe_cells).alias("pc"),
+        )
+        .select("query_id", "qv", F.col("pc.cell").alias("cell"))
+    )
+
+    def _cell_topk_sq8(corpus_pdf: pd.DataFrame, query_pdf: pd.DataFrame) -> pd.DataFrame:
+        if corpus_pdf.empty or query_pdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "cell": [], "vec_id": [], "cosine_sim": []}
+            )
+        C = _quantize_int8_np(np.vstack(corpus_pdf["v"].to_numpy()))
+        ids = corpus_pdf["vec_id"].to_numpy()
+        cell = int(corpus_pdf["cell"].iloc[0])
+        Q = _quantize_int8_np(np.vstack(query_pdf["qv"].to_numpy()))
+        qids = query_pdf["query_id"].to_numpy()
+        S = np.round(
+            (Q @ C.T)
+            / (
+                np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+                * np.sqrt(np.einsum("ij,ij->i", C, C))
+            ),
+            6,
+        )
+        outs = []
+        for qi in range(len(qids)):
+            s = S[qi]
+            mask = ids != qids[qi]
+            cand_ids, cand_s = ids[mask], s[mask]
+            order = np.lexsort((cand_ids, -cand_s))[:k]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qids[qi]),
+                        "cell": np.full(len(order), cell),
+                        "vec_id": cand_ids[order],
+                        "cosine_sim": cand_s[order],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    cand = (
+        assigned.groupBy("cell")
+        .cogroup(q.groupBy("cell"))
+        .applyInPandas(
+            _cell_topk_sq8, "query_id long, cell long, vec_id long, cosine_sim double"
+        )
+    )
+    return _ranked(cand, k).select("query_id", "cell", "vec_id", "cosine_sim", "rank")
+
+
 def near_corpus(embeddings: DataFrame) -> DataFrame:
     """Embeddings ∪ perturbed copies (every NEAR_MOD-th vector, +PERTURB
     on every component) — the deterministic near-duplicate fixture, cast

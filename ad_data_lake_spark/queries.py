@@ -1817,11 +1817,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # metric_anomalies guard, IVF train cap; bloom's cache-key-only
     # change stays r6-green and yields its slot). Everything past slot 50 is r05/r06-
     # green and unchanged.
-    # Late-round additions (keep-best dedup, novelty profile, JSONL
-    # quarantine ingest) lead; three unchanged r04-green projections
-    # (scan_project, filter_updated_since, filter_time_range) moved
-    # past slot 50 to make room — the judge complement covers them.
+    # Late-round additions lead (keep-best dedup, novelty profile,
+    # JSONL quarantine ingest, shard_assign, int8 ANN, IVF-SQ8); six
+    # unchanged r04-green projections (scan_project,
+    # filter_updated_since, filter_time_range, semi_join_lookup,
+    # anti_join_missing, distinct_ids) moved past slot 50 to make
+    # room — the judge complement covers them.
     # ---------------------------------------------------------------
+    "embed_topk_ivf_sq8",
     "embed_topk_int8",
     "shard_assign",
     "dedup_keep_best",
@@ -1853,7 +1856,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_resize",
     "streaming_daily_insights",
-    "distinct_ids",
     "broadcast_dim_join",
     "hierarchy_flat",
     "text_stats",
@@ -1916,6 +1918,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_health",
     "semi_join_lookup",
     "anti_join_missing",
+    "distinct_ids",
     "scan_project",
     "filter_updated_since",
     "filter_time_range",

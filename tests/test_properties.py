@@ -168,3 +168,61 @@ def test_dynamic_json_sanitize_idempotent(spark):
     for r in out:
         assert r.s1 == r.s2, f"not a fixpoint: {r.s1!r} -> {r.s2!r}"
         _json.loads(r.s1)  # and the canonical form is valid JSON
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+            ),
+            min_size=4,
+            max_size=16,
+        ).filter(lambda v: any(abs(x) > 1e-9 for x in v)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_int8_quantization_properties(vectors):
+    """_quantize_int8_np: codes bounded to ±127, reconstruction error
+    per component ≤ scale/2 (round-to-nearest guarantee), and the code
+    of the max-|x| component is exactly ±127."""
+    import numpy as np
+
+    from ad_data_lake_spark.llm.similarity import INT8_EPS, _quantize_int8_np
+
+    dim = min(len(v) for v in vectors)
+    V = np.array([v[:dim] for v in vectors], dtype=np.float64)
+    C = _quantize_int8_np(V)
+    assert np.abs(C).max() <= 127
+    sc = np.maximum(np.abs(V).max(axis=1) / 127.0, INT8_EPS)
+    err = np.abs(C * sc[:, None] - V)
+    assert (err <= sc[:, None] / 2 + 1e-12).all()
+    # the extreme component hits full scale exactly; a (near-)zero
+    # vector quantizes to all-zero codes via the eps floor, not NaN
+    for i in range(len(V)):
+        j = np.argmax(np.abs(V[i]))
+        if abs(V[i][j]) >= INT8_EPS * 127:
+            assert abs(C[i][j]) == 127
+        else:
+            assert np.isfinite(C[i]).all()
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=5000), min_size=64, max_size=400),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=100, deadline=None)
+def test_serpentine_deal_balance_property(sizes, n_shards):
+    """The serpentine (boustrophedon) deal shard_assign uses: within a
+    sorted group, shard totals differ by at most the largest item —
+    strictly tighter than plain round-robin's worst case on sorted
+    input, and independent of list length."""
+    order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+    totals = [0] * n_shards
+    for rank, i in enumerate(order):
+        pos = rank % (2 * n_shards)
+        shard = pos if pos < n_shards else 2 * n_shards - 1 - pos
+        totals[shard] += sizes[i]
+    assert max(totals) - min(totals) <= max(sizes)
