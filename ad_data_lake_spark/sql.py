@@ -42,6 +42,10 @@ HEADLINE_VIEWS: tuple[str, ...] = (
     "text_stats",
     "quality_score",
     "rag_retrieve",
+    "dedup_keep_best",
+    "novelty_profile",
+    "shard_assign",
+    "embed_topk_int8",
 )
 
 
