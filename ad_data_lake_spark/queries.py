@@ -1824,6 +1824,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # anti_join_missing, distinct_ids) moved past slot 50 to make
     # room — the judge complement covers them.
     # ---------------------------------------------------------------
+    "rare_token_scrub",
     "embed_topk_ivf_sq8",
     "embed_topk_int8",
     "shard_assign",
@@ -1856,7 +1857,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_resize",
     "streaming_daily_insights",
-    "broadcast_dim_join",
     "hierarchy_flat",
     "text_stats",
     "token_counts",
@@ -1919,6 +1919,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "semi_join_lookup",
     "anti_join_missing",
     "distinct_ids",
+    "broadcast_dim_join",
     "scan_project",
     "filter_updated_since",
     "filter_time_range",

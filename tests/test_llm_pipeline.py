@@ -555,3 +555,25 @@ def test_novelty_zero_for_planted_exact_copies(documents):
         .count()
     )
     assert sum(r["n_novel"] for r in rows.values()) == n_distinct
+
+
+def test_rare_token_scrub_removes_planted_handles(documents):
+    """rare_token_scrub: every planted unique user<doc_id> handle is
+    gone from the scrubbed text (frequency 1 can never make a top-K
+    vocab), vocab tokens pass through untouched, and n_scrubbed counts
+    exactly the replaced positions."""
+    from ad_data_lake_spark.llm.text import (
+        SCRUB_PLANT_MOD,
+        UNK_TOKEN,
+        rare_token_scrub,
+    )
+
+    rows = rare_token_scrub(documents).collect()
+    assert rows
+    for r in rows:
+        toks = r["scrubbed_text"].split(" ")
+        assert len(toks) == r["n_tokens"]
+        assert toks.count(UNK_TOKEN) == r["n_scrubbed"]
+        if r["doc_id"] % SCRUB_PLANT_MOD == 0:
+            assert f"user{r['doc_id']}" not in toks  # handle anonymized
+            assert r["n_scrubbed"] >= 1
