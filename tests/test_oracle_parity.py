@@ -38,3 +38,20 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     names = {q for q in e.queries()}
     assert set(e.oracle_sql()) <= names
+
+
+def test_driver_priority_tuple_invariants():
+    """The rotation tuple the driver-facing ordering is built from:
+    no duplicates (a dupe silently shrinks the 50-slot window), every
+    name resolves to a registry entry (a typo would silently drop the
+    row to the unordered tail), and the window leads with rows that
+    have an oracle (rows-only entries get weaker checks and should not
+    occupy priority slots)."""
+    from ad_data_lake_spark.queries import REGISTRY, _DRIVER_PRIORITY
+
+    assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
+    unknown = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
+    assert not unknown, f"priority names missing from registry: {unknown}"
+    window = _DRIVER_PRIORITY[:50]
+    no_oracle = [n for n in window if REGISTRY[n].oracle is None]
+    assert not no_oracle, f"rows-only entries in the 50-slot window: {no_oracle}"
