@@ -236,7 +236,10 @@ def topk_int8(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFra
         return embeddings.sparkSession.createDataFrame([], empty)
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = _quantize_int8_np(np.vstack([r["embedding"] for r in qrows]))
-    Qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    # eps floor: a zero vector has undefined cosine — score it 0.0
+    # rather than NaN (codes are all-zero via the quantizer's eps, so
+    # only exact-zero rows hit this; fixture norms are all > 1)
+    Qn = np.maximum(np.sqrt(np.einsum("ij,ij->i", Q, Q)), INT8_EPS)
 
     def score(batches):
         for pdf in batches:
@@ -245,7 +248,9 @@ def topk_int8(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFra
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             C = _quantize_int8_np(np.vstack(pdf["embedding"].to_numpy()))
             sims = np.round(
-                (C @ Q.T) / (np.sqrt(np.einsum("ij,ij->i", C, C))[:, None] * Qn), 6
+                (C @ Q.T)
+                / (np.maximum(np.sqrt(np.einsum("ij,ij->i", C, C)), INT8_EPS)[:, None] * Qn),
+                6,
             )
             out_q, out_v, out_s = [], [], []
             for j in range(len(q_ids)):
@@ -644,8 +649,8 @@ def topk_ivf_sq8(
         S = np.round(
             (Q @ C.T)
             / (
-                np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
-                * np.sqrt(np.einsum("ij,ij->i", C, C))
+                np.maximum(np.sqrt(np.einsum("ij,ij->i", Q, Q)), INT8_EPS)[:, None]
+                * np.maximum(np.sqrt(np.einsum("ij,ij->i", C, C)), INT8_EPS)
             ),
             6,
         )

@@ -345,3 +345,44 @@ def test_api_pages_source_contract(spark, tmp_path):
     )
     with _pytest.raises(Exception):
         spark.read.format(api_source.FORMAT_NAME).schema("a long").load().collect()
+
+
+def test_round7_breadth_ops_on_degenerate_inputs(spark):
+    """The round-7 breadth operators must survive empty and minimal
+    corpora: empty frames yield empty results (not schema errors or
+    crashes), a single-document corpus is handled by every per-corpus
+    aggregate (vocab, first-owner window, components, serpentine deal),
+    and the int8 paths tolerate a zero vector (eps-floored scale)."""
+    from pyspark.sql import Row
+
+    from ad_data_lake_spark.llm import curation as CU
+    from ad_data_lake_spark.llm import dedup as D
+    from ad_data_lake_spark.llm import similarity as SIM
+    from ad_data_lake_spark.llm.text import rare_token_scrub
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    one = spark.createDataFrame([Row(doc_id=1, text="alpha beta gamma delta")])
+
+    assert D.dedup_keep_best(empty).count() == 0
+    assert D.novelty_profile(empty).count() == 0
+    assert CU.shard_assign(empty).count() == 0
+    assert rare_token_scrub(empty).count() == 0
+
+    assert D.dedup_keep_best(one).count() == 0  # no pairs -> no clusters
+    prof = D.novelty_profile(one).collect()
+    assert len(prof) == 1 and prof[0]["novelty_ratio"] == 1.0
+    sh = CU.shard_assign(one).collect()
+    assert len(sh) == 1 and sh[0]["shard"] == 0
+    sc = rare_token_scrub(one).collect()
+    assert len(sc) == 1 and sc[0]["n_scrubbed"] == 0  # every token in top-K
+
+    # zero vector: eps floor keeps codes finite and all-zero; the row
+    # simply never wins a ranking
+    zemb = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0] * 4), Row(vec_id=1, embedding=[0.0] * 4),
+         Row(vec_id=2, embedding=[0.5] * 4)]
+    )
+    rows = SIM.topk_int8(zemb, n_queries=1, k=2).collect()
+    assert len(rows) == 2
+    assert rows[0]["vec_id"] == 2 and rows[0]["cosine_sim"] == 1.0
+    assert rows[1]["vec_id"] == 1 and rows[1]["cosine_sim"] == 0.0  # not NaN
