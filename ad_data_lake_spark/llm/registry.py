@@ -531,6 +531,14 @@ def _bucket_sql(vec: str) -> str:
 
 _COS = "round(list_cosine_similarity(qv, cv), 6)"
 
+# quantized-code cosine with eps-floored norms — the DuckDB twin of the
+# Spark-side zero-vector guard (all-zero codes score 0.0, never NaN)
+_QCOS = (
+    "round(list_dot_product(qv, cv) / "
+    "(greatest(sqrt(list_dot_product(qv, qv)), {eps}) * "
+    "greatest(sqrt(list_dot_product(cv, cv)), {eps})), 6)"
+).format(eps=SIM.INT8_EPS)
+
 _add(
     "embed_topk_bruteforce",
     _emb_q(SIM.topk_bruteforce),
@@ -568,9 +576,9 @@ _add(
     c AS (SELECT vec_id, q AS cv FROM q8)
     SELECT query_id, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
     FROM (
-        SELECT query_id, vec_id, {_COS} AS cosine_sim,
+        SELECT query_id, vec_id, {_QCOS} AS cosine_sim,
                row_number() OVER (PARTITION BY query_id
-                                  ORDER BY {_COS} DESC, vec_id) AS rank
+                                  ORDER BY {_QCOS} DESC, vec_id) AS rank
         FROM q, c WHERE query_id <> vec_id)
     WHERE rank <= 10
     """,
@@ -702,9 +710,9 @@ def _ivf_sq8_sql(
     SELECT query_id, cell, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
     FROM (
         SELECT p.query_id, af.cell, af.vec_id,
-               round(list_cosine_similarity(qc.q, cc.q), 6) AS cosine_sim,
+               round(list_dot_product(qc.q, cc.q) / (greatest(sqrt(list_dot_product(qc.q, qc.q)), {SIM.INT8_EPS}) * greatest(sqrt(list_dot_product(cc.q, cc.q)), {SIM.INT8_EPS})), 6) AS cosine_sim,
                row_number() OVER (PARTITION BY p.query_id
-                                  ORDER BY round(list_cosine_similarity(qc.q, cc.q), 6) DESC,
+                                  ORDER BY round(list_dot_product(qc.q, cc.q) / (greatest(sqrt(list_dot_product(qc.q, qc.q)), {SIM.INT8_EPS}) * greatest(sqrt(list_dot_product(cc.q, cc.q)), {SIM.INT8_EPS})), 6) DESC,
                                            af.vec_id) AS rank
         FROM p JOIN af USING (cell)
                JOIN q8 cc ON af.vec_id = cc.vec_id

@@ -172,23 +172,6 @@ def topk_bruteforce(
 INT8_EPS = 1e-12  # zero-vector guard for the quantization scale
 
 
-def int8_vectors(embeddings: DataFrame) -> DataFrame:
-    """Symmetric int8 scalar quantization: per-vector scale =
-    max(|x|)/127, codes = round(x/scale) — integer values carried as
-    doubles (exactly representable; dots of 64 × 127² terms stay far
-    below 2^53, so every downstream sum is EXACT and engine-order-
-    independent). This is the stored form at 100 TB: 1 byte/dim + one
-    float scale = 4-8× less storage and scan bandwidth than raw floats,
-    which is the lever for billion-vector search — compute shape is
-    unchanged (same broadcast/rank pipeline as the float path)."""
-    v = as_double(F.col("embedding"))
-    scale = F.greatest(
-        F.array_max(F.transform(v, F.abs)) / F.lit(127.0), F.lit(INT8_EPS)
-    )
-    q8 = F.transform(v, lambda x: F.round(x / scale, 0))
-    return embeddings.select("vec_id", q8.alias("q8"))
-
-
 def _quantize_int8_np(V):
     """numpy twin of the int8 quantization, ops ordered EXACTLY as the
     SQL oracle (abs-max, /127.0, greatest vs eps, round half-away-from-

@@ -232,16 +232,22 @@ def rare_token_scrub(
                 continue
             n_tok, n_scr, out = [], [], []
             for text in pdf["text"]:
-                toks = ws.split(text.strip())
-                scrubbed = [t if t in vset else UNK_TOKEN for t in toks]
+                if text is None:
+                    # null-propagate like both engines' split/len/join do
+                    n_tok.append(None); n_scr.append(None); out.append(None)
+                    continue
+                # strip(" ") not strip(): Spark F.trim and DuckDB trim()
+                # remove only spaces, and the oracle tokenizes the same
+                # way — leading '\t'/'\n' must keep its empty token
+                toks = ws.split(text.strip(" "))
                 n_tok.append(len(toks))
-                n_scr.append(sum(1 for t, s in zip(toks, scrubbed) if s is not t))
-                out.append(" ".join(scrubbed))
+                n_scr.append(sum(1 for t in toks if t not in vset))
+                out.append(" ".join(t if t in vset else UNK_TOKEN for t in toks))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
-                    "n_tokens": n_tok,
-                    "n_scrubbed": n_scr,
+                    "n_tokens": pd.array(n_tok, dtype="Int32"),
+                    "n_scrubbed": pd.array(n_scr, dtype="Int32"),
                     "scrubbed_text": out,
                 }
             )

@@ -544,12 +544,12 @@ def jsonl_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_scratch(spark, "jsonl-ingest", sf_dir), "corpus")
 
     line = F.to_json(F.struct("doc_id", "text"))
+    # null-text guard: to_json omits null fields, so a null-text line
+    # ends in the doc_id digits and truncation would corrupt the id the
+    # salvage regex recovers — only corrupt lines whose tail is text
     corrupted = F.when(
-        F.col("doc_id") % JSONL_CORRUPT_MOD == 0,
-        F.expr(
-            "substring(to_json(struct(doc_id, text)), 1, "
-            "length(to_json(struct(doc_id, text))) - 2)"
-        ),
+        (F.col("doc_id") % JSONL_CORRUPT_MOD == 0) & F.col("text").isNotNull(),
+        line.substr(F.lit(1), F.length(line) - 2),
     ).otherwise(line)
     docs.select(corrupted.alias("value")).write.mode("overwrite").text(path)
 

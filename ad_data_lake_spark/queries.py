@@ -1351,8 +1351,10 @@ _register(
         f"""
         SELECT doc_id,
                CASE WHEN doc_id % {lake_queries.JSONL_CORRUPT_MOD} = 0
+                         AND text IS NOT NULL
                     THEN 'quarantined' ELSE 'ok' END AS status,
                CASE WHEN doc_id % {lake_queries.JSONL_CORRUPT_MOD} = 0
+                         AND text IS NOT NULL
                     THEN NULL ELSE length(text) END AS n_chars
         FROM documents
         """,
@@ -1818,11 +1820,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # change stays r6-green and yields its slot). Everything past slot 50 is r05/r06-
     # green and unchanged.
     # Late-round additions lead (keep-best dedup, novelty profile,
-    # JSONL quarantine ingest, shard_assign, int8 ANN, IVF-SQ8); six
-    # unchanged r04-green projections (scan_project,
-    # filter_updated_since, filter_time_range, semi_join_lookup,
-    # anti_join_missing, distinct_ids) moved past slot 50 to make
-    # room — the judge complement covers them.
+    # JSONL quarantine ingest, shard_assign, int8 ANN, IVF-SQ8,
+    # rare-token scrub); seven unchanged r04-green projections
+    # (scan_project, filter_updated_since, filter_time_range,
+    # semi_join_lookup, anti_join_missing, distinct_ids,
+    # broadcast_dim_join) moved past slot 50 to make room — the judge
+    # complement covers them.
     # ---------------------------------------------------------------
     "rare_token_scrub",
     "embed_topk_ivf_sq8",

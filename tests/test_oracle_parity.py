@@ -55,3 +55,65 @@ def test_driver_priority_tuple_invariants():
     window = _DRIVER_PRIORITY[:50]
     no_oracle = [n for n in window if REGISTRY[n].oracle is None]
     assert not no_oracle, f"rows-only entries in the 50-slot window: {no_oracle}"
+
+
+def test_latent_input_parity_nulls_tabs_zero_vectors(spark, tmp_path):
+    """Spark-vs-DuckDB parity on the inputs absent from the driver
+    fixtures but plausible in regenerated corpora: text with leading
+    tab / trailing newline (space-only trim semantics), NULL text
+    (null-propagating scrub, un-corruptable JSONL lines), and an
+    exact-zero embedding (eps-floored quantized cosine on BOTH sides).
+    Pins the round-7 review fixes so a fixture regeneration can't
+    surface them as driver reds."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from tests.oracle_compare import canon_rows
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(80)),
+            "text": [
+                "\tthe fast key order sort table scan merge part window\n"
+                if i % 7 == 0
+                else None
+                if i % 37 == 0 and i > 0
+                else f"spark group query row data slow small filter batch value t{i % 13} extra{i % 29}"
+                for i in range(80)
+            ],
+            "lang": ["en"] * 80,
+            "source": ["web"] * 80,
+        }
+    )
+    rng = np.random.RandomState(7)
+    emb = pd.DataFrame(
+        {
+            "vec_id": list(range(40)),
+            "embedding": [
+                [0.0] * 64 if i == 9 else list(rng.randn(64).astype(np.float32))
+                for i in range(40)
+            ],
+            "label": [i % 4 for i in range(40)],
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(docs), f"{sf}/documents.parquet")
+    pq.write_table(pa.Table.from_pandas(emb), f"{sf}/embeddings.parquet")
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("jsonl_corpus_ingest", "embed_topk_int8", "rare_token_scrub"):
+        sdf = qs[name](spark, sf).toPandas()
+        ddf = con.execute(oracles[name]).fetchdf()
+        assert sorted(sdf.columns) == sorted(ddf.columns), name
+        assert len(sdf) == len(ddf), (name, len(sdf), len(ddf))
+        s, d = canon_rows(sdf), canon_rows(ddf)
+        bad = [i for i, (a, b) in enumerate(zip(s, d)) if a != b]
+        assert not bad, (name, s[bad[0]], d[bad[0]])
+    con.close()

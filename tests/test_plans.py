@@ -40,7 +40,6 @@ _SWEEP = [n for n, s in REGISTRY.items() if "write" not in s.tags]
 # broadcast cross join as embed_topk_bruteforce).
 _CROSS_BY_DESIGN = {
     "embed_topk_bruteforce",
-    "embed_topk_int8",  # same deliberate broadcast cross join, quantized codes
     "unigram_lm_score",
     "tfidf_top_terms",
     "rag_retrieve",
