@@ -794,3 +794,38 @@ def streaming_corpus_ingest(spark, sf_dir: str) -> DataFrame:
     return read_merged(spark, target).select(
         "doc_id", "content_hash", "lang", "source", "n_tokens"
     )
+
+
+def streaming_rare_token_scrub(spark, sf_dir: str) -> DataFrame:
+    """The rare-token scrub running UNDER Structured Streaming — the
+    stream-static pattern: the allowed-token vocabulary is trained once
+    on the batch corpus (a static, bounded artifact) and each arriving
+    micro-batch scrubs against it in-flight with the SAME Arrow pass
+    the batch operator uses (stateless mapInPandas, so the streaming
+    plan is the batch plan per micro-batch: no state store, no
+    watermark). The oracle is the batch scrub SQL — the hash match
+    proves in-flight scrubbing emits byte-identical output to the
+    batch pass, the property that lets an ingest pipeline anonymize
+    before data ever lands."""
+    import os
+    import uuid
+
+    from ad_data_lake_spark.llm.text import (
+        SCRUB_SCHEMA,
+        plant_rare_handles,
+        scrub_batches_fn,
+        scrub_vocab_set,
+    )
+    from ad_data_lake_spark.scratch import scratch_dir
+    from ad_data_lake_spark.sources.tables import load_table
+    from ad_data_lake_spark.streaming import run_available_now
+
+    docs = plant_rare_handles(load_table(spark, "documents", sf_dir))
+    vset = scrub_vocab_set(docs)
+    src = os.path.join(scratch_dir(spark, "scrub-src", sf_dir), "docs")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = stream.mapInPandas(scrub_batches_fn(vset), SCRUB_SCHEMA)
+    return run_available_now(
+        out, f"stream_scrub_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )

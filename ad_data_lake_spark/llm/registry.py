@@ -362,10 +362,7 @@ _add(
 # Rare-token anonymization: out-of-vocab tokens -> <unk>. Planted
 # unique user<doc_id> handles MUST scrub (frequency 1); the vocab
 # boundary tie-breaks on the token string in both engines.
-_add(
-    "rare_token_scrub",
-    _doc_q(T.rare_token_scrub),
-    f"""
+_RARE_SCRUB_SQL = f"""
     WITH p AS (
         SELECT doc_id,
                CASE WHEN doc_id % {T.SCRUB_PLANT_MOD} = 0
@@ -384,8 +381,29 @@ _add(
                x -> CASE WHEN list_contains(vl.vl, x) THEN x
                          ELSE '{T.UNK_TOKEN}' END), ' ') AS scrubbed_text
     FROM (SELECT doc_id, {_WORDS} AS w FROM p), vl
-    """,
+    """
+
+_add(
+    "rare_token_scrub",
+    _doc_q(T.rare_token_scrub),
+    _RARE_SCRUB_SQL,
     ("llm", "text", "privacy", "anonymization", "vocabulary"),
+)
+
+# Stream-static twin: batch-trained vocab, identical Arrow scrub per
+# micro-batch (stateless), oracle shared with the batch row. (Lazy
+# import: curation is imported further down this module.)
+def _streaming_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ad_data_lake_spark.llm.curation import streaming_rare_token_scrub
+
+    return streaming_rare_token_scrub(spark, sf_dir)
+
+
+_add(
+    "streaming_rare_token_scrub",
+    _streaming_scrub,
+    _RARE_SCRUB_SQL,
+    ("llm", "text", "privacy", "streaming", "write"),
 )
 
 _LANG_SCORES = ",\n           ".join(

@@ -211,15 +211,43 @@ def rare_token_scrub(
     vocab array) measured 3.9× DuckDB at sf1 — interpreted
     higher-order-function cost that does NOT amortize with scale, the
     same trap the ANN scoring hit — and was replaced by this pass.
-    Top-K truncation keeps the vocab driver-safe at any corpus size."""
+    Top-K truncation keeps the vocab driver-safe at any corpus size.
+
+    The planting projection, vocab set, and Arrow scrub pass are shared
+    with the STREAMING twin (lake_queries.streaming_rare_token_scrub),
+    which runs the identical scrub per micro-batch against the
+    batch-trained vocab — the stream-static pattern."""
+    docs = plant_rare_handles(documents)
+    vset = scrub_vocab_set(docs, top_k)
+    return docs.mapInPandas(scrub_batches_fn(vset), SCRUB_SCHEMA)
+
+
+SCRUB_SCHEMA = "doc_id long, n_tokens int, n_scrubbed int, scrubbed_text string"
+
+
+def plant_rare_handles(documents: DataFrame) -> DataFrame:
+    """Fixture planting for the scrub rows: append a unique
+    ``user<doc_id>`` handle to every ``SCRUB_PLANT_MOD``-th document
+    (null text null-propagates through concat, matching the oracle)."""
     planted = F.when(
         F.col("doc_id") % SCRUB_PLANT_MOD == 0,
         F.concat(F.col("text"), F.lit(" user"), F.col("doc_id").cast("string")),
     ).otherwise(F.col("text"))
-    docs = documents.select("doc_id", planted.alias("text"))
-    vset = frozenset(
+    return documents.select("doc_id", planted.alias("text"))
+
+
+def scrub_vocab_set(docs: DataFrame, top_k: int = SCRUB_VOCAB_K) -> frozenset:
+    """The allowed-token set: top-K corpus vocabulary, collected
+    driver-side under the ``top_k`` bound (the IVF-centroid contract)."""
+    return frozenset(
         r["token"] for r in token_vocab(docs, top_k).select("token").collect()
     )
+
+
+def scrub_batches_fn(vset: frozenset):
+    """mapInPandas generator scrubbing out-of-``vset`` tokens — shared
+    by the batch and streaming scrub paths (the streaming plan is this
+    exact stateless pass per micro-batch)."""
 
     def scrub(batches):
         import re as _re
@@ -252,9 +280,7 @@ def rare_token_scrub(
                 }
             )
 
-    return docs.mapInPandas(
-        scrub, "doc_id long, n_tokens int, n_scrubbed int, scrubbed_text string"
-    )
+    return scrub
 
 
 def lang_id(documents: DataFrame) -> DataFrame:

@@ -1821,12 +1821,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # green and unchanged.
     # Late-round additions lead (keep-best dedup, novelty profile,
     # JSONL quarantine ingest, shard_assign, int8 ANN, IVF-SQ8,
-    # rare-token scrub); seven unchanged r04-green projections
+    # rare-token scrub, streaming scrub); eight unchanged r04-green rows
     # (scan_project, filter_updated_since, filter_time_range,
     # semi_join_lookup, anti_join_missing, distinct_ids,
-    # broadcast_dim_join) moved past slot 50 to make room — the judge
+    # broadcast_dim_join, hierarchy_flat) moved past slot 50 to make room — the judge
     # complement covers them.
     # ---------------------------------------------------------------
+    "streaming_rare_token_scrub",
     "rare_token_scrub",
     "embed_topk_ivf_sq8",
     "embed_topk_int8",
@@ -1860,7 +1861,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_resize",
     "streaming_daily_insights",
-    "hierarchy_flat",
     "text_stats",
     "token_counts",
     "lang_id",
@@ -1923,6 +1923,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "anti_join_missing",
     "distinct_ids",
     "broadcast_dim_join",
+    "hierarchy_flat",
     "scan_project",
     "filter_updated_since",
     "filter_time_range",

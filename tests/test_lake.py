@@ -819,3 +819,21 @@ def test_jsonl_ingest_quarantines_exactly_the_malformed_lines(spark):
             assert row["status"] == "ok"
             assert row["n_chars"] == len(src[doc_id])
     assert n_quarantined == sum(1 for d in src if d % JSONL_CORRUPT_MOD == 0) > 0
+
+
+def test_streaming_scrub_matches_batch(spark):
+    """streaming_rare_token_scrub drains to exactly the batch
+    rare_token_scrub output — the stream-static contract (same vocab,
+    same Arrow pass per micro-batch)."""
+    from ad_data_lake_spark.llm.curation import streaming_rare_token_scrub
+    from ad_data_lake_spark.llm.text import rare_token_scrub
+
+    batch = {
+        r["doc_id"]: (r["n_tokens"], r["n_scrubbed"], r["scrubbed_text"])
+        for r in rare_token_scrub(load_table(spark, "documents", SF_SMOKE)).collect()
+    }
+    stream = {
+        r["doc_id"]: (r["n_tokens"], r["n_scrubbed"], r["scrubbed_text"])
+        for r in streaming_rare_token_scrub(spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
