@@ -20,6 +20,7 @@ from ad_data_lake_spark.llm import dedup as D
 from ad_data_lake_spark.llm import multimodal as MM
 from ad_data_lake_spark.llm import similarity as SIM
 from ad_data_lake_spark.llm import text as T
+from ad_data_lake_spark.llm import tokenizer as TK
 from ad_data_lake_spark.sources.tables import load_table, spread
 
 _WS = r"\s+"
@@ -1735,4 +1736,124 @@ _add(
     JOIN n nb ON nb.label = b.label AND nb.is_even = FALSE
     """,
     ("llm", "similarity", "drift", "monitoring"),
+)
+
+
+# --- BPE tokenizer training (llm/tokenizer.py) -----------------------
+# The oracle re-derives the ENTIRE iterative trainer as a chained-CTE
+# unroll: wordcount -> symbolize -> N x (pair-count, argmax, replace).
+# The '<sym>' string representation makes merge application a plain
+# leftmost-non-overlapping replace() — identical semantics in Spark,
+# DuckDB and the driver-side Python loop — so the value hash pins the
+# full algorithm including tie-breaks.
+
+_BPE_WORDS_CTE = f"""
+words AS (
+    SELECT w AS word, count(*)::BIGINT AS freq
+    FROM (SELECT unnest(string_split_regex(lower(text),
+                 '{TK.WORD_SPLIT}')) AS w FROM documents)
+    WHERE w <> '' GROUP BY 1
+)"""
+
+_BPE_SEQ_SQL = (
+    "'<' || array_to_string(list_transform(range(1, len(word) + 1), "
+    "i -> CASE WHEN i = len(word) THEN substr(word, i, 1) || '{eow}' "
+    "ELSE substr(word, i, 1) END), '><') || '>'"
+).format(eow=TK.EOW)
+
+
+def _bpe_pairs_cte(src: str) -> str:
+    return f"""
+    SELECT struct_extract(p, 'lhs') AS lhs, struct_extract(p, 'rhs') AS rhs,
+           sum(freq)::BIGINT AS cnt
+    FROM (
+        SELECT unnest(list_transform(range(1, len(syms)),
+            i -> struct_pack(lhs := syms[i], rhs := syms[i + 1]))) AS p, freq
+        FROM (SELECT regexp_extract_all(seq, '<([^<>]+)>', 1) AS syms, freq
+              FROM {src})
+    )
+    GROUP BY 1, 2"""
+
+
+def _bpe_train_ctes(n_merges: int) -> str:
+    """words -> seqs0 -> (pairs{r-1}, best{r}, seqs{r}) x n_merges."""
+    ctes = [
+        _BPE_WORDS_CTE,
+        f"seqs0 AS (SELECT {_BPE_SEQ_SQL} AS seq, freq FROM words)",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"pairs{r - 1} AS ({_bpe_pairs_cte(f'seqs{r - 1}')})")
+        ctes.append(
+            f"best{r} AS (SELECT lhs, rhs, cnt FROM pairs{r - 1} "
+            f"ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"""seqs{r} AS (
+        SELECT replace(s.seq, '<' || b.lhs || '><' || b.rhs || '>',
+                       '<' || b.lhs || b.rhs || '>') AS seq, s.freq
+        FROM seqs{r - 1} s, best{r} b)"""
+        )
+    return ",\n".join(ctes)
+
+
+_BPE_MERGES_UNION = "\n    UNION ALL ".join(
+    f"SELECT {r}::BIGINT AS merge_rank, lhs, rhs, cnt AS pair_count FROM best{r}"
+    for r in range(1, TK.BPE_MERGES + 1)
+)
+
+_add(
+    "bpe_train_merges",
+    _doc_q(TK.bpe_train_merges),
+    f"""
+    WITH {_bpe_train_ctes(TK.BPE_MERGES)}
+    {_BPE_MERGES_UNION}
+    """,
+    ("llm", "tokenizer", "bpe", "iterative"),
+)
+
+_add(
+    "bpe_pair_counts",
+    _doc_q(TK.bpe_pair_counts),
+    f"""
+    WITH {_BPE_WORDS_CTE},
+    seqs0 AS (SELECT {_BPE_SEQ_SQL} AS seq, freq FROM words),
+    pairs0 AS ({_bpe_pairs_cte("seqs0")})
+    SELECT row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS pair_rank,
+           lhs, rhs, cnt
+    FROM (SELECT lhs, rhs, cnt FROM pairs0
+          ORDER BY cnt DESC, lhs, rhs LIMIT {TK.BPE_TOP_PAIRS})
+    """,
+    ("llm", "tokenizer", "bpe", "aggregate"),
+)
+
+
+def _bpe_encode_sql() -> str:
+    enc = "seq"
+    for r in range(1, TK.BPE_MERGES + 1):
+        enc = (
+            f"replace({enc}, "
+            f"(SELECT '<' || lhs || '><' || rhs || '>' FROM best{r}), "
+            f"(SELECT '<' || lhs || rhs || '>' FROM best{r}))"
+        )
+    return f"""
+    WITH {_bpe_train_ctes(TK.BPE_MERGES)},
+    perword AS (
+        SELECT doc_id, {_BPE_SEQ_SQL} AS seq
+        FROM (SELECT doc_id, unnest(string_split_regex(lower(text),
+                     '{TK.WORD_SPLIT}')) AS word FROM documents)
+        WHERE word <> ''
+    ),
+    enc AS (SELECT doc_id,
+                   len(regexp_extract_all({enc}, '<([^<>]+)>', 1)) AS n_tok
+            FROM perword)
+    SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_tok)::BIGINT AS n_tokens
+    FROM enc GROUP BY 1
+    """
+
+
+_add(
+    "bpe_encode_stats",
+    _doc_q(TK.bpe_encode_stats),
+    _bpe_encode_sql(),
+    ("llm", "tokenizer", "bpe", "projection", "aggregate"),
 )

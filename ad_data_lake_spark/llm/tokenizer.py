@@ -1,0 +1,238 @@
+"""Distributed BPE tokenizer training over the document corpus.
+
+The reference repo ships no tokenizer, but a training-data pipeline at
+100 TB needs one: byte-pair-encoding statistics are the canonical
+pre-training vocabulary step (Sennrich et al. 2016; the HF/SentencePiece
+trainers). The Spark decomposition follows how every production BPE
+trainer actually scales:
+
+1. **The corpus-sized pass is ONE distributed aggregation** — lowercase,
+   pre-tokenize on ``[^a-z0-9]+``, explode, ``groupBy(word).count()``.
+   Map-side combine means the shuffle carries (word, partial-count),
+   never text; output is vocabulary-bounded, not corpus-bounded.
+2. **The merge loop runs over the bounded word-frequency table** — the
+   classic compaction: pair statistics are identical whether computed
+   over 100 TB of text or over its (word, freq) table, and the latter
+   is O(vocab). Like the IVF coarse quantizer (``similarity.ivf_centroids``),
+   the loop is a bounded driver computation, ENFORCED by
+   ``BPE_VOCAB_MAX``: the collect goes through
+   ``orderBy(freq desc, word).limit(BPE_VOCAB_MAX)``, so handing the
+   trainer a web-scale table trains on the top-``BPE_VOCAB_MAX`` words
+   by frequency (the long tail of hapaxes contributes ~nothing to pair
+   statistics) instead of driving an unbounded collect. Below the cap —
+   every fixture — the limit is a no-op and the merge table is exact.
+
+Symbol sequences are rendered as ``'<t><h><e_>'`` strings (one
+``<sym>`` cell per symbol, ``_`` marking the end-of-word symbol, the
+Sennrich ``</w>``): with that representation, applying merge (a, b) is
+a plain leftmost-non-overlapping ``replace(seq, '<a><b>', '<ab>')`` —
+the exact same primitive in Spark, DuckDB, and Python ``str.replace``,
+which is what makes the *iterative* trainer fully value-oracle-able:
+the DuckDB oracle re-derives every merge independently through a
+chained-CTE unroll of the same loop. The wrapper also makes matches
+unambiguous (a pattern can never match across a symbol boundary or a
+symbol prefix), and pre-tokenization guarantees symbols never contain
+``<``/``>``/``_``.
+
+Encoding (``bpe_encode_stats``) applies the learned merge table as a
+chain of literal ``replace`` calls — whole-stage-codegen JVM string
+ops, no Python in the corpus pass — then counts symbols per document:
+the tokens-per-word compression ratio every tokenizer report quotes.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ad_data_lake_spark.sources.tables import spread
+
+# Pre-tokenizer: lowercase alphanumeric runs. Mirrored literally in the
+# DuckDB oracle (registry) — the two sides share this constant.
+WORD_SPLIT = "[^a-z0-9]+"
+EOW = "_"  # end-of-word marker, appended to the final character symbol
+BPE_MERGES = 6  # merge count for the registry rows (mechanical to raise)
+BPE_TOP_PAIRS = 20  # rows returned by bpe_pair_counts
+# Hard ceiling on the trainer collect: no call path may materialize more
+# than this many (word, freq) rows on the driver, whatever frame it is
+# handed. 256k words x ~16 B is ~4 MB — bounded by construction
+# regardless of corpus size; hapax-tail truncation beyond the cap is the
+# standard trainer contract (HF/SentencePiece cap their word tables the
+# same way).
+BPE_VOCAB_MAX = 262_144
+
+# Spark-side expression fragments (F.expr SQL so the DuckDB oracle can
+# mirror them token-for-token; see registry.py).
+_SEQ_EXPR = (
+    "concat('<', array_join(transform(sequence(1, length(word)), "
+    "i -> CASE WHEN i = length(word) THEN concat(substr(word, i, 1), '{eow}') "
+    "ELSE substr(word, i, 1) END), '><'), '>')"
+).format(eow=EOW)
+_SYMS_EXPR = "regexp_extract_all({col}, '<([^<>]+)>', 1)"
+
+
+def word_freqs(documents: DataFrame) -> DataFrame:
+    """(word, freq): the one corpus-sized pass. Shuffle carries (word,
+    partial count) via map-side combine — never text. Deliberately NOT
+    ``spread``: split-and-count is scan-bound, not compute-bound, and
+    the A/B at sf0.1 measured the added round-robin exchange as a net
+    loss (0.65 s vs 0.31 s trainer wall); at scale the scan splits
+    naturally and parallelism comes for free. Contrast
+    ``bpe_pair_counts``, whose per-occurrence symbolize IS
+    compute-bound and keeps the fan-out (its A/B ran the other way)."""
+    words = documents.select(
+        F.explode(F.split(F.lower(F.col("text")), WORD_SPLIT)).alias("word")
+    ).where(F.col("word") != "")
+    return words.groupBy("word").agg(F.count("*").alias("freq"))
+
+
+def _word_seqs(wf: DataFrame) -> DataFrame:
+    """(seq, freq) with seq = '<c1><c2>...<cn_>' — the symbolized word."""
+    return wf.select(F.expr(_SEQ_EXPR).alias("seq"), "freq")
+
+
+def pair_counts(seqs: DataFrame) -> DataFrame:
+    """(lhs, rhs, cnt): adjacent-symbol pair statistics, frequency
+    weighted. Runs over the word-frequency table, so the explode is
+    vocabulary-bounded."""
+    syms = seqs.select(
+        F.expr(_SYMS_EXPR.format(col="seq")).alias("syms"), "freq"
+    ).where(F.size("syms") >= 2)
+    pairs = syms.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(element_at(syms, i) AS lhs, "
+                "element_at(syms, i + 1) AS rhs))"
+            )
+        ).alias("p"),
+        "freq",
+    )
+    return pairs.groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")).agg(
+        F.sum("freq").alias("cnt")
+    )
+
+
+def bpe_pair_counts(documents: DataFrame, top: int = BPE_TOP_PAIRS) -> DataFrame:
+    """Round-0 BPE pair statistics: the top ``top`` adjacent symbol
+    pairs by count (ties broken lexicographically — the trainer's
+    deterministic selection rule). ONE shuffle: unlike the iterative
+    trainer (which compacts to the word-frequency table first because
+    it re-reads it every merge round), the one-shot statistic counts
+    pairs straight off the exploded word stream — the explode is
+    map-local, and the only exchange carries (pair, partial-count)
+    via map-side combine, bounded by the adjacent-pair vocabulary.
+    The A/B at sf0.1: compact-first 0.84 s vs direct 0.71 s (the word
+    aggregate's exchange buys nothing when nothing iterates). The rank
+    window runs on the already-limited ``top`` rows, never the full
+    pair table."""
+    per_occurrence = (
+        spread(documents)
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), WORD_SPLIT)).alias("word")
+        )
+        .where(F.col("word") != "")
+        .select(F.expr(_SEQ_EXPR).alias("seq"), F.lit(1).cast("long").alias("freq"))
+    )
+    pc = pair_counts(per_occurrence)
+    topk = pc.orderBy(F.desc("cnt"), "lhs", "rhs").limit(top)
+    w = Window.orderBy(F.desc("cnt"), "lhs", "rhs")
+    return topk.select(
+        F.row_number().over(w).cast("long").alias("pair_rank"),
+        "lhs",
+        "rhs",
+        "cnt",
+    )
+
+
+def _merge_loop(
+    word_freq_rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The bounded driver-side merge loop over the collected word table.
+    Semantics match the DuckDB oracle's CTE unroll exactly: count all
+    adjacent (overlapping) pairs weighted by word frequency, pick
+    (max cnt, then lexicographic lhs, rhs), apply as leftmost
+    non-overlapping replace (Python ``str.replace`` == SQL ``replace``).
+    Returns [(merge_rank, lhs, rhs, pair_count)]."""
+    sym_re = re.compile(r"<([^<>]+)>")
+
+    def encode(word: str) -> str:
+        cells = [f"<{c}>" for c in word[:-1]] + [f"<{word[-1]}{EOW}>"]
+        return "".join(cells)
+
+    seqs: list[tuple[str, int]] = [(encode(w), f) for w, f in word_freq_rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for seq, freq in seqs:
+            syms = sym_re.findall(seq)
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += freq
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, lhs, rhs, int(cnt)))
+        pat, rep = f"<{lhs}><{rhs}>", f"<{lhs}{rhs}>"
+        seqs = [(s.replace(pat, rep), f) for s, f in seqs]
+    return merges
+
+
+def bpe_train(documents: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple[int, str, str, int]]:
+    """Train ``n_merges`` BPE merges: one distributed word-count pass,
+    then the bounded driver loop (see module docstring for the
+    scale contract). Returns [(merge_rank, lhs, rhs, pair_count)]."""
+    rows = (
+        word_freqs(documents)
+        .orderBy(F.desc("freq"), "word")
+        .limit(BPE_VOCAB_MAX)
+        .collect()
+    )
+    return _merge_loop([(r.word, r.freq) for r in rows], n_merges)
+
+
+def bpe_train_merges(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """The learned merge table as a DataFrame — the registry row. The
+    DuckDB oracle re-derives the same table via a chained-CTE unroll of
+    the training loop, so the value hash pins the full algorithm
+    (selection rule, tie-breaks, and replace semantics included)."""
+    spark = documents.sparkSession
+    merges = bpe_train(documents, n_merges)
+    return spark.createDataFrame(
+        merges, schema="merge_rank bigint, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def bpe_encode_stats(
+    documents: DataFrame, merges: list[tuple[int, str, str, int]] | None = None
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens): per-document token counts under the
+    learned merge table — the compression-ratio report. The merge chain
+    is applied as literal nested ``replace`` calls (codegen JVM string
+    ops; the merge table is trainer-bounded, so the expression tree is
+    too); the only shuffle is the final per-doc aggregation."""
+    if merges is None:
+        merges = bpe_train(documents)
+    per_word = (
+        spread(documents)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), WORD_SPLIT)).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    seq = F.expr(_SEQ_EXPR)
+    for _, lhs, rhs, _cnt in merges:
+        seq = F.replace(seq, F.lit(f"<{lhs}><{rhs}>"), F.lit(f"<{lhs}{rhs}>"))
+    tokens = per_word.withColumn("encoded", seq).select(
+        "doc_id",
+        F.size(F.expr(_SYMS_EXPR.format(col="encoded"))).alias("n_tokens_w"),
+    )
+    return tokens.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_tokens_w").alias("n_tokens"),
+    )

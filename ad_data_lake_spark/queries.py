@@ -1819,14 +1819,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # metric_anomalies guard, IVF train cap; bloom's cache-key-only
     # change stays r6-green and yields its slot). Everything past slot 50 is r05/r06-
     # green and unchanged.
-    # Late-round additions lead (keep-best dedup, novelty profile,
-    # JSONL quarantine ingest, shard_assign, int8 ANN, IVF-SQ8,
-    # rare-token scrub, streaming scrub); eight unchanged r04-green rows
-    # (scan_project, filter_updated_since, filter_time_range,
-    # semi_join_lookup, anti_join_missing, distinct_ids,
-    # broadcast_dim_join, hierarchy_flat) moved past slot 50 to make room — the judge
-    # complement covers them.
+    # Late-round additions lead (BPE tokenizer family, keep-best dedup,
+    # novelty profile, JSONL quarantine ingest, shard_assign, int8 ANN,
+    # IVF-SQ8, rare-token scrub, streaming scrub); eight unchanged
+    # r04-green rows (scan_project, filter_updated_since,
+    # filter_time_range, semi_join_lookup, anti_join_missing,
+    # distinct_ids, broadcast_dim_join, hierarchy_flat) moved past slot
+    # 50 to make room — the judge complement covers them.
     # ---------------------------------------------------------------
+    "bpe_train_merges",
+    "bpe_pair_counts",
+    "bpe_encode_stats",
     "streaming_rare_token_scrub",
     "rare_token_scrub",
     "embed_topk_ivf_sq8",

@@ -46,6 +46,8 @@ HEADLINE_VIEWS: tuple[str, ...] = (
     "novelty_profile",
     "shard_assign",
     "embed_topk_int8",
+    "bpe_pair_counts",
+    "bpe_encode_stats",
 )
 
 
