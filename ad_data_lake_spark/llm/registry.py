@@ -1857,3 +1857,85 @@ _add(
     _bpe_encode_sql(),
     ("llm", "tokenizer", "bpe", "projection", "aggregate"),
 )
+
+
+_add(
+    "bpe_vocab_incremental",
+    TK.bpe_vocab_incremental,
+    f"""
+    WITH {_BPE_WORDS_CTE}
+    SELECT word, freq FROM words
+    """,
+    ("llm", "tokenizer", "bpe", "write", "incremental"),
+)
+
+
+# --- Domain-authority PageRank (llm/webgraph.py) ---------------------
+# N chained iteration CTEs mirror the lazy DataFrame recurrence; the
+# per-iteration 7-dp round is the shared arithmetic contract.
+
+def _pagerank_sql(iters: int) -> str:
+    from ad_data_lake_spark.llm import webgraph as WG
+
+    d, t, rnd = WG.PR_DAMPING, WG.PR_TELEPORT, WG.PR_ROUND
+    ctes = [
+        f"""links AS (
+        SELECT source AS src, unnest([
+            'src' || (({WG._D1.replace("DIV", "//")})::BIGINT)::VARCHAR,
+            'src' || (({WG._D2.replace("DIV", "//")})::BIGINT)::VARCHAR]) AS dst
+        FROM documents)""",
+        "edges AS (SELECT src, dst, count(*)::BIGINT AS w FROM links GROUP BY 1, 2)",
+        "nodes AS (SELECT src AS domain FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM nodes)",
+        "outw AS (SELECT src, sum(w)::BIGINT AS outw FROM edges GROUP BY 1)",
+        # p = w/outw normalized ONCE, matching the Spark side's
+        # pre-normalized graph (same float association: pr * (w/outw))
+        "graph AS (SELECT e.src, e.dst, e.w / o.outw AS p "
+        "FROM edges e JOIN outw o ON e.src = o.src)",
+        f"pr0 AS (SELECT domain, round(1.0::DOUBLE / n, {rnd}) AS pr FROM nodes, nn)",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"""c{r} AS (
+            SELECT g.dst AS domain, sum(p.pr * g.p) AS inflow
+            FROM pr{r - 1} p JOIN graph g ON p.domain = g.src
+            GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""pr{r} AS (
+            SELECT nd.domain,
+                   round({t}::DOUBLE / nn.n
+                         + {d}::DOUBLE * coalesce(c{r}.inflow, 0.0::DOUBLE),
+                         {rnd}) AS pr
+            FROM nodes nd LEFT JOIN c{r} ON nd.domain = c{r}.domain, nn)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT domain,
+           row_number() OVER (ORDER BY pr DESC, domain) AS pr_rank,
+           round(pr, 6) AS pagerank
+    FROM pr{iters}
+    """
+    )
+
+
+def _pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ad_data_lake_spark.llm import webgraph as WG
+
+    return WG.domain_pagerank(load_table(spark, "documents", sf_dir))
+
+
+def _pagerank_oracle() -> str:
+    from ad_data_lake_spark.llm import webgraph as WG
+
+    return _pagerank_sql(WG.PR_ITERS)
+
+
+_add(
+    "domain_pagerank",
+    _pagerank_q,
+    _pagerank_oracle(),
+    ("llm", "webgraph", "pagerank", "iterative"),
+)

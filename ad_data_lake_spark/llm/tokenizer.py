@@ -97,16 +97,29 @@ def _word_seqs(wf: DataFrame) -> DataFrame:
 def pair_counts(seqs: DataFrame) -> DataFrame:
     """(lhs, rhs, cnt): adjacent-symbol pair statistics, frequency
     weighted. Runs over the word-frequency table, so the explode is
-    vocabulary-bounded."""
+    vocabulary-bounded.
+
+    The single-symbol guard is a CASE inside the projection, NOT a
+    ``.where(size(syms) >= 2)``: a deterministic filter on a
+    word-derived expression gets pushed BELOW the upstream word
+    aggregation, re-evaluating the interpreted symbolize + regexp per
+    word OCCURRENCE instead of per vocabulary entry — measured 10.3 s
+    vs 1.4 s at sf1 (the whole point of compaction silently undone by
+    predicate pushdown). The CASE keeps the expression above the agg;
+    exploding the empty array drops the row exactly as the filter
+    did. (``element_at`` past the end is not an option for the guard:
+    ANSI mode throws, and ``sequence(1, 0)`` counts DOWN.)"""
     syms = seqs.select(
         F.expr(_SYMS_EXPR.format(col="seq")).alias("syms"), "freq"
-    ).where(F.size("syms") >= 2)
+    )
     pairs = syms.select(
         F.explode(
             F.expr(
+                "CASE WHEN size(syms) >= 2 THEN "
                 "transform(sequence(1, size(syms) - 1), "
                 "i -> struct(element_at(syms, i) AS lhs, "
-                "element_at(syms, i + 1) AS rhs))"
+                "element_at(syms, i + 1) AS rhs)) "
+                "ELSE array() END"
             )
         ).alias("p"),
         "freq",
@@ -118,26 +131,21 @@ def pair_counts(seqs: DataFrame) -> DataFrame:
 
 def bpe_pair_counts(documents: DataFrame, top: int = BPE_TOP_PAIRS) -> DataFrame:
     """Round-0 BPE pair statistics: the top ``top`` adjacent symbol
-    pairs by count (ties broken lexicographically — the trainer's
-    deterministic selection rule). ONE shuffle: unlike the iterative
-    trainer (which compacts to the word-frequency table first because
-    it re-reads it every merge round), the one-shot statistic counts
-    pairs straight off the exploded word stream — the explode is
-    map-local, and the only exchange carries (pair, partial-count)
-    via map-side combine, bounded by the adjacent-pair vocabulary.
-    The A/B at sf0.1: compact-first 0.84 s vs direct 0.71 s (the word
-    aggregate's exchange buys nothing when nothing iterates). The rank
+    pairs by frequency-weighted count (ties broken lexicographically —
+    the trainer's deterministic selection rule). Compaction-first, like
+    the trainer: the corpus-sized pass is the scan-bound word count;
+    the expensive symbolize + pair explode (interpreted HOF transforms
+    + regexp) runs over the vocabulary-bounded word table. The
+    measured A/B settled this both ways: a direct per-occurrence count
+    saves one exchange and wins the scheduling floor at sf0.1 (0.71 s
+    vs 0.84 s) but loses 2.8x at sf1 (3.59 s vs DuckDB 1.27 s) because
+    interpreted per-occurrence symbol compute does NOT amortize — the
+    same lesson rare_token_scrub measured; the compacted form's
+    corpus pass is cheap string splitting and its compute is O(vocab),
+    giving 0.34x at sf1 on the trainer's identical pipeline. The rank
     window runs on the already-limited ``top`` rows, never the full
     pair table."""
-    per_occurrence = (
-        spread(documents)
-        .select(
-            F.explode(F.split(F.lower(F.col("text")), WORD_SPLIT)).alias("word")
-        )
-        .where(F.col("word") != "")
-        .select(F.expr(_SEQ_EXPR).alias("seq"), F.lit(1).cast("long").alias("freq"))
-    )
-    pc = pair_counts(per_occurrence)
+    pc = pair_counts(_word_seqs(word_freqs(documents)))
     topk = pc.orderBy(F.desc("cnt"), "lhs", "rhs").limit(top)
     w = Window.orderBy(F.desc("cnt"), "lhs", "rhs")
     return topk.select(
@@ -235,4 +243,40 @@ def bpe_encode_stats(
     return tokens.groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
         F.sum("n_tokens_w").alias("n_tokens"),
+    )
+
+
+BPE_BATCH_MOD = 10  # same base/batch split contract as the LSH/IVF index rows
+
+
+def bpe_vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental tokenizer-vocabulary maintenance, exercised
+    end-to-end: persist the word-frequency table from the base corpus
+    (doc_id % BPE_BATCH_MOD != 0), then APPEND the new batch's partial
+    counts — counting only the batch, never re-scanning history — and
+    read back the merged vocabulary by summing partials per word.
+    Returns the merged (word, freq) state; the DuckDB oracle recounts
+    from scratch over ALL documents, so a hash match proves
+    append-partials ≡ full recount (the invariant that lets a corpus
+    pipeline maintain its tokenizer statistics per ingest batch; the
+    re-derived merges then come from ``_merge_loop`` over this table —
+    pinned equal to a from-scratch ``bpe_train`` in pytest).
+
+    At scale the partials table is written bucketed by word (layout.py
+    Y1) so the merge read is co-located; plain parquet here mirrors
+    the LSH/IVF index-maintenance rows (``minhash_index_incremental``)."""
+    from ad_data_lake_spark.scratch import scratch_dir
+    from ad_data_lake_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = scratch_dir(spark, "bpe-vocab", sf_dir)
+
+    base = docs.where(F.col("doc_id") % BPE_BATCH_MOD != 0)
+    batch = docs.where(F.col("doc_id") % BPE_BATCH_MOD == 0)
+    word_freqs(base).write.parquet(path)
+    word_freqs(batch).write.mode("append").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("word")
+        .agg(F.sum("freq").alias("freq"))
     )

@@ -1,0 +1,137 @@
+"""Domain-authority PageRank over the corpus link graph.
+
+Web-scale curation ranks source domains before filtering (Common-Crawl
+pipelines gate on harmonic/PageRank centrality of the seed domain; the
+C4/RefinedWeb lineage filters by domain reputation): a crawl's link
+graph is corpus-sized, so the ranking must be a distributed iterative
+aggregation, not a graph library call. This module implements weighted
+PageRank as N chained DataFrame iterations — join ranks with edges on
+the source node, redistribute rank proportional to edge weight /
+weighted out-degree, re-aggregate per target, teleport — all LAZY: the
+whole N-iteration recurrence is one Catalyst plan evaluated in a
+single action (fixed iteration count, no driver-side convergence
+loop).
+
+Graph construction: the fixture's ``source`` column provides the
+document's own site (20 values, ``src0..src19``); each document
+contributes two out-links to deterministic doc_id-derived targets in
+the same namespace (the planted-value pattern of ``url_domain_filter``
+/ ``luhn_scan`` — at production scale the edge list comes from that
+row's URL-extraction tier instead). Edge weights = link counts.
+
+Scale: the edge aggregate is the one corpus-sized pass (shuffle
+carries (src, dst) pairs, never text). Each iteration is a shuffle
+join of the node-sized rank table with the edge table on ``src`` plus
+a re-aggregation on ``dst`` — the standard distributed PageRank; at
+100 TB both sides bucket by node id (layout.py Y1) so every iteration
+reuses one co-located partitioning. Dangling mass: the planted graph
+has none (every node appears as a source); production graphs
+redistribute the dangling sum per iteration — one extra scalar
+aggregate.
+
+Numeric contract: ranks are rounded to 7 dp after every iteration on
+BOTH engines (the ``cosine6_pd`` pattern) so double summation order
+cannot drift across iterations; output is rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+# NOT computed as 1 - PR_DAMPING: Python's 1.0 - 0.85 is
+# 0.15000000000000002 while the SQL literal 0.15 parses to a different
+# double — both engines must start from the SAME IEEE value, so the
+# teleport probability is its own literal (the 7-dp round would almost
+# certainly absorb the 2e-18 gap, but "almost certainly" is not a
+# contract).
+PR_TELEPORT = 0.15
+PR_ROUND = 7
+# Two deterministic out-links per document, same node namespace as the
+# fixture's source column (source == 'src' || doc_id % 20). Targets are
+# deliberately NON-uniform — quadratic residues mod 20 for the first
+# link, a 7-node hub set for the second — so in-degree (and therefore
+# PageRank) is skewed like a real web graph. A linear doc_id formula is
+# uniform per residue class and collapses PageRank to exactly 1/n
+# everywhere (measured: 1 distinct value; the hub form gives 12 with a
+# 19x top-to-bottom spread at sf0.001).
+_D1 = "(doc_id * doc_id + 3) % 20"
+_D2 = "(doc_id DIV 3) % 7"
+
+
+def domain_edges(documents: DataFrame) -> DataFrame:
+    """(src, dst, w): weighted link edges — src is the document's own
+    site, targets are the two planted out-links. One corpus pass, one
+    (src, dst) aggregation."""
+    links = documents.select(
+        F.col("source").alias("src"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("src"), F.expr(_D1).cast("string")),
+                F.concat(F.lit("src"), F.expr(_D2).cast("string")),
+            )
+        ).alias("dst"),
+    )
+    return links.groupBy("src", "dst").agg(F.count("*").alias("w"))
+
+
+def domain_pagerank(
+    documents: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """(domain, pr_rank, pagerank): weighted PageRank after ``iters``
+    iterations, ranked by (pagerank desc, domain). Entirely lazy — one
+    action evaluates the full recurrence."""
+    # Materialize the normalized graph ONCE: every iteration joins it,
+    # so re-deriving the corpus-sized edge aggregate 5x (plus the
+    # out-degree join) is pure waste — the standard production-PR
+    # shape (build adjacency, then iterate). localCheckpoint also cuts
+    # the 5-deep recurrence lineage, which otherwise replans the whole
+    # subtree per reference.
+    edges = domain_edges(documents)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    graph = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
+        .localCheckpoint()
+    )
+    nodes = (
+        graph.select(F.col("src").alias("domain"))
+        .union(graph.select(F.col("dst").alias("domain")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # The node COUNT is a bounded scalar (one long — every iteration's
+    # teleport term needs it), collected once like the IVF centroid
+    # list; the rank VECTOR itself stays distributed.
+    n = nodes.count()
+
+    pr = nodes.select("domain", F.round(F.lit(1.0 / n), PR_ROUND).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            pr.join(graph, pr["domain"] == graph["src"])
+            .select(
+                F.col("dst").alias("domain"),
+                (F.col("pr") * F.col("p")).alias("c"),
+            )
+            .groupBy("domain")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = nodes.join(contrib, "domain", "left").select(
+            "domain",
+            F.round(
+                F.lit(PR_TELEPORT / n)
+                + damping * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                PR_ROUND,
+            ).alias("pr"),
+        )
+    w = Window.orderBy(F.desc("pr"), "domain")
+    return pr.select(
+        "domain",
+        F.row_number().over(w).cast("long").alias("pr_rank"),
+        F.round("pr", 6).alias("pagerank"),
+    )

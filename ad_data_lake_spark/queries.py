@@ -1830,6 +1830,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_train_merges",
     "bpe_pair_counts",
     "bpe_encode_stats",
+    "bpe_vocab_incremental",
+    "domain_pagerank",
     "streaming_rare_token_scrub",
     "rare_token_scrub",
     "embed_topk_ivf_sq8",
