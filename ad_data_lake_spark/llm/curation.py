@@ -829,3 +829,52 @@ def streaming_rare_token_scrub(spark, sf_dir: str) -> DataFrame:
     return run_available_now(
         out, f"stream_scrub_{uuid.uuid4().hex[:8]}", output_mode="append"
     )
+
+
+# Weighted sampling without replacement (Efraimidis & Spirakis 2006):
+# key = ln(u) / w with u ~ U(0,1); the k largest keys are an exact
+# weighted sample. u comes from a 52-bit md5 slice so the draw is
+# content-stable and engine-reproducible (the same determinism contract
+# as stratified_sample / epoch_shuffle).
+WSAMPLE_K = 50
+WSAMPLE_SEED = "wsample-0"
+_WSAMPLE_DENOM = float((1 << 52) + 1)
+
+
+def weighted_sample(documents: DataFrame, k: int = WSAMPLE_K, seed: str = WSAMPLE_SEED) -> DataFrame:
+    """Exact weighted sample of ``k`` documents with token count as the
+    weight — the curation step that tilts a data mixture toward long
+    documents without a global sort over weights (upsampling books vs
+    boilerplate is the classic use; swap the weight expression for a
+    quality score to get quality-weighted selection).
+
+    A-ES reduces weighted sampling to a TOP-K: key_i = ln(u_i) / w_i
+    (equivalently u^(1/w) — the log form avoids cross-engine pow
+    drift), take the k largest. One projection computes the key, and
+    Spark executes the sort+limit as TakeOrdered (per-partition heaps,
+    no global sort materialization) — the same O(n) + k·log(k) shape
+    at any corpus size, embarrassingly parallel, zero shuffles beyond
+    the final k-row gather. Order is on the ROUNDED key then doc_id so
+    last-ulp ln() drift cannot reorder engines; u is offset by +1 so
+    it is never 0 (ln(0) = -inf)."""
+    w = F.size(words(F.col("text")))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col("doc_id").cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(_WSAMPLE_DENOM)
+    key = F.round(F.log(u) / w, 7)
+    base = documents.select(
+        "doc_id", w.alias("n_tokens"), key.alias("es_key")
+    )
+    topk = base.orderBy(F.desc("es_key"), "doc_id").limit(k)
+    rw = Window.orderBy(F.desc("es_key"), "doc_id")
+    return topk.select(
+        F.row_number().over(rw).cast("long").alias("sample_rank"),
+        "doc_id",
+        "n_tokens",
+        "es_key",
+    )

@@ -1939,3 +1939,96 @@ _add(
     _pagerank_oracle(),
     ("llm", "webgraph", "pagerank", "iterative"),
 )
+
+
+# --- sparse retrieval / collocations / weighted sampling (round 7) ----
+
+from ad_data_lake_spark.llm import retrieval as RET  # noqa: E402
+
+_add(
+    "bm25_retrieve",
+    _doc_q(RET.bm25_retrieve),
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(w) AS token
+        FROM (SELECT doc_id, {_WORDS} AS w FROM documents)),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT avg(dl) FROM dl) AS avgdl),
+    q AS (SELECT DISTINCT doc_id AS query_id, unnest(list_distinct(w)) AS token
+          FROM (SELECT doc_id, {_WORDS} AS w FROM documents
+                WHERE doc_id < {RET.BM25_N_QUERIES})),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * ({RET.BM25_K1} + 1))
+                     / (tf + {RET.BM25_K1}
+                        * (1 - {RET.BM25_B} + {RET.BM25_B} * dl / avgdl))
+               ), 4) AS score,
+               count(*) AS n_terms
+        FROM tf
+        JOIN q USING (token)
+        JOIN dl USING (doc_id)
+        JOIN dfreq USING (token), stats
+        WHERE tf.doc_id <> q.query_id
+        GROUP BY 1, 2)
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score, n_terms
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= {RET.BM25_TOP_K}
+    """,
+    ("llm", "retrieval", "bm25", "join"),
+)
+
+
+_add(
+    "pmi_collocations",
+    _doc_q(T.pmi_collocations),
+    f"""
+    WITH w AS (SELECT {_WORDS} AS w FROM documents),
+    pairs AS (
+        SELECT w[i] AS lhs, w[i + 1] AS rhs
+        FROM w, unnest(range(1, len(w))) AS u(i)),
+    big AS (SELECT lhs, rhs, count(*) AS n_pair FROM pairs GROUP BY 1, 2),
+    uni AS (SELECT token, count(*) AS n_tok
+            FROM (SELECT doc_id, unnest({_WORDS}) AS token FROM documents)
+            GROUP BY 1),
+    tot AS (SELECT (SELECT sum(n_tok) FROM uni)::DOUBLE AS n_tokens,
+                   (SELECT sum(n_pair) FROM big)::DOUBLE AS n_pairs),
+    scored AS (
+        SELECT lhs, rhs, n_pair, ul.n_tok AS n_lhs, ur.n_tok AS n_rhs,
+               round(ln((n_pair::DOUBLE * n_tokens * n_tokens)
+                        / (n_pairs * ul.n_tok * ur.n_tok)), 4) AS pmi
+        FROM big
+        JOIN uni ul ON big.lhs = ul.token
+        JOIN uni ur ON big.rhs = ur.token, tot
+        WHERE n_pair >= {T.PMI_MIN_COUNT})
+    SELECT row_number() OVER (ORDER BY pmi DESC, lhs, rhs) AS pair_rank,
+           lhs, rhs, n_pair, n_lhs, n_rhs, pmi
+    FROM (SELECT * FROM scored ORDER BY pmi DESC, lhs, rhs LIMIT {T.PMI_TOP_K})
+    """,
+    ("llm", "text", "collocation", "pmi", "aggregate"),
+)
+
+
+_add(
+    "weighted_sample",
+    _doc_q(CU.weighted_sample),
+    f"""
+    WITH base AS (
+        SELECT doc_id, len({_WORDS.replace("text", "text")}) AS n_tokens,
+               round(ln((('0x' || substr(md5('{CU.WSAMPLE_SEED}:' || doc_id::VARCHAR),
+                                         1, 13))::BIGINT + 1)
+                        / {CU._WSAMPLE_DENOM!r}::DOUBLE)
+                     / len({_WORDS}), 7) AS es_key
+        FROM documents)
+    SELECT row_number() OVER (ORDER BY es_key DESC, doc_id) AS sample_rank,
+           doc_id, n_tokens, es_key
+    FROM (SELECT * FROM base ORDER BY es_key DESC, doc_id LIMIT {CU.WSAMPLE_K})
+    """,
+    ("llm", "curation", "sampling", "weighted"),
+)

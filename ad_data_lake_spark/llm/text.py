@@ -827,3 +827,89 @@ def url_domain_filter(documents: DataFrame) -> DataFrame:
         F.to_json(domains).alias("domains"),
         blocked.alias("is_blocked"),
     )
+
+
+# PMI collocation extraction: minimum pair count guards the log against
+# hapax pairs (PMI's classic failure mode — a 1-count pair of two
+# 1-count tokens maxes the score); fixture-scaled threshold, raised in
+# production exactly like a Phrases/word2vec bigram pass.
+PMI_MIN_COUNT = 3
+PMI_TOP_K = 30
+
+
+def pmi_collocations(
+    documents: DataFrame, min_count: int = PMI_MIN_COUNT, top_k: int = PMI_TOP_K
+) -> DataFrame:
+    """Corpus collocations: the ``top_k`` adjacent-token pairs by
+    pointwise mutual information (Church & Hanks 1990), the phrase-
+    mining pass tokenizer/embedding pipelines run to promote "new
+    york"-style units to single tokens (word2vec's Phrases scoring is
+    this statistic with a different normalization).
+
+    ``pmi = ln(c_ab * N * N / (B * c_a * c_b))`` over adjacent pairs
+    within each document (pairs never cross document boundaries).
+
+    Scale shape: ONE corpus pass explodes tokens with their position
+    and self-joins nothing — adjacent pairs come from ``element_at``
+    over the token array (codegen), then a map-side-combined pair
+    groupBy whose shuffle is bigram-vocabulary-bounded; unigram counts
+    derive from their own vocab-bounded aggregate and BROADCAST back
+    onto the pair table (two broadcast hash joins); N and B are scalar
+    cross-attaches. Rank orders by the ROUNDED pmi then the pair text,
+    so last-ulp log drift cannot reorder engines; the rank window runs
+    on the already-limited ``top_k`` rows."""
+    base = spread(documents)
+    w = words(F.col("text"))
+    idx = base.select(
+        w.alias("_w"),
+        F.explode(
+            F.when(F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("_i"),
+    )
+    pairs = idx.select(
+        F.element_at("_w", F.col("_i")).alias("lhs"),
+        F.element_at("_w", F.col("_i") + 1).alias("rhs"),
+    )
+    big = pairs.groupBy("lhs", "rhs").agg(F.count("*").alias("n_pair"))
+    toks = documents.select(F.explode(words(F.col("text"))).alias("token"))
+    uni = toks.groupBy("token").agg(F.count("*").alias("n_tok"))
+    n_tokens = uni.agg(F.sum("n_tok").alias("n_tokens"))
+    n_pairs = big.agg(F.sum("n_pair").alias("n_pairs"))
+    pmi = F.log(
+        (F.col("n_pair").cast("double") * F.col("n_tokens") * F.col("n_tokens"))
+        / (F.col("n_pairs").cast("double") * F.col("n_lhs") * F.col("n_rhs"))
+    )
+    scored = (
+        big.where(F.col("n_pair") >= min_count)
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("lhs"), F.col("n_tok").alias("n_lhs"))),
+            "lhs",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("rhs"), F.col("n_tok").alias("n_rhs"))),
+            "rhs",
+        )
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "lhs",
+            "rhs",
+            "n_pair",
+            "n_lhs",
+            "n_rhs",
+            F.round(pmi, 4).alias("pmi"),
+        )
+    )
+    topk = scored.orderBy(F.desc("pmi"), "lhs", "rhs").limit(top_k)
+    rw = Window.orderBy(F.desc("pmi"), "lhs", "rhs")
+    return topk.select(
+        F.row_number().over(rw).cast("long").alias("pair_rank"),
+        "lhs",
+        "rhs",
+        "n_pair",
+        "n_lhs",
+        "n_rhs",
+        "pmi",
+    )

@@ -1827,6 +1827,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # distinct_ids, broadcast_dim_join, hierarchy_flat) moved past slot
     # 50 to make room — the judge complement covers them.
     # ---------------------------------------------------------------
+    # Session additions (BM25 / PMI / A-ES sampling) lead; text_stats,
+    # token_counts, lang_id (pure projections, unchanged since round 4,
+    # r6-judge-green) yield their slots to the judge complement.
+    "bm25_retrieve",
+    "pmi_collocations",
+    "weighted_sample",
     "bpe_train_merges",
     "bpe_pair_counts",
     "bpe_encode_stats",
@@ -1866,9 +1872,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_resize",
     "streaming_daily_insights",
-    "text_stats",
-    "token_counts",
-    "lang_id",
     "quality_score",
     "repetition_stats",
     "pii_redact",
@@ -1917,6 +1920,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "json_decode_ingest",
     "fn_brand_safety",
     "lake_write_roundtrip",
+    "text_stats",
+    "token_counts",
+    "lang_id",
     "token_vocab",
     "unigram_lm_score",
     "tfidf_top_terms",

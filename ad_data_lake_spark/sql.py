@@ -48,6 +48,9 @@ HEADLINE_VIEWS: tuple[str, ...] = (
     "embed_topk_int8",
     "bpe_pair_counts",
     "bpe_encode_stats",
+    "bm25_retrieve",
+    "pmi_collocations",
+    "weighted_sample",
 )
 
 

@@ -447,3 +447,52 @@ def test_shard_assign_balances_token_totals(documents):
     )
     hash_imb = max(r["t"] for r in by_hash) / min(r["t"] for r in by_hash)
     assert imbalance <= hash_imb
+
+
+def test_weighted_sample_matches_independent_aes(documents):
+    """The A-ES reduction is re-derived INDEPENDENTLY in numpy/hashlib
+    (md5 → 52-bit u → ln(u)/w, top-k) and must reproduce the operator's
+    exact sample, order included — pinning the sampling law, not just
+    the plumbing the oracle already checks."""
+    import hashlib
+    import math
+    import re as _re
+
+    rows = documents.select("doc_id", "text").collect()
+    expect = []
+    for r in rows:
+        toks = _re.split(r"\s+", r.text.strip(" ")) if r.text is not None else []
+        w = len(toks)
+        h = int(
+            hashlib.md5(f"{CU.WSAMPLE_SEED}:{r.doc_id}".encode()).hexdigest()[:13], 16
+        )
+        u = (h + 1) / float((1 << 52) + 1)
+        expect.append((round(math.log(u) / w, 7), r.doc_id, w))
+    expect.sort(key=lambda t: (-t[0], t[1]))
+    expect = expect[: CU.WSAMPLE_K]
+
+    got = [
+        (r.es_key, r.doc_id, r.n_tokens)
+        for r in CU.weighted_sample(documents).orderBy("sample_rank").collect()
+    ]
+    assert got == expect
+
+
+def test_weighted_sample_tilts_toward_heavy_docs(documents, spark):
+    """Doubling every even doc's weight must raise the even-doc share
+    of the sample vs the unweighted hash draw — the sampling law does
+    real work, not just deterministic selection."""
+    # weight = n_tokens of text duplicated for even doc_ids
+    boosted = documents.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat_ws(" ", "text", "text")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    base_even = sum(
+        1 for r in CU.weighted_sample(documents).collect() if r.doc_id % 2 == 0
+    )
+    boosted_even = sum(
+        1 for r in CU.weighted_sample(boosted).collect() if r.doc_id % 2 == 0
+    )
+    assert boosted_even > base_even

@@ -577,3 +577,35 @@ def test_rare_token_scrub_removes_planted_handles(documents):
         if r["doc_id"] % SCRUB_PLANT_MOD == 0:
             assert f"user{r['doc_id']}" not in toks  # handle anonymized
             assert r["n_scrubbed"] >= 1
+
+
+def test_bm25_ranks_shared_rare_terms_higher(spark):
+    """A candidate sharing a RARE query term must outscore one sharing
+    only a common term of equal tf — the idf weighting doing its job —
+    and no query may retrieve itself."""
+    from ad_data_lake_spark.llm.retrieval import bm25_retrieve
+
+    rows = [
+        (0, "zebra quark common common common", "en", "s"),
+        (1, "zebra common filler filler filler", "en", "s"),   # shares rare 'zebra'
+        (2, "common filler2 filler3 filler4 filler5", "en", "s"),  # shares common only
+    ] + [(i, "common pad%d pad%d pad%d" % (i, i + 1, i + 2), "en", "s") for i in range(3, 20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = bm25_retrieve(docs, top_k=20, n_queries=1).collect()
+    assert all(r.doc_id != r.query_id for r in out)
+    scores = {r.doc_id: r.score for r in out if r.query_id == 0}
+    assert scores[1] > scores[2], "rare-term overlap must outrank common-term overlap"
+
+
+def test_pmi_prefers_exclusive_pairs(spark):
+    """A pair whose members only ever co-occur must out-PMI a pair of
+    frequent independent tokens with the same pair count."""
+    from ad_data_lake_spark.llm.text import pmi_collocations
+
+    pair_doc = "alpha beta x " * 3  # 'alpha beta' always together
+    indep_doc = "red blue x red blue x red blue x red x blue x "  # red/blue also apart
+    rows = [(0, pair_doc.strip(), "en", "s"), (1, indep_doc.strip(), "en", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = pmi_collocations(docs, min_count=3, top_k=50).collect()
+    by_pair = {(r.lhs, r.rhs): r.pmi for r in out}
+    assert by_pair[("alpha", "beta")] > by_pair[("red", "blue")]

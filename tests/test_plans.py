@@ -48,6 +48,8 @@ _CROSS_BY_DESIGN = {
     "bigram_lm_score",  # one-row n_total scalar attach
     "perplexity_buckets",  # composes unigram's n_total scalar attach
     "nb_quality_score",  # one-row model-totals + prior scalar attaches
+    "bm25_retrieve",  # one-row n_docs + avgdl scalar attaches
+    "pmi_collocations",  # one-row n_tokens + n_pairs scalar attaches
 }
 
 
@@ -521,3 +523,40 @@ def test_pagerank_iterations_never_rescan_the_corpus(spark):
     plan = plan_of(spark, "domain_pagerank")
     assert "Scan parquet" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_shares_one_tf_exchange(spark):
+    """BM25's document length and document frequency both derive from
+    the (doc_id, token) tf aggregate: the token stream is scanned once
+    and the tf exchange is REUSED by its consumers (the tfidf recipe),
+    never re-derived per consumer. Query and df sides broadcast; the
+    corpus never sort-merges."""
+    from ad_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_ORACLE
+
+    df = REGISTRY["bm25_retrieve"].fn(spark, SF_ORACLE)
+    df.collect()  # AQE decides reuse at runtime; inspect the final plan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("ReusedExchange") >= 2, "tf must be computed once"
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_pmi_broadcasts_unigram_model(spark):
+    """The unigram count table is vocabulary-bounded and must broadcast
+    onto the pair table (twice — lhs and rhs); the rank window runs on
+    the already-limited top-k rows (TakeOrdered, no global sort of the
+    pair table)."""
+    p = plan_of(spark, "pmi_collocations")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_weighted_sample_is_scan_plus_takeordered(spark):
+    """A-ES weighted sampling must stay a pure projection + per-
+    partition top-k heap: zero exchanges below the k-row gather, no
+    global sort, no shuffle of the corpus."""
+    p = plan_of(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange") == 0
