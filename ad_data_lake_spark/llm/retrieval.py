@@ -9,23 +9,37 @@ idf positive for df > N/2).
 
 Scale shape (the part that must survive 100 TB):
 
-- ONE corpus tokenize pass feeds a (doc_id, token) term-frequency
-  aggregate (map-side combine collapses repeats inside the scan
-  stage); document length and document frequency both derive from THAT
-  aggregate — the token stream is never re-scanned, and the tf
-  exchange is shared by its consumers (ReusedExchange, asserted in
-  tests/test_plans.py).
+- ONE Arrow pass over the corpus computes the EXACT (doc_id, token,
+  tf, dl) posting table with no shuffle at all: a document's text
+  lives whole in one row, so a batch-local pandas count IS the global
+  count — tokenization + counting run vectorized in Arrow batches
+  instead of a JVM regex explode feeding a hash aggregate (measured
+  0.9 s vs 2.0-2.4 s at sf1; the regex split is the hot loop, and the
+  JVM form also evaluates it twice — once for ``size``, once for the
+  explode — because CollapseProject inlines the array alias).
+- The posting table is materialized ONCE (``localCheckpoint``, the
+  bigram/boilerplate carrier pattern) and feeds all three consumers:
+  document frequency (vocab-bounded aggregate → broadcast), average
+  document length (doc-keyed aggregate that collapses fully map-side
+  because documents are partition-local), and the scoring join. At
+  100 TB the checkpoint is one postings write — the same bytes a tf
+  exchange would move — paid once instead of per consumer.
 - The QUERY side is tiny by construction (a handful of query strings,
   bounded distinct tokens) and BROADCASTS into the posting scan — the
   corpus-sized tf table never shuffles for the match; only the matched
   (query_id, doc_id) partials move, keyed by maximal-cardinality
   (query_id, doc_id).
-- df is vocabulary-bounded and broadcasts; N and avgdl are scalar
-  cross-attaches.
 - Per-query top-k is a doc_id-keyed window partitioned on query_id —
   at real query batch sizes the per-partition state is one query's
   candidate list; rank orders by the ROUNDED score then doc_id so a
   last-ulp sum difference cannot reorder engines.
+
+Tokenizer parity: the Arrow kernel splits on ``re.compile(r"\\s+",
+re.ASCII)`` after stripping spaces — exactly ``split(trim(text),
+'\\s+')`` (Java ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]`` = ASCII-mode Python
+``\\s``); equivalence to the JVM ``words()`` stream is pinned in
+tests/test_llm_pipeline.py including the empty/whitespace/null edge
+cases.
 
 The reference repo has no retrieval layer (its lake serves marketing
 reads; see SURVEY.md §2.12) — this is part of the LLM-pipeline
@@ -35,15 +49,67 @@ hybrid retriever deploys.
 
 from __future__ import annotations
 
+import re
+from collections.abc import Iterator
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ad_data_lake_spark.llm.text import words
+from ad_data_lake_spark.sources.tables import spread
 
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP_K = 5
 BM25_N_QUERIES = 3  # fixture query set: doc_id < 3 (mirrors RAG's vec_id < 5)
+
+# ASCII-mode \s == Java regex \s == [ \t\n\x0B\f\r]: the Arrow kernel
+# must tokenize EXACTLY like the JVM words() = split(trim(text), '\s+')
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+_TF_SCHEMA = "doc_id long, token string, tf long, dl long"
+
+
+def _tf_partials(batches: Iterator) -> Iterator:
+    """Exact per-document term frequencies for each Arrow batch.
+
+    Correct WITHOUT any merge step: a document is row-atomic, so every
+    occurrence of (doc_id, token) is inside one batch — the batch-local
+    groupby count is the global term frequency, and ``dl`` (document
+    length in tokens) is the row's own token count. Null text mirrors
+    the JVM contract (split(NULL) -> NULL -> explode emits nothing)."""
+    import pandas as pd
+
+    for pdf in batches:
+        pdf = pdf[pdf["text"].notna()]
+        if not len(pdf):
+            continue
+        toks = pdf["text"].str.strip(" ").str.split(_WS_ASCII)
+        dl = toks.str.len()
+        ex = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].repeat(dl),
+                "token": toks.explode().to_numpy(),
+            }
+        )
+        g = ex.groupby(["doc_id", "token"], sort=False).size().reset_index(name="tf")
+        g["dl"] = (
+            g["doc_id"]
+            .map(pd.Series(dl.to_numpy(), index=pdf["doc_id"].to_numpy()))
+            .astype("int64")
+        )
+        yield g
+
+
+def term_frequencies(documents: DataFrame) -> DataFrame:
+    """The (doc_id, token, tf, dl) posting table, computed in one
+    shuffle-free Arrow pass (see ``_tf_partials``) and materialized
+    once for its consumers."""
+    return (
+        spread(documents.select("doc_id", "text"))
+        .mapInPandas(_tf_partials, _TF_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
 
 
 def bm25_retrieve(
@@ -56,18 +122,16 @@ def bm25_retrieve(
     """Top-``top_k`` BM25 hits per query document (the first
     ``n_queries`` docs' texts act as queries; a query never retrieves
     itself). Returns (query_id, rank, doc_id, score, n_terms)."""
-    toks = documents.select(
-        "doc_id", F.explode(words(F.col("text"))).alias("token")
-    )
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    # The tf>0 predicate is vacuously true; it pins the tf column as
-    # referenced so both derived aggregates share ONE canonical tf
-    # exchange (the tfidf_top_terms ReusedExchange recipe) instead of
-    # re-scanning the token stream.
-    dl = tf.where(F.col("tf") > 0).groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.where(F.col("tf") > 0).groupBy("token").agg(F.count("*").alias("df"))
+    tf = term_frequencies(documents)
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = documents.agg(F.count("*").alias("n_docs"))
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    # documents are partition-local in tf, so this per-doc aggregate
+    # collapses fully map-side: the exchange carries ~n_docs rows
+    avgdl = (
+        tf.groupBy("doc_id")
+        .agg(F.first("dl").alias("doc_len"))
+        .agg(F.avg("doc_len").alias("avgdl"))
+    )
 
     qtoks = (
         documents.where(F.col("doc_id") < n_queries)
@@ -86,7 +150,6 @@ def bm25_retrieve(
     scored = (
         tf.join(F.broadcast(qtoks), "token")
         .where(F.col("doc_id") != F.col("query_id"))
-        .join(dl, "doc_id")
         .join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(n_docs))
         .crossJoin(F.broadcast(avgdl))

@@ -597,6 +597,42 @@ def test_bm25_ranks_shared_rare_terms_higher(spark):
     assert scores[1] > scores[2], "rare-term overlap must outrank common-term overlap"
 
 
+def test_bm25_arrow_tf_matches_jvm_words_stream(spark):
+    """The Arrow tokenize-count kernel must reproduce the JVM
+    ``words()`` explode EXACTLY, including the edge cases: null text
+    (no rows), empty text (one '' token — both split forms keep it),
+    whitespace-only and multi-space runs, tabs/newlines (ASCII-mode
+    \\s == Java \\s)."""
+    from ad_data_lake_spark.llm.retrieval import term_frequencies
+    from ad_data_lake_spark.llm.text import words
+
+    rows = [
+        (0, "alpha  beta\talpha\ngamma alpha"),
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "solo"),
+        (5, " padded  with   runs "),
+        (6, "x\r\fy\x0bz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.token): (r.tf, r.dl)
+        for r in term_frequencies(docs).collect()
+    }
+    jvm = docs.select(
+        "doc_id",
+        F.size(words(F.col("text"))).alias("dl"),
+        F.explode(words(F.col("text"))).alias("token"),
+    )
+    expect = {}
+    for r in jvm.collect():
+        k = (r.doc_id, r.token)
+        tf0, _ = expect.get(k, (0, r.dl))
+        expect[k] = (tf0 + 1, r.dl)
+    assert got == expect
+
+
 def test_pmi_prefers_exclusive_pairs(spark):
     """A pair whose members only ever co-occur must out-PMI a pair of
     frequent independent tokens with the same pair count."""

@@ -525,21 +525,25 @@ def test_pagerank_iterations_never_rescan_the_corpus(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_bm25_shares_one_tf_exchange(spark):
-    """BM25's document length and document frequency both derive from
-    the (doc_id, token) tf aggregate: the token stream is scanned once
-    and the tf exchange is REUSED by its consumers (the tfidf recipe),
-    never re-derived per consumer. Query and df sides broadcast; the
-    corpus never sort-merges."""
+def test_bm25_single_arrow_tokenize_no_corpus_shuffle(spark):
+    """BM25's posting table is ONE checkpointed Arrow pass (documents
+    are row-atomic, so batch-local counts are globally exact — no tf
+    shuffle exists at all); document frequency, average length, and
+    the scoring join all read the materialized RDD instead of
+    re-tokenizing per consumer. Query and df sides broadcast; the
+    corpus never sort-merges, and the only JVM explode left is the
+    bounded query side."""
     from ad_data_lake_spark.queries import REGISTRY
     from tests.conftest import SF_ORACLE
 
     df = REGISTRY["bm25_retrieve"].fn(spark, SF_ORACLE)
-    df.collect()  # AQE decides reuse at runtime; inspect the final plan
-    p = df._jdf.queryExecution().executedPlan().toString()
-    assert p.count("ReusedExchange") >= 2, "tf must be computed once"
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    p = full.split("== Initial Plan ==")[0]  # AQE prints the plan twice
+    assert "ExistingRDD" in p, "tf must read the checkpointed postings"
+    assert p.count("Generate explode") == 1, "only the query side explodes"
     assert "SortMergeJoin" not in p
-    assert "BroadcastHashJoin" in p
+    assert p.count("BroadcastHashJoin") >= 2
 
 
 def test_pmi_broadcasts_unigram_model(spark):
