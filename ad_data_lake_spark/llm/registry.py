@@ -1945,11 +1945,12 @@ _add(
 
 from ad_data_lake_spark.llm import retrieval as RET  # noqa: E402
 
-_add(
-    "bm25_retrieve",
-    _doc_q(RET.bm25_retrieve),
-    f"""
-    WITH toks AS (
+def _bm25_sparse_ctes(top_k: int) -> str:
+    """The BM25 scoring pipeline as DuckDB CTEs ending in ``sparse``
+    (query_id, rank, doc_id, score, n_terms) — one SQL source of truth
+    shared by the bm25 row and the hybrid-fusion row, parameterized on
+    the candidate-list depth."""
+    return f"""toks AS (
         SELECT doc_id, unnest(w) AS token
         FROM (SELECT doc_id, {_WORDS} AS w FROM documents)),
     tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -1960,7 +1961,7 @@ _add(
     q AS (SELECT DISTINCT doc_id AS query_id, unnest(list_distinct(w)) AS token
           FROM (SELECT doc_id, {_WORDS} AS w FROM documents
                 WHERE doc_id < {RET.BM25_N_QUERIES})),
-    scored AS (
+    scored_sparse AS (
         SELECT q.query_id, tf.doc_id,
                round(sum(
                    ln(1 + (n_docs - df + 0.5) / (df + 0.5))
@@ -1974,14 +1975,68 @@ _add(
         JOIN dl USING (doc_id)
         JOIN dfreq USING (token), stats
         WHERE tf.doc_id <> q.query_id
-        GROUP BY 1, 2)
-    SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score, n_terms
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY score DESC, doc_id) AS rank
-          FROM scored)
-    WHERE rank <= {RET.BM25_TOP_K}
+        GROUP BY 1, 2),
+    sparse AS (
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score, n_terms
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, doc_id) AS rank
+              FROM scored_sparse)
+        WHERE rank <= {top_k})"""
+
+
+_add(
+    "bm25_retrieve",
+    _doc_q(RET.bm25_retrieve),
+    f"""
+    WITH {_bm25_sparse_ctes(RET.BM25_TOP_K)}
+    SELECT query_id, rank, doc_id, score, n_terms FROM sparse
     """,
     ("llm", "retrieval", "bm25", "join"),
+)
+
+
+def _hybrid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RET.hybrid_retrieve_rrf(
+        load_table(spark, "documents", sf_dir),
+        load_table(spark, "embeddings", sf_dir),
+    )
+
+
+_add(
+    "hybrid_retrieve_rrf",
+    _hybrid_q,
+    f"""
+    WITH {_bm25_sparse_ctes(RET.HYBRID_POOL_K)},
+    dq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {RET.BM25_N_QUERIES}),
+    dc AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    dense AS (
+        SELECT query_id, vec_id AS doc_id, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY {_COS} DESC, vec_id) AS rank
+              FROM dq, dc WHERE query_id <> vec_id)
+        WHERE rank <= {RET.HYBRID_POOL_K}),
+    u AS (
+        SELECT query_id, doc_id, rank AS sparse_rank, 0 AS dense_rank FROM sparse
+        UNION ALL
+        SELECT query_id, doc_id, 0 AS sparse_rank, rank AS dense_rank FROM dense),
+    fused AS (
+        SELECT query_id, doc_id,
+               round(sum(1.0::DOUBLE
+                         / (({RET.RRF_K} + sparse_rank) + dense_rank)), 6)
+                   AS rrf_score,
+               CAST(max(sparse_rank) AS INTEGER) AS sparse_rank,
+               CAST(max(dense_rank) AS INTEGER) AS dense_rank
+        FROM u GROUP BY 1, 2)
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, rrf_score,
+           sparse_rank, dense_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_score DESC, doc_id) AS rank
+          FROM fused)
+    WHERE rank <= {RET.HYBRID_TOP_K}
+    """,
+    ("llm", "retrieval", "hybrid", "rrf", "fusion"),
 )
 
 

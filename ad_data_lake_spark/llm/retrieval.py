@@ -165,3 +165,75 @@ def bm25_retrieve(
         .where(F.col("rank") <= top_k)
         .select("query_id", "rank", "doc_id", "score", "n_terms")
     )
+
+
+RRF_K = 60  # the canonical reciprocal-rank-fusion constant (Cormack 2009)
+HYBRID_POOL_K = 10  # candidate-list depth fed into the fusion, per retriever
+HYBRID_TOP_K = 5
+
+
+def hybrid_retrieve_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    rrf_k: int = RRF_K,
+    pool_k: int = HYBRID_POOL_K,
+    top_k: int = HYBRID_TOP_K,
+    n_queries: int = BM25_N_QUERIES,
+) -> DataFrame:
+    """Hybrid retrieval: fuse the sparse (BM25) and dense (exact
+    cosine) candidate lists with reciprocal rank fusion —
+    ``rrf(d) = Σ_r 1 / (rrf_k + rank_r(d))`` over the retrievers that
+    returned ``d`` (Cormack, Clarke & Buettcher 2009, the fusion every
+    production hybrid RAG stack ships because it needs no score
+    calibration between BM25's unbounded scores and cosine's [-1, 1]).
+
+    Both query sets are the first ``n_queries`` documents (doc_id and
+    vec_id are the same key — ``rag_retrieve`` relies on the same
+    alignment). A rank of 0 in the output means "not retrieved by that
+    half" — the 0 sentinel (real ranks start at 1) keeps the columns
+    int-typed and NULL-free, which the cross-engine value hash needs.
+
+    Scale shape: each half is already scale-shaped (BM25: shuffle-free
+    Arrow postings; dense: broadcast-query brute-force — swap in
+    ``topk_ivf`` for the indexed path, the fusion is rank-only so any
+    retriever slots in); the fusion itself touches q × 2·pool_k rows —
+    a UNION + one tiny aggregate, no join — so its cost is bounded by
+    the query batch, never the corpus. Rank orders by the ROUNDED rrf
+    score then doc_id: scores are sums of ≤2 exact rational terms, so
+    engines cannot disagree past the 6-dp round."""
+    from ad_data_lake_spark.llm.similarity import topk_bruteforce
+
+    sparse = bm25_retrieve(documents, top_k=pool_k, n_queries=n_queries).select(
+        "query_id",
+        "doc_id",
+        F.col("rank").alias("sparse_rank"),
+        F.lit(0).alias("dense_rank"),
+    )
+    dense = topk_bruteforce(embeddings, n_queries=n_queries, k=pool_k).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.lit(0).alias("sparse_rank"),
+        F.col("rank").alias("dense_rank"),
+    )
+    # each unioned row carries exactly one non-zero rank, so the row's
+    # contribution is 1 / (rrf_k + sparse_rank + dense_rank)
+    contrib = F.lit(1.0) / (
+        F.lit(rrf_k) + F.col("sparse_rank") + F.col("dense_rank")
+    )
+    fused = (
+        sparse.unionByName(dense)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("rrf_score"),
+            F.max("sparse_rank").alias("sparse_rank"),
+            F.max("dense_rank").alias("dense_rank"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "query_id", "rank", "doc_id", "rrf_score", "sparse_rank", "dense_rank"
+        )
+    )

@@ -1831,6 +1831,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # token_counts, lang_id (pure projections, unchanged since round 4,
     # r6-judge-green) yield their slots to the judge complement.
     "bm25_retrieve",
+    "hybrid_retrieve_rrf",
     "pmi_collocations",
     "weighted_sample",
     "bpe_train_merges",

@@ -49,6 +49,7 @@ HEADLINE_VIEWS: tuple[str, ...] = (
     "bpe_pair_counts",
     "bpe_encode_stats",
     "bm25_retrieve",
+    "hybrid_retrieve_rrf",
     "pmi_collocations",
     "weighted_sample",
 )

@@ -633,6 +633,52 @@ def test_bm25_arrow_tf_matches_jvm_words_stream(spark):
     assert got == expect
 
 
+def test_hybrid_rrf_matches_independent_fusion(spark):
+    """RRF is re-derived INDEPENDENTLY in Python from the two halves'
+    own outputs (ranks → 1/(60+r) sums → sort) and must reproduce the
+    operator's fused ranking exactly, sentinels included."""
+    from ad_data_lake_spark.llm import retrieval as RET
+    from ad_data_lake_spark.llm.similarity import topk_bruteforce
+    from ad_data_lake_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, "documents", SF_ORACLE)
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    sparse = {
+        (r.query_id, r.doc_id): r.rank
+        for r in RET.bm25_retrieve(docs, top_k=RET.HYBRID_POOL_K).collect()
+    }
+    dense = {
+        (r.query_id, r.vec_id): r.rank
+        for r in topk_bruteforce(
+            emb, n_queries=RET.BM25_N_QUERIES, k=RET.HYBRID_POOL_K
+        ).collect()
+    }
+    fused = {}
+    for (q, d), r in sparse.items():
+        fused[(q, d)] = [1.0 / (RET.RRF_K + r), r, 0]
+    for (q, d), r in dense.items():
+        cur = fused.setdefault((q, d), [0.0, 0, 0])
+        cur[0] += 1.0 / (RET.RRF_K + r)
+        cur[2] = r
+    expect = {}
+    by_q = {}
+    for (q, d), (s, sr, dr) in fused.items():
+        by_q.setdefault(q, []).append((round(s, 6), d, sr, dr))
+    for q, rows in by_q.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        for i, (s, d, sr, dr) in enumerate(rows[: RET.HYBRID_TOP_K], 1):
+            expect[(q, i)] = (d, s, sr, dr)
+
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.rrf_score, r.sparse_rank, r.dense_rank)
+        for r in RET.hybrid_retrieve_rrf(docs, emb).collect()
+    }
+    assert got == expect
+    # both halves contribute: at least one fused hit carries both ranks
+    assert any(sr > 0 and dr > 0 for (_, _, sr, dr) in got.values())
+
+
 def test_pmi_prefers_exclusive_pairs(spark):
     """A pair whose members only ever co-occur must out-PMI a pair of
     frequent independent tokens with the same pair count."""

@@ -49,6 +49,7 @@ _CROSS_BY_DESIGN = {
     "perplexity_buckets",  # composes unigram's n_total scalar attach
     "nb_quality_score",  # one-row model-totals + prior scalar attaches
     "bm25_retrieve",  # one-row n_docs + avgdl scalar attaches
+    "hybrid_retrieve_rrf",  # composes bm25's scalar attaches
     "pmi_collocations",  # one-row n_tokens + n_pairs scalar attaches
 }
 
@@ -544,6 +545,22 @@ def test_bm25_single_arrow_tokenize_no_corpus_shuffle(spark):
     assert p.count("Generate explode") == 1, "only the query side explodes"
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_hybrid_rrf_fusion_adds_no_join(spark):
+    """The fusion stage is a UNION + one q×2k-row aggregate — rank
+    lists are combined without any join, and nothing in the composed
+    plan sort-merges (each half keeps its own broadcast shape)."""
+    from ad_data_lake_spark.queries import REGISTRY
+    from tests.conftest import SF_ORACLE
+
+    df = REGISTRY["hybrid_retrieve_rrf"].fn(spark, SF_ORACLE)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Union" in p
+    assert "SortMergeJoin" not in p
 
 
 def test_pmi_broadcasts_unigram_model(spark):
