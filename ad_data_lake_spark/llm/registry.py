@@ -2087,3 +2087,32 @@ _add(
     """,
     ("llm", "curation", "sampling", "weighted"),
 )
+
+
+_CMS_ROWS = ", ".join(str(r) for r in range(T.CMS_DEPTH))
+_CMS_BUCKET = (
+    "('0x' || substr(md5('cms' || r::VARCHAR || ':' || token), 1, 13))::BIGINT"
+    f" % {T.CMS_WIDTH}"
+)
+
+_add(
+    "cms_heavy_hitters",
+    _doc_q(T.cms_heavy_hitters),
+    f"""
+    WITH toks AS (SELECT unnest({_WORDS}) AS token FROM documents),
+    cells AS (
+        SELECT r, {_CMS_BUCKET} AS bucket
+        FROM toks, unnest([{_CMS_ROWS}]) AS u(r)),
+    grid AS (SELECT r, bucket, count(*) AS c FROM cells GROUP BY 1, 2),
+    exact AS (SELECT token, count(*) AS exact_count FROM toks GROUP BY 1),
+    topk AS (SELECT token, exact_count FROM exact
+             ORDER BY exact_count DESC, token LIMIT {T.CMS_TOP_K}),
+    probe AS (
+        SELECT token, exact_count, r, {_CMS_BUCKET} AS bucket
+        FROM topk, unnest([{_CMS_ROWS}]) AS u(r))
+    SELECT token, exact_count, min(c) AS cms_estimate
+    FROM probe JOIN grid USING (r, bucket)
+    GROUP BY 1, 2
+    """,
+    ("llm", "text", "sketch", "cms", "aggregate"),
+)

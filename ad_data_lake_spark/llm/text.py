@@ -929,3 +929,78 @@ def pmi_collocations(
         "n_rhs",
         "pmi",
     )
+
+
+# Count-min sketch: fixed (depth × width) counter grid — the bounded-
+# memory frequency tracker for streams/corpora whose vocabulary cannot
+# be held exactly (CMS overestimate bound: err <= e/width · N with
+# prob 1 - e^-depth). Fixture-scaled grid; production widens width.
+CMS_WIDTH = 512
+CMS_DEPTH = 4
+CMS_TOP_K = 20
+
+
+def _cms_bucket(token: Column, row: int, width: int) -> Column:
+    """Row-``row``'s bucket for a token: a 52-bit md5 slice mod width —
+    content-stable and engine-reproducible (the same determinism
+    contract as weighted_sample's u and the MinHash md5 family; swap
+    xxhash64 in production exactly like dedup's hash-family twin)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(f"cms{row}"), token)), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    return h % width  # h is a nonneg 52-bit value: plain mod suffices
+
+
+def cms_heavy_hitters(
+    documents: DataFrame,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    top_k: int = CMS_TOP_K,
+) -> DataFrame:
+    """Count-min-sketch token frequencies (Cormode & Muthukrishnan
+    2005) checked against the exact heavy hitters: build the
+    depth×width counter grid in one corpus pass, then read back the
+    estimate (min over rows of the token's bucket counts) for the
+    exact top-``top_k`` tokens. Output (token, exact_count,
+    cms_estimate) — ``cms_estimate >= exact_count`` ALWAYS (one-sided
+    error), with the overestimate bounded by colliding tail mass.
+
+    Why it matters at 100 TB: the exact token count needs a
+    vocabulary-sized aggregate; the sketch is a CONSTANT depth×width
+    grid (here 4×512 longs) whatever the corpus size — the frequency
+    state a streaming ingest can keep per micro-batch and merge by
+    cell-wise addition (CMS is a linear sketch; the same argument as
+    the HLL reach rollup, `operators/sketches.py`).
+
+    Plan: ONE token pass explodes each token's ``depth`` (row, bucket)
+    cells (posexplode over a literal-seeded array — pure codegen);
+    the grid aggregate's shuffle is bounded by depth×width regardless
+    of corpus size (map-side combine collapses to ≤ grid cells per
+    partition). The exact top-k side reuses the vocab aggregate
+    pattern; the 2k-cell lookup joins the BROADCAST grid. The exact
+    aggregate here exists only to GRADE the sketch — a pure production
+    deployment keeps the grid alone."""
+    toks = spread(documents).select(F.explode(words(F.col("text"))).alias("token"))
+    cells = toks.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("token"), r, width) for r in range(depth)])
+        ).alias("row", "bucket")
+    )
+    grid = cells.groupBy("row", "bucket").agg(F.count("*").alias("c"))
+
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    topk = exact.orderBy(F.desc("exact_count"), F.asc("token")).limit(top_k)
+    probe = topk.select(
+        "token",
+        "exact_count",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("token"), r, width) for r in range(depth)])
+        ).alias("row", "bucket"),
+    )
+    return (
+        probe.join(F.broadcast(grid), ["row", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )

@@ -1834,6 +1834,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hybrid_retrieve_rrf",
     "pmi_collocations",
     "weighted_sample",
+    "cms_heavy_hitters",
     "bpe_train_merges",
     "bpe_pair_counts",
     "bpe_encode_stats",

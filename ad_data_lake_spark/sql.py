@@ -52,6 +52,7 @@ HEADLINE_VIEWS: tuple[str, ...] = (
     "hybrid_retrieve_rrf",
     "pmi_collocations",
     "weighted_sample",
+    "cms_heavy_hitters",
 )
 
 

@@ -65,3 +65,26 @@ def test_reach_sketch_rollup_accuracy_and_merge(spark):
     for t, est in rolled.items():
         assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
         assert abs(est - direct[t]) / exact[t] < 0.05, (t, est, direct[t])
+
+
+def test_cms_estimate_is_one_sided_and_bounded(spark):
+    """CMS never underestimates (min over rows of bucket counts that
+    each INCLUDE the token's own occurrences), and the overestimate is
+    within the Cormode-Muthukrishnan e/width·N bound (2x slack for the
+    fixture's deliberately small grid)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ad_data_lake_spark.llm.text import CMS_WIDTH, cms_heavy_hitters, words
+    from tests.conftest import SF_ORACLE
+
+    documents = load_table(spark, "documents", SF_ORACLE)
+    out = cms_heavy_hitters(documents).collect()
+    assert len(out) > 0
+    n_total = documents.select(
+        F.sum(F.size(words(F.col("text"))))
+    ).collect()[0][0]
+    assert all(r.cms_estimate >= r.exact_count for r in out)
+    bound = 2 * math.e * n_total / CMS_WIDTH
+    assert all(r.cms_estimate - r.exact_count <= bound for r in out)

@@ -581,3 +581,12 @@ def test_weighted_sample_is_scan_plus_takeordered(spark):
     p = plan_of(spark, "weighted_sample")
     assert "TakeOrderedAndProject" in p
     assert p.count("Exchange") == 0
+
+
+def test_cms_grid_is_broadcast_and_join_free_of_sortmerge(spark):
+    """The depth×width grid is bounded by construction and must
+    BROADCAST into the probe; the corpus-side cell aggregate's shuffle
+    is grid-bounded (map-side combine), so nothing sort-merges."""
+    p = plan_of(spark, "cms_heavy_hitters")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
