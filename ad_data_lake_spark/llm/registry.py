@@ -2116,3 +2116,79 @@ _add(
     """,
     ("llm", "text", "sketch", "cms", "aggregate"),
 )
+
+
+def _mmr_oracle() -> str:
+    """MMR's sequential argmax unrolled as CTE steps (the PageRank /
+    IVF-trainer pattern): each pick re-scores the remaining pool
+    against the selected set and takes the (rounded mmr DESC, doc_id)
+    head. Arithmetic contract: lambda and (1 - lambda) are evaluated
+    as DOUBLES on both sides — DuckDB's DECIMAL literals would give an
+    exact 0.3 where IEEE gives 0.30000000000000004."""
+    lam = f"{RET.MMR_LAMBDA!r}::DOUBLE"
+    m = f"(1.0::DOUBLE - {RET.MMR_LAMBDA!r}::DOUBLE)"
+    ctes = [
+        f"""dq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {RET.BM25_N_QUERIES})""",
+        "dc AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings)",
+        f"""pool AS (
+        SELECT query_id, vec_id AS doc_id, cosine_sim AS rel, cv
+        FROM (SELECT query_id, vec_id, cv, {_COS} AS cosine_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY {_COS} DESC, vec_id) AS rnk
+              FROM dq, dc WHERE query_id <> vec_id)
+        WHERE rnk <= {RET.MMR_POOL_K})""",
+        f"""sel_1 AS (
+        SELECT query_id, 1 AS select_rank, doc_id, rel,
+               round({lam} * rel - {m} * 0.0::DOUBLE, 6) AS mmr_score, cv
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rel DESC, doc_id) AS rn
+              FROM pool)
+        WHERE rn = 1)""",
+    ]
+    for i in range(2, RET.MMR_SELECT_K + 1):
+        prev = f"sel_{i - 1}"
+        ctes.append(
+            f"""cand_{i} AS (
+        SELECT p.query_id, p.doc_id, max(p.rel) AS rel,
+               round({lam} * max(p.rel)
+                     - {m} * max(round(list_cosine_similarity(p.cv, s.cv), 6)),
+                     6) AS mmr_score
+        FROM pool p JOIN {prev} s USING (query_id)
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                          WHERE x.query_id = p.query_id
+                            AND x.doc_id = p.doc_id)
+        GROUP BY p.query_id, p.doc_id)"""
+        )
+        ctes.append(
+            f"""pick_{i} AS (
+        SELECT query_id, {i} AS select_rank, doc_id, rel, mmr_score, cv
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY mmr_score DESC, doc_id) AS rn
+              FROM cand_{i})
+        JOIN pool USING (query_id, doc_id, rel)
+        WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"sel_{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick_{i})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, CAST(select_rank AS INTEGER) AS select_rank,
+           doc_id, rel, mmr_score
+    FROM sel_{RET.MMR_SELECT_K}"""
+    )
+
+
+def _mmr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RET.mmr_diversify(load_table(spark, "embeddings", sf_dir))
+
+
+_add(
+    "mmr_diversify",
+    _mmr_q,
+    _mmr_oracle(),
+    ("llm", "retrieval", "mmr", "rerank", "iterative"),
+)

@@ -237,3 +237,86 @@ def hybrid_retrieve_rrf(
             "query_id", "rank", "doc_id", "rrf_score", "sparse_rank", "dense_rank"
         )
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_POOL_K = 10
+MMR_SELECT_K = 5
+
+
+def mmr_diversify(
+    embeddings: DataFrame,
+    lam: float = MMR_LAMBDA,
+    pool_k: int = MMR_POOL_K,
+    select_k: int = MMR_SELECT_K,
+    n_queries: int = BM25_N_QUERIES,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) of the dense candidate pool: iteratively select the
+    candidate maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` —
+    the diversification pass retrieval stacks run so the final k hits
+    aren't k near-copies of the same passage (RAG context windows pay
+    per token; redundant passages waste them).
+
+    Output: (query_id, select_rank, doc_id, rel, mmr_score), one row
+    per selection step; ``rel`` is the candidate's (6-dp-rounded)
+    query cosine from the pool, ``mmr_score`` the rounded objective at
+    pick time (step 1's max-sim term is 0 — pure relevance, the paper's
+    initialization).
+
+    Scale shape: the sequential argmax loop runs per query over the
+    BOUNDED pool (pool_k rows) inside one Arrow ``applyInPandas``
+    group — pairwise sims are one pool_k×pool_k BLAS matmul; the
+    corpus contributes only the pool join (candidate hit list
+    broadcasts into the vector scan, the rag_retrieve shape). Cost is
+    O(queries · pool_k²) whatever the corpus size. Determinism: every
+    cosine/objective is rounded to 6 dp before comparison and ties
+    break on doc_id, so the pick sequence is engine-reproducible; the
+    unrolled-CTE DuckDB oracle replays the same ``select_k`` picks."""
+    import numpy as np
+    import pandas as pd
+
+    from ad_data_lake_spark.llm.similarity import as_double, topk_bruteforce
+
+    hits = topk_bruteforce(embeddings, n_queries=n_queries, k=pool_k).select(
+        "query_id", "vec_id", F.col("cosine_sim").alias("rel")
+    )
+    vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("cv"))
+    pool = vecs.join(F.broadcast(hits), "vec_id")
+
+    def _mmr_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.vstack(pdf["cv"].to_numpy())
+        rel = pdf["rel"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.linalg.norm(V, axis=1)
+        S = np.round((V @ V.T) / np.outer(norms, norms), 6)
+        n = len(pdf)
+        # -inf sentinel: "no selected yet" scores a 0 penalty (the
+        # paper's pure-relevance first pick), but once anything is
+        # selected the TRUE max similarity applies — which can be
+        # NEGATIVE (a clamp at 0 would under-reward anti-correlated
+        # candidates and diverge from the oracle)
+        maxsim = np.full(n, -np.inf)
+        remaining = np.ones(n, dtype=bool)
+        out = []
+        for step in range(1, min(select_k, n) + 1):
+            penalty = np.where(np.isneginf(maxsim), 0.0, maxsim)
+            mmr = np.round(lam * rel - (1.0 - lam) * penalty, 6)
+            order = sorted(
+                (i for i in range(n) if remaining[i]),
+                key=lambda i: (-mmr[i], ids[i]),
+            )
+            i = order[0]
+            out.append(
+                (int(pdf["query_id"].iloc[0]), step, int(ids[i]), rel[i], mmr[i])
+            )
+            remaining[i] = False
+            maxsim = np.maximum(maxsim, S[:, i])
+        return pd.DataFrame(
+            out, columns=["query_id", "select_rank", "doc_id", "rel", "mmr_score"]
+        )
+
+    return pool.groupBy("query_id").applyInPandas(
+        _mmr_group,
+        "query_id long, select_rank int, doc_id long, rel double, mmr_score double",
+    )

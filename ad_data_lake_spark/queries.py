@@ -1835,6 +1835,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pmi_collocations",
     "weighted_sample",
     "cms_heavy_hitters",
+    "mmr_diversify",
     "bpe_train_merges",
     "bpe_pair_counts",
     "bpe_encode_stats",

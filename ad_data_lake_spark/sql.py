@@ -53,6 +53,7 @@ HEADLINE_VIEWS: tuple[str, ...] = (
     "pmi_collocations",
     "weighted_sample",
     "cms_heavy_hitters",
+    "mmr_diversify",
 )
 
 

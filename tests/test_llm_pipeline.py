@@ -691,3 +691,49 @@ def test_pmi_prefers_exclusive_pairs(spark):
     out = pmi_collocations(docs, min_count=3, top_k=50).collect()
     by_pair = {(r.lhs, r.rhs): r.pmi for r in out}
     assert by_pair[("alpha", "beta")] > by_pair[("red", "blue")]
+
+
+def test_mmr_diversifies_against_plain_topk(spark, embeddings):
+    """MMR's selected set must be no-more-redundant than the plain
+    relevance top-k (its max intra-set pairwise cosine is <=), its
+    first pick must be the pure relevance argmax, and every pick's
+    penalty must reference the true (possibly negative) max sim."""
+    import numpy as np
+
+    from ad_data_lake_spark.llm import retrieval as RET
+
+    out = RET.mmr_diversify(embeddings).collect()
+    hits = SIM.topk_bruteforce(
+        embeddings, n_queries=RET.BM25_N_QUERIES, k=RET.MMR_POOL_K
+    ).collect()
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in embeddings.collect()
+    }
+
+    def max_pair_sim(ids):
+        V = np.vstack([vecs[i] for i in ids])
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ V.T
+        np.fill_diagonal(S, -np.inf)
+        return S.max()
+
+    by_q_mmr = {}
+    for r in out:
+        by_q_mmr.setdefault(r.query_id, []).append(r)
+    by_q_rel = {}
+    for r in hits:
+        by_q_rel.setdefault(r.query_id, []).append(r)
+    assert set(by_q_mmr) == {0, 1, 2}
+    for q, rows in by_q_mmr.items():
+        rows.sort(key=lambda r: r.select_rank)
+        rel_rows = sorted(by_q_rel[q], key=lambda r: r.rank)
+        # first pick = relevance argmax of the pool
+        assert rows[0].doc_id == rel_rows[0].vec_id
+        # selected set at most as redundant as the plain top-k set
+        sel_ids = [r.doc_id for r in rows]
+        top_ids = [r.vec_id for r in rel_rows[: len(sel_ids)]]
+        assert max_pair_sim(sel_ids) <= max_pair_sim(top_ids) + 1e-9
+        # scores weakly decrease in pick order past step 1 only if the
+        # pool is homogeneous; what MUST hold: no pick repeats
+        assert len(set(sel_ids)) == len(sel_ids)

@@ -50,6 +50,7 @@ _CROSS_BY_DESIGN = {
     "nb_quality_score",  # one-row model-totals + prior scalar attaches
     "bm25_retrieve",  # one-row n_docs + avgdl scalar attaches
     "hybrid_retrieve_rrf",  # composes bm25's scalar attaches
+    "mmr_diversify",  # composes embed_topk_bruteforce's deliberate cross
     "pmi_collocations",  # one-row n_tokens + n_pairs scalar attaches
 }
 
