@@ -2192,3 +2192,36 @@ _add(
     _mmr_oracle(),
     ("llm", "retrieval", "mmr", "rerank", "iterative"),
 )
+
+
+def _binary_word_sql(word: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN v[{word * 32 + j + 1}] >= 0 THEN {1 << j}::BIGINT"
+        " ELSE 0::BIGINT END)"
+        for j in range(32)
+    )
+    return f"({terms})"
+
+
+_add(
+    "embed_topk_binary",
+    _emb_q(SIM.topk_binary),
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    codes AS (SELECT vec_id, {_binary_word_sql(0)} AS lo,
+                     {_binary_word_sql(1)} AS hi FROM v),
+    q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM codes
+          WHERE vec_id < {SIM.BINARY_N_QUERIES}),
+    scored AS (
+        SELECT query_id, vec_id,
+               CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi))
+                    AS INTEGER) AS hamming
+        FROM q, codes WHERE query_id <> vec_id)
+    SELECT query_id, vec_id, hamming, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY hamming, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= {SIM.BINARY_TOP_K}
+    """,
+    ("llm", "similarity", "ann", "quantization", "binary"),
+)

@@ -1128,3 +1128,77 @@ def embedding_drift(embeddings: DataFrame) -> DataFrame:
         "n_odd",
         F.round(cosine(ca, cb), 6).alias("centroid_cosine"),
     )
+
+
+BINARY_TOP_K = 10
+BINARY_N_QUERIES = 5
+_BITS_PER_WORD = 32  # two 32-bit words per 64-dim vector: bit 63 of a
+# single BIGINT pack would overflow the signed range in both engines
+
+
+def _binary_word(vec: Column, word: int) -> Column:
+    """Bits ``word*32+1 .. word*32+32`` of the sign-bit code as one
+    non-negative long: bit j set iff component >= 0 (exact-zero counts
+    positive — deterministic in both engines)."""
+    terms = [
+        F.when(
+            F.element_at(vec, word * _BITS_PER_WORD + j + 1) >= 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        for j in range(_BITS_PER_WORD)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def topk_binary(
+    embeddings: DataFrame,
+    n_queries: int = BINARY_N_QUERIES,
+    k: int = BINARY_TOP_K,
+) -> DataFrame:
+    """Hamming top-k over SIGN-BIT (1 bit/dim) quantized vectors — the
+    third quantization tier under float (``topk_bruteforce``) and int8
+    (``topk_int8``): 64× less storage/bandwidth than float64, and the
+    distance is two XOR+popcounts per pair instead of a 64-term dot —
+    the candidate-generation pass a billion-vector system runs BEFORE
+    an int8/float re-rank (compose: take binary top-4k, re-rank with
+    ``topk_int8``'s scorer).
+
+    Packing is pure codegen (32 sign tests per word, the LSH
+    hyperplane-code pattern with axis-aligned planes); the corpus is
+    scanned once, codes never shuffle — the bounded query codes
+    broadcast and the per-query window ranks q×n small rows. Hamming
+    is integer-exact in both engines, so the row needs no rounding
+    contract at all; ties (hamming is 0..64-valued, ties are the norm)
+    break on vec_id. Retrieval ERROR vs the exact float top-k is
+    measured and pinned in tests/test_ann_recall.py, like every other
+    approximate index here."""
+    v = as_double(F.col("embedding"))
+    codes = embeddings.select(
+        "vec_id",
+        _binary_word(v, 0).alias("lo"),
+        _binary_word(v, 1).alias("hi"),
+    )
+    q = codes.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    hamming = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    ).cast("int")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(codes)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", hamming.alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "hamming", "rank")
+    )

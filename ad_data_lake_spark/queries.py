@@ -1836,6 +1836,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_sample",
     "cms_heavy_hitters",
     "mmr_diversify",
+    "embed_topk_binary",
     "bpe_train_merges",
     "bpe_pair_counts",
     "bpe_encode_stats",

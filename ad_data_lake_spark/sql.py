@@ -54,6 +54,7 @@ HEADLINE_VIEWS: tuple[str, ...] = (
     "weighted_sample",
     "cms_heavy_hitters",
     "mmr_diversify",
+    "embed_topk_binary",
 )
 
 

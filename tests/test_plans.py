@@ -51,6 +51,7 @@ _CROSS_BY_DESIGN = {
     "bm25_retrieve",  # one-row n_docs + avgdl scalar attaches
     "hybrid_retrieve_rrf",  # composes bm25's scalar attaches
     "mmr_diversify",  # composes embed_topk_bruteforce's deliberate cross
+    "embed_topk_binary",  # deliberate broadcast cross (bruteforce family)
     "pmi_collocations",  # one-row n_tokens + n_pairs scalar attaches
 }
 
