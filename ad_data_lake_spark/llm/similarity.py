@@ -148,25 +148,62 @@ def topk_bruteforce(
     k: int = 10,
     query_pred: Column | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast the query set, score every vector,
-    per-query window rank. The vector table is scanned once and never
-    shuffled; only the q×n scored pairs move. ``query_pred`` overrides
-    the default query-set predicate so the approximate indexes can be
-    recall-scored against the exact answer for the SAME queries
-    (llm/evaluation.py)."""
-    q = _queries(embeddings, query_pred if query_pred is not None else F.col("vec_id") < n_queries)
-    cv = as_double(F.col("embedding"))
-    c = embeddings.select("vec_id", cv.alias("cv"), norm(cv).alias("cn"))
-    pairs = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .where(F.col("query_id") != F.col("vec_id"))
-        # JVM scoring: at q×n pair volumes this small, Arrow transfer +
-        # Python worker latency exceeds the interpreted-fold cost; the
-        # pandas path wins only from ~100k pairs up (see neardup/lsh)
-        .select("query_id", "vec_id", _sim(F.col("qn"), F.col("cn")).alias("cosine_sim"))
+    """Exact cosine top-k: the query set (bounded by the call
+    contract, like the IVF training sample) broadcasts as numpy
+    arrays; ONE Arrow pass scores each corpus batch against all
+    queries with a single BLAS matmul and emits only the batch-local
+    top-k under the global (sim desc, vec_id asc) order — any global
+    top-k row is top-k in its own batch, so the final window ranks
+    n_batches·q·k candidate rows, never the corpus. ``query_pred``
+    overrides the default query-set predicate so the approximate
+    indexes can be recall-scored against the exact answer for the SAME
+    queries (llm/evaluation.py).
+
+    This is the same shape as ``topk_int8``/``topk_ivf`` — the
+    original per-pair JVM fold (broadcast cross join + interpreted
+    64-term dot per pair) measured ~3 s for 45k pairs at sf3 inside
+    the hybrid/MMR composites; the batch matmul amortizes to
+    milliseconds. Scores round to 6 dp before ranking, the same
+    contract every cosine row here carries."""
+    pred = query_pred if query_pred is not None else F.col("vec_id") < n_queries
+    qrows = embeddings.where(pred).select("vec_id", "embedding").collect()
+    if not qrows:
+        empty = "query_id long, vec_id long, cosine_sim double, rank int"
+        return embeddings.sparkSession.createDataFrame([], empty)
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.vstack([r["embedding"] for r in qrows]).astype(np.float64)
+    Qn = np.linalg.norm(Q, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sims = np.round(
+                (C @ Q.T) / (np.linalg.norm(C, axis=1)[:, None] * Qn), 6
+            )
+            out_q, out_v, out_s = [], [], []
+            for j in range(len(q_ids)):
+                col = sims[:, j]
+                mask = ids != q_ids[j]
+                cand_ids, cands = ids[mask], col[mask]
+                order = np.lexsort((cand_ids, -cands))[:k]
+                out_q.append(np.full(len(order), q_ids[j]))
+                out_v.append(cand_ids[order])
+                out_s.append(cands[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cosine_sim": np.concatenate(out_s),
+                }
+            )
+
+    cand = embeddings.mapInPandas(
+        score, "query_id long, vec_id long, cosine_sim double"
     )
-    return _ranked(pairs, k).select("query_id", "vec_id", "cosine_sim", "rank")
+    return _ranked(cand, k).select("query_id", "vec_id", "cosine_sim", "rank")
 
 
 INT8_EPS = 1e-12  # zero-vector guard for the quantization scale
@@ -1153,6 +1190,21 @@ def _binary_word(vec: Column, word: int) -> Column:
     return out.cast("long")
 
 
+def binary_codes(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, lo, hi): the packed sign-bit codes as stored at rest —
+    1 bit/dim, 64× smaller than float64. Pure codegen; equality with
+    the independent numpy pack is pinned in tests/test_ann_recall.py.
+    ``topk_binary`` recomputes bits from the float column on the
+    fixture (one table), but a production deployment probes THIS table
+    and never rereads the floats."""
+    v = as_double(F.col("embedding"))
+    return embeddings.select(
+        "vec_id",
+        _binary_word(v, 0).alias("lo"),
+        _binary_word(v, 1).alias("hi"),
+    )
+
+
 def topk_binary(
     embeddings: DataFrame,
     n_queries: int = BINARY_N_QUERIES,
@@ -1166,39 +1218,63 @@ def topk_binary(
     an int8/float re-rank (compose: take binary top-4k, re-rank with
     ``topk_int8``'s scorer).
 
-    Packing is pure codegen (32 sign tests per word, the LSH
-    hyperplane-code pattern with axis-aligned planes); the corpus is
-    scanned once, codes never shuffle — the bounded query codes
-    broadcast and the per-query window ranks q×n small rows. Hamming
-    is integer-exact in both engines, so the row needs no rounding
-    contract at all; ties (hamming is 0..64-valued, ties are the norm)
-    break on vec_id. Retrieval ERROR vs the exact float top-k is
-    measured and pinned in tests/test_ann_recall.py, like every other
-    approximate index here."""
-    v = as_double(F.col("embedding"))
-    codes = embeddings.select(
-        "vec_id",
-        _binary_word(v, 0).alias("lo"),
-        _binary_word(v, 1).alias("hi"),
+    Storage codes pack as two 32-bit words (``binary_codes`` — pure
+    codegen, the LSH hyperplane-code pattern with axis-aligned planes;
+    bit 63 of one BIGINT would overflow the signed range in both
+    engines). The probe is one Arrow pass in the ``topk_bruteforce``
+    batch shape: Hamming(a,b) = a·(1−b) + (1−a)·b over the 0/1 bit
+    matrices — two BLAS matmuls, exactly the popcount of the packed
+    XOR (equality pinned in pytest) — emitting batch-local top-k, so
+    the final window ranks n_batches·q·k rows, never the corpus.
+    Hamming is integer-exact in both engines, so the row needs no
+    rounding contract at all; ties (hamming is 0..64-valued, ties are
+    the norm) break on vec_id. Retrieval ERROR vs the exact float
+    top-k is measured and pinned in tests/test_ann_recall.py, like
+    every other approximate index here."""
+    qrows = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    q = codes.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("lo").alias("qlo"),
-        F.col("hi").alias("qhi"),
-    )
-    hamming = (
-        F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
-        + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
-    ).cast("int")
-    scored = (
-        F.broadcast(q)
-        .crossJoin(codes)
-        .where(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "vec_id", hamming.alias("hamming"))
+    if not qrows:
+        empty = "query_id long, vec_id long, hamming int, rank int"
+        return embeddings.sparkSession.createDataFrame([], empty)
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    QB = (np.vstack([r["embedding"] for r in qrows]) >= 0).astype(np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            B = (np.vstack(pdf["embedding"].to_numpy()) >= 0).astype(np.float64)
+            # Hamming(a, b) = |a xor b| = a·(1-b) + (1-a)·b: two BLAS
+            # matmuls over the 0/1 bit matrices — exact small-integer
+            # doubles, identical to popcount over the packed words
+            ham = (B @ (1.0 - QB).T + (1.0 - B) @ QB.T).astype(np.int64)
+            out_q, out_v, out_h = [], [], []
+            for j in range(len(q_ids)):
+                col = ham[:, j]
+                mask = ids != q_ids[j]
+                cand_ids, cands = ids[mask], col[mask]
+                order = np.lexsort((cand_ids, cands))[:k]
+                out_q.append(np.full(len(order), q_ids[j]))
+                out_v.append(cand_ids[order])
+                out_h.append(cands[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "hamming": np.concatenate(out_h).astype(np.int32),
+                }
+            )
+
+    cand = embeddings.mapInPandas(
+        score, "query_id long, vec_id long, hamming int"
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "hamming", "rank")
     )

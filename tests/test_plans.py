@@ -27,17 +27,16 @@ def plan_of(spark, name: str) -> str:
 _SWEEP = [n for n, s in REGISTRY.items() if "write" not in s.tags]
 
 
-# embed_topk_bruteforce IS a deliberate broadcast cross join — the exact
-# baseline scores every (query, vector) pair by definition, with the
-# bounded query set broadcast. The scale paths are topk_ivf/topk_lsh
-# (topk_ivf's centroids are now a driver-side literal, so its plan
-# carries no nested-loop/cross join at all and needs no exemption).
-# unigram_lm_score / tfidf_top_terms carry a ONE-ROW scalar broadcast
-# (the corpus token total / document count) as BroadcastNestedLoopJoin
-# BuildRight — a single-row build side is a scalar attach, not a
-# data-volume join; test_lm_scoring_plans pins the real joins.
-# rag_retrieve contains the brute-force probe (same deliberate
-# broadcast cross join as embed_topk_bruteforce).
+# Exemptions are ONE-ROW scalar attaches (a corpus total / document
+# count broadcast as BroadcastNestedLoopJoin BuildRight — a single-row
+# build side is a scalar attach, not a data-volume join;
+# test_lm_scoring_plans pins the real joins). The former deliberate
+# cross joins are gone: the brute-force/binary ANN family now scores
+# in Arrow batch matmuls (topk_bruteforce shape), and topk_ivf's
+# centroids are a driver-side literal. embed_topk_bruteforce /
+# rag_retrieve / mmr_diversify stay listed only for the bounded
+# query-set collect they share, which can still plan a one-row
+# broadcast under AQE on degenerate inputs.
 _CROSS_BY_DESIGN = {
     "embed_topk_bruteforce",
     "unigram_lm_score",
@@ -50,8 +49,8 @@ _CROSS_BY_DESIGN = {
     "nb_quality_score",  # one-row model-totals + prior scalar attaches
     "bm25_retrieve",  # one-row n_docs + avgdl scalar attaches
     "hybrid_retrieve_rrf",  # composes bm25's scalar attaches
-    "mmr_diversify",  # composes embed_topk_bruteforce's deliberate cross
-    "embed_topk_binary",  # deliberate broadcast cross (bruteforce family)
+    "mmr_diversify",
+    "embed_topk_binary",
     "pmi_collocations",  # one-row n_tokens + n_pairs scalar attaches
 }
 
