@@ -2225,3 +2225,18 @@ _add(
     """,
     ("llm", "similarity", "ann", "quantization", "binary"),
 )
+
+
+_add(
+    "cms_grid_incremental",
+    T.cms_grid_incremental,
+    f"""
+    WITH toks AS (SELECT unnest({_WORDS}) AS token FROM documents),
+    cells AS (
+        SELECT r, {_CMS_BUCKET} AS bucket
+        FROM toks, unnest([{_CMS_ROWS}]) AS u(r))
+    SELECT CAST(r AS INTEGER) AS "row", bucket, count(*) AS c
+    FROM cells GROUP BY 1, 2
+    """,
+    ("llm", "text", "sketch", "cms", "incremental", "write"),
+)

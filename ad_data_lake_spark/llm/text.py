@@ -1004,3 +1004,47 @@ def cms_heavy_hitters(
         .groupBy("token", "exact_count")
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+CMS_BATCH_MOD = 4  # incremental-maintenance split (the LSH/IVF invariant)
+
+
+def _cms_grid(documents: DataFrame, width: int, depth: int) -> DataFrame:
+    """The depth×width counter grid for a document set — the reusable
+    half of ``cms_heavy_hitters``."""
+    toks = spread(documents).select(F.explode(words(F.col("text"))).alias("token"))
+    cells = toks.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("token"), r, width) for r in range(depth)])
+        ).alias("row", "bucket")
+    )
+    return cells.groupBy("row", "bucket").agg(F.count("*").alias("c"))
+
+
+def cms_grid_incremental(spark, sf_dir: str) -> DataFrame:
+    """Incremental count-min-sketch maintenance, exercised end-to-end:
+    persist the grid for the base corpus (doc_id % CMS_BATCH_MOD != 0),
+    then fold in the held-out batch by appending ITS partial grid and
+    summing cells at read — CMS is a LINEAR sketch, so per-batch grids
+    merged cell-wise equal the from-scratch grid EXACTLY. The DuckDB
+    oracle recomputes the grid over ALL documents, so the hash match
+    proves merge ≡ rebuild — the invariant that lets a streaming
+    ingest keep corpus-wide token frequencies as a constant-size state
+    (same argument as the HLL reach rollup; same test shape as the
+    LSH/IVF index-maintenance rows). Only the batch is re-tokenized;
+    history is never re-scanned."""
+    from ad_data_lake_spark.scratch import scratch_dir
+    from ad_data_lake_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = scratch_dir(spark, "cms-grid", sf_dir)
+
+    base = docs.where(F.col("doc_id") % CMS_BATCH_MOD != 0)
+    batch = docs.where(F.col("doc_id") % CMS_BATCH_MOD == 0)
+    _cms_grid(base, CMS_WIDTH, CMS_DEPTH).write.parquet(path)
+    _cms_grid(batch, CMS_WIDTH, CMS_DEPTH).write.mode("append").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

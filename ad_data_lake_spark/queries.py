@@ -1837,6 +1837,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cms_heavy_hitters",
     "mmr_diversify",
     "embed_topk_binary",
+    "cms_grid_incremental",
     "bpe_train_merges",
     "bpe_pair_counts",
     "bpe_encode_stats",
