@@ -878,3 +878,82 @@ def weighted_sample(documents: DataFrame, k: int = WSAMPLE_K, seed: str = WSAMPL
         "n_tokens",
         "es_key",
     )
+
+
+CTR_PROBES = 3
+CTR_SEED = "ctr"
+
+
+def contrastive_triplets(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(anchor, positive, negative) training triplets for embedding /
+    reranker models: positives are the VERIFIED near-duplicate pairs
+    (the MinHash-LSH pipeline — semantically-same text is the classic
+    weak-positive source), negatives are content-stable hash picks
+    from the base corpus, rejected if they collide with the anchor,
+    the positive, or any verified near-dup of the anchor (a false
+    negative would train the encoder to push true neighbors apart).
+
+    Negative selection is DETERMINISTIC bounded probing: candidates
+    (h+0, h+1, h+2) mod n_docs from a 52-bit md5 slice of the pair;
+    the first valid probe wins (min probe index). A pair whose three
+    probes are all invalid drops — measure-zero on real data, and the
+    same rule on both engines keeps the row value-oracled.
+
+    Scale shape: rides the near-dup pair pipeline (banded, never
+    all-pairs — the cross_split_leakage pattern); adds one n_docs
+    scalar attach, a 3-way probe explode on the PAIR table (pair-
+    bounded, not corpus-bounded), one broadcast anti-join against the
+    symmetric pair set, and a min_by per pair. At 100 TB the pair
+    table is the dedup output — already materialized by any curation
+    run — so triplet mining is marginal cost."""
+    from ad_data_lake_spark.llm import corpus as CP
+    from ad_data_lake_spark.llm.dedup import minhash_neardup_pairs
+
+    corpus = CP.dup_corpus(documents)
+    pairs = minhash_neardup_pairs(corpus, threshold).localCheckpoint(eager=False)
+    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(CTR_SEED),
+                    F.col("doc_a").cast("string"),
+                    F.col("doc_b").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("doc_a").alias("anchor_id"),
+            F.col("doc_b").alias("positive_id"),
+            F.posexplode(
+                F.array(*[(h + F.lit(p)) % F.col("n_docs") for p in range(CTR_PROBES)])
+            ).alias("probe", "negative_id"),
+        )
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+    ).unionByName(pairs.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y")))
+    valid = (
+        cand.where(
+            (F.col("negative_id") != F.col("anchor_id"))
+            & (F.col("negative_id") != F.col("positive_id"))
+        )
+        .join(
+            F.broadcast(sym),
+            (F.col("anchor_id") == F.col("x"))
+            & (F.col("negative_id") == F.col("y")),
+            "left_anti",
+        )
+    )
+    return valid.groupBy("anchor_id", "positive_id").agg(
+        F.min_by("negative_id", "probe").alias("negative_id"),
+        F.min("probe").cast("int").alias("probe"),
+    )

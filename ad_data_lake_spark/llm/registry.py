@@ -2240,3 +2240,34 @@ _add(
     """,
     ("llm", "text", "sketch", "cms", "incremental", "write"),
 )
+
+
+_add(
+    "contrastive_triplets",
+    _doc_q(CU.contrastive_triplets),
+    f"""
+    WITH {_MINHASH_PAIR_CTES},
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    hpair AS (
+        SELECT doc_a, doc_b,
+               ('0x' || substr(md5('{CU.CTR_SEED}:' || doc_a::VARCHAR
+                                   || ':' || doc_b::VARCHAR), 1, 13))::BIGINT AS h
+        FROM verified),
+    cand AS (
+        SELECT doc_a AS anchor_id, doc_b AS positive_id, p AS probe,
+               (h + p) % n_docs AS negative_id
+        FROM hpair, n, unnest([{", ".join(str(p) for p in range(CU.CTR_PROBES))}]) AS u(p)),
+    sym AS (SELECT doc_a AS x, doc_b AS y FROM verified
+            UNION ALL SELECT doc_b AS x, doc_a AS y FROM verified),
+    valid AS (
+        SELECT * FROM cand
+        WHERE negative_id <> anchor_id AND negative_id <> positive_id
+          AND NOT EXISTS (SELECT 1 FROM sym
+                          WHERE x = anchor_id AND y = negative_id))
+    SELECT anchor_id, positive_id,
+           arg_min(negative_id, probe) AS negative_id,
+           CAST(min(probe) AS INTEGER) AS probe
+    FROM valid GROUP BY 1, 2
+    """,
+    ("llm", "curation", "contrastive", "pairs", "join"),
+)

@@ -1838,6 +1838,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "mmr_diversify",
     "embed_topk_binary",
     "cms_grid_incremental",
+    "contrastive_triplets",
     "bpe_train_merges",
     "bpe_pair_counts",
     "bpe_encode_stats",

@@ -55,6 +55,7 @@ HEADLINE_VIEWS: tuple[str, ...] = (
     "cms_heavy_hitters",
     "mmr_diversify",
     "embed_topk_binary",
+    "contrastive_triplets",
 )
 
 

@@ -496,3 +496,27 @@ def test_weighted_sample_tilts_toward_heavy_docs(documents, spark):
         1 for r in CU.weighted_sample(boosted).collect() if r.doc_id % 2 == 0
     )
     assert boosted_even > base_even
+
+
+def test_contrastive_negatives_are_safe(documents):
+    """Every triplet's negative must be a base-corpus doc that is NOT
+    the anchor, NOT the positive, and NOT a verified near-dup of the
+    anchor; every verified pair must yield exactly one triplet on the
+    fixture (no probe exhaustion)."""
+    from ad_data_lake_spark.llm import corpus as CP
+    from ad_data_lake_spark.llm.dedup import minhash_neardup_pairs
+
+    trips = CU.contrastive_triplets(documents).collect()
+    pairs = minhash_neardup_pairs(CP.dup_corpus(documents)).collect()
+    neighbors = {}
+    for p in pairs:
+        neighbors.setdefault(p.doc_a, set()).add(p.doc_b)
+        neighbors.setdefault(p.doc_b, set()).add(p.doc_a)
+    n_docs = documents.count()
+    assert len(trips) == len(pairs)
+    for t in trips:
+        assert 0 <= t.negative_id < n_docs
+        assert t.negative_id != t.anchor_id
+        assert t.negative_id != t.positive_id
+        assert t.negative_id not in neighbors.get(t.anchor_id, set())
+        assert 0 <= t.probe < CU.CTR_PROBES

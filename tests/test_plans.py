@@ -52,6 +52,7 @@ _CROSS_BY_DESIGN = {
     "mmr_diversify",
     "embed_topk_binary",
     "pmi_collocations",  # one-row n_tokens + n_pairs scalar attaches
+    "contrastive_triplets",  # one-row n_docs scalar attach
 }
 
 
