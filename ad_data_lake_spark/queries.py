@@ -1839,6 +1839,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embed_topk_binary",
     "cms_grid_incremental",
     "contrastive_triplets",
+    # implementation-changed this session (Arrow tf / zip_with pairs /
+    # batch-BLAS brute-force) -> must re-enter the driver window
+    "bigram_lm_score",
+    "embed_topk_bruteforce",
+    "rag_retrieve",
     "bpe_train_merges",
     "bpe_pair_counts",
     "bpe_encode_stats",
@@ -1883,7 +1888,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pii_redact",
     "doc_fingerprint",
     "embed_topk_ivf",
-    "bigram_lm_score",
     "boilerplate_removal",
     "metric_anomalies",
     "merge_upsert_idempotent",
@@ -1934,7 +1938,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "stratified_sample",
     "epoch_shuffle",
-    "rag_retrieve",
     "corpus_health",
     "semi_join_lookup",
     "anti_join_missing",
