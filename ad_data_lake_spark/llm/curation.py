@@ -957,3 +957,88 @@ def contrastive_triplets(documents: DataFrame, threshold: float = 0.5) -> DataFr
         F.min_by("negative_id", "probe").alias("negative_id"),
         F.min("probe").cast("int").alias("probe"),
     )
+
+
+FIM_SEED = "fim-0"
+FIM_RATE_MOD = 2  # every 2nd doc (by content-stable hash) is FIM'd — the
+# paper's 50% transformation rate
+
+
+def _fim_cut(doc_id_col, salt: str, span) -> "F.Column":
+    """1-based cut point in [1, span] from a 52-bit md5 slice —
+    content-stable, engine-reproducible (the weighted_sample u
+    contract)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(FIM_SEED), F.lit(salt), doc_id_col.cast("string"))
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % span) + F.lit(1)
+
+
+def fim_transform(documents: DataFrame) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022,
+    arXiv:2207.14255): reorder a deterministic middle span to the end
+    in PSM (prefix-suffix-middle) format — the data op that teaches a
+    causal LM to infill. Half the corpus transforms (hash-selected),
+    half passes through, exactly the paper's 50% FIM rate.
+
+    Cuts are two md5-derived token positions a, b in [1, n-1];
+    lo = least(a, b) ends the prefix, hi = greatest(a, b) ends the
+    middle — so documents with n >= 2 tokens always produce a
+    non-empty middle iff lo < hi (equal cuts degrade to pass-through,
+    flagged is_fim = false, same rule both engines). Output carries
+    the reassembled training text and the span token counts.
+
+    Scale shape: a pure per-row projection — slice/concat on the
+    token array, zero shuffles, trivially parallel; the same
+    whole-stage-codegen contract as the text-stats family."""
+    w = words(F.col("text"))
+    n = F.size(w)
+    # span floor of 1 keeps the modulo defined for 1-token docs (they
+    # degrade to a=b=1 -> lo==hi -> pass-through, same rule in SQL)
+    span = F.greatest(n - F.lit(1), F.lit(1))
+    a = _fim_cut(F.col("doc_id"), "a", span)
+    b = _fim_cut(F.col("doc_id"), "b", span)
+    lo = F.least(a, b)
+    hi = F.greatest(a, b)
+    selected = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(FIM_SEED), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % FIM_RATE_MOD
+        == 0
+    )
+    is_fim = selected & (n >= 2) & (lo < hi)
+    prefix = F.slice(w, 1, lo)
+    middle = F.slice(w, lo + 1, hi - lo)
+    suffix = F.slice(w, hi + 1, n - hi)
+    psm = F.concat_ws(
+        " ",
+        F.lit("<PRE>"),
+        F.array_join(prefix, " "),
+        F.lit("<SUF>"),
+        F.array_join(suffix, " "),
+        F.lit("<MID>"),
+        F.array_join(middle, " "),
+    )
+    return documents.select(
+        "doc_id",
+        is_fim.alias("is_fim"),
+        F.when(is_fim, psm).otherwise(F.col("text")).alias("train_text"),
+        F.when(is_fim, F.size(prefix)).otherwise(n).cast("long").alias("n_prefix"),
+        F.when(is_fim, F.size(middle)).otherwise(F.lit(0)).cast("long").alias("n_middle"),
+        F.when(is_fim, F.size(suffix)).otherwise(F.lit(0)).cast("long").alias("n_suffix"),
+    )

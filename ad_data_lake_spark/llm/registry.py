@@ -2271,3 +2271,38 @@ _add(
     """,
     ("llm", "curation", "contrastive", "pairs", "join"),
 )
+
+
+_FIM_H = (
+    "('0x' || substr(md5('" + CU.FIM_SEED + ":{salt}' || doc_id::VARCHAR), 1, 13))::BIGINT"
+)
+
+_add(
+    "fim_transform",
+    _doc_q(CU.fim_transform),
+    f"""
+    WITH base AS (
+        SELECT doc_id, text, {_WORDS} AS w, len({_WORDS}) AS n FROM documents),
+    c AS (
+        SELECT *,
+               ({_FIM_H.format(salt="a:")} % greatest(n - 1, 1)) + 1 AS a,
+               ({_FIM_H.format(salt="b:")} % greatest(n - 1, 1)) + 1 AS b,
+               ({_FIM_H.format(salt="")} % {CU.FIM_RATE_MOD} = 0) AS sel
+        FROM base),
+    f AS (
+        SELECT *, least(a, b) AS lo, greatest(a, b) AS hi,
+               (sel AND n >= 2 AND least(a, b) < greatest(a, b)) AS is_fim
+        FROM c)
+    SELECT doc_id, is_fim,
+           CASE WHEN is_fim THEN
+               '<PRE> ' || array_to_string(list_slice(w, 1, lo), ' ')
+               || ' <SUF> ' || array_to_string(list_slice(w, hi + 1, n), ' ')
+               || ' <MID> ' || array_to_string(list_slice(w, lo + 1, hi), ' ')
+           ELSE text END AS train_text,
+           CASE WHEN is_fim THEN lo ELSE n END AS n_prefix,
+           CASE WHEN is_fim THEN hi - lo ELSE 0 END AS n_middle,
+           CASE WHEN is_fim THEN n - hi ELSE 0 END AS n_suffix
+    FROM f
+    """,
+    ("llm", "curation", "fim", "projection"),
+)

@@ -1839,6 +1839,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embed_topk_binary",
     "cms_grid_incremental",
     "contrastive_triplets",
+    "fim_transform",
     # implementation-changed this session (Arrow tf / zip_with pairs /
     # batch-BLAS brute-force) -> must re-enter the driver window
     "bigram_lm_score",

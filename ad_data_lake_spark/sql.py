@@ -56,6 +56,7 @@ HEADLINE_VIEWS: tuple[str, ...] = (
     "mmr_diversify",
     "embed_topk_binary",
     "contrastive_triplets",
+    "fim_transform",
 )
 
 

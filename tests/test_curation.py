@@ -520,3 +520,29 @@ def test_contrastive_negatives_are_safe(documents):
         assert t.negative_id != t.positive_id
         assert t.negative_id not in neighbors.get(t.anchor_id, set())
         assert 0 <= t.probe < CU.CTR_PROBES
+
+
+def test_fim_reconstruction_is_token_exact(documents):
+    """Reassembling prefix+middle+suffix from the PSM text must
+    reproduce the original token stream exactly for every transformed
+    doc; pass-through docs keep their text verbatim; the FIM rate is
+    near the configured 50%; spans are non-empty and sum to n."""
+    import re as _re
+
+    out = {r.doc_id: r for r in CU.fim_transform(documents).collect()}
+    raw = {r.doc_id: r.text for r in documents.collect()}
+    n_fim = 0
+    for doc_id, r in out.items():
+        toks = _re.split(r"\s+", raw[doc_id].strip(" "))
+        if not r.is_fim:
+            assert r.train_text == raw[doc_id]
+            assert (r.n_prefix, r.n_middle, r.n_suffix) == (len(toks), 0, 0)
+            continue
+        n_fim += 1
+        m = _re.match(r"<PRE> (.*) <SUF> (.*) <MID> (.*)$", r.train_text, _re.S)
+        assert m, r.train_text[:80]
+        pre, suf, mid = (g.split(" ") for g in m.groups())
+        assert pre + mid + suf == toks
+        assert (r.n_prefix, r.n_middle, r.n_suffix) == (len(pre), len(mid), len(suf))
+        assert len(mid) >= 1 and len(pre) >= 1 and len(suf) >= 1
+    assert 0.35 <= n_fim / len(out) <= 0.65
