@@ -902,8 +902,10 @@ def contrastive_triplets(documents: DataFrame, threshold: float = 0.5) -> DataFr
     Scale shape: rides the near-dup pair pipeline (banded, never
     all-pairs — the cross_split_leakage pattern); adds one n_docs
     scalar attach, a 3-way probe explode on the PAIR table (pair-
-    bounded, not corpus-bounded), one broadcast anti-join against the
-    symmetric pair set, and a min_by per pair. At 100 TB the pair
+    bounded, not corpus-bounded), one anti-join against the symmetric
+    pair set (optimizer-chosen: broadcast at fixture scale, equi-keyed
+    shuffle when the pair table outgrows it), and a min_by per pair.
+    At 100 TB the pair
     table is the dedup output — already materialized by any curation
     run — so triplet mining is marginal cost."""
     from ad_data_lake_spark.llm import corpus as CP
@@ -941,13 +943,17 @@ def contrastive_triplets(documents: DataFrame, threshold: float = 0.5) -> DataFr
     sym = pairs.select(
         F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
     ).unionByName(pairs.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y")))
+    # NOT force-broadcast: the pair table is dup-volume-sized — small
+    # on the fixture (AQE broadcasts it anyway) but unbounded at
+    # 100 TB, where this correctly degrades to an equi-keyed
+    # shuffle anti-join on (anchor, negative)
     valid = (
         cand.where(
             (F.col("negative_id") != F.col("anchor_id"))
             & (F.col("negative_id") != F.col("positive_id"))
         )
         .join(
-            F.broadcast(sym),
+            sym,
             (F.col("anchor_id") == F.col("x"))
             & (F.col("negative_id") == F.col("y")),
             "left_anti",
