@@ -123,7 +123,22 @@ def bm25_retrieve(
     ``n_queries`` docs' texts act as queries; a query never retrieves
     itself). Returns (query_id, rank, doc_id, score, n_terms)."""
     tf = term_frequencies(documents)
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    qtoks = (
+        documents.where(F.col("doc_id") < n_queries)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(words(F.col("text")))).alias("token"),
+        )
+    )
+    # df is needed ONLY for query terms: the semi filter makes both the
+    # aggregate and the broadcast QUERY-vocabulary-bounded by
+    # construction — a full-corpus df table is Heaps-law unbounded at
+    # 100 TB and must never be a forced broadcast
+    dfreq = (
+        tf.join(F.broadcast(qtoks.select("token").distinct()), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
     n_docs = documents.agg(F.count("*").alias("n_docs"))
     # documents are partition-local in tf, so this per-doc aggregate
     # collapses fully map-side: the exchange carries ~n_docs rows
@@ -133,13 +148,6 @@ def bm25_retrieve(
         .agg(F.avg("doc_len").alias("avgdl"))
     )
 
-    qtoks = (
-        documents.where(F.col("doc_id") < n_queries)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(F.array_distinct(words(F.col("text")))).alias("token"),
-        )
-    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

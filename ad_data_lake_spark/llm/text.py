@@ -897,16 +897,13 @@ def pmi_collocations(
         (F.col("n_pair").cast("double") * F.col("n_tokens") * F.col("n_tokens"))
         / (F.col("n_pairs").cast("double") * F.col("n_lhs") * F.col("n_rhs"))
     )
+    # NOT force-broadcast: uni is full-vocabulary (Heaps-law unbounded
+    # at 100 TB) — AQE broadcasts it at fixture scale, and at scale
+    # this is a vocab-keyed shuffle join of two vocab-bounded sides
     scored = (
         big.where(F.col("n_pair") >= min_count)
-        .join(
-            F.broadcast(uni.select(F.col("token").alias("lhs"), F.col("n_tok").alias("n_lhs"))),
-            "lhs",
-        )
-        .join(
-            F.broadcast(uni.select(F.col("token").alias("rhs"), F.col("n_tok").alias("n_rhs"))),
-            "rhs",
-        )
+        .join(uni.select(F.col("token").alias("lhs"), F.col("n_tok").alias("n_lhs")), "lhs")
+        .join(uni.select(F.col("token").alias("rhs"), F.col("n_tok").alias("n_rhs")), "rhs")
         .crossJoin(F.broadcast(n_tokens))
         .crossJoin(F.broadcast(n_pairs))
         .select(
