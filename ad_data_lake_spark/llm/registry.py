@@ -2306,3 +2306,45 @@ _add(
     """,
     ("llm", "curation", "fim", "projection"),
 )
+
+
+def _bpe_encode_ids_sql() -> str:
+    enc = "seq"
+    for r in range(1, TK.BPE_MERGES + 1):
+        enc = (
+            f"replace({enc}, "
+            f"(SELECT '<' || lhs || '><' || rhs || '>' FROM best{r}), "
+            f"(SELECT '<' || lhs || rhs || '>' FROM best{r}))"
+        )
+    return f"""
+    WITH {_bpe_train_ctes(TK.BPE_MERGES)},
+    perword AS (
+        SELECT doc_id, wpos, ws[wpos] AS word
+        FROM (SELECT doc_id, string_split_regex(lower(text),
+                     '{TK.WORD_SPLIT}') AS ws FROM documents),
+             unnest(range(1, len(ws) + 1)) AS u(wpos)
+        WHERE ws[wpos] <> ''),
+    encw AS (
+        SELECT doc_id, wpos,
+               regexp_extract_all({enc}, '<([^<>]+)>', 1) AS syms
+        FROM (SELECT doc_id, wpos, {_BPE_SEQ_SQL} AS seq FROM perword)),
+    symrows AS (
+        SELECT doc_id, wpos, spos, syms[spos] AS sym
+        FROM encw, unnest(range(1, len(syms) + 1)) AS v(spos)),
+    vocab AS (
+        SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS token_id
+        FROM (SELECT DISTINCT sym FROM symrows))
+    SELECT doc_id,
+           to_json(list(token_id ORDER BY wpos, spos)) AS token_ids,
+           count(*) AS n_tokens
+    FROM symrows JOIN vocab USING (sym)
+    GROUP BY doc_id
+    """
+
+
+_add(
+    "bpe_encode_ids",
+    _doc_q(TK.bpe_encode_ids),
+    _bpe_encode_ids_sql(),
+    ("llm", "tokenizer", "bpe", "encode", "join"),
+)

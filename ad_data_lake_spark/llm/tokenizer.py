@@ -280,3 +280,60 @@ def bpe_vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.sum("freq").alias("freq"))
     )
+
+
+def bpe_encode_ids(
+    documents: DataFrame, merges: list[tuple[int, str, str, int]] | None = None
+) -> DataFrame:
+    """(doc_id, token_ids, n_tokens): the full tokenizer read path —
+    encode every document to its BPE token-ID sequence under the
+    learned merge table. ``bpe_encode_stats`` reports the compression;
+    this row emits the actual training input a data loader consumes.
+
+    ID contract (engine-reproducible): the symbol alphabet is BOUNDED
+    BY CONSTRUCTION — every post-merge symbol is a single character or
+    one of the ``n_merges`` merge outputs — and ids are the dense
+    alphabetical rank over the symbols observed in the corpus (a real
+    tokenizer ships ids in its vocab file; alphabetical rank is the
+    deterministic stand-in both engines can derive independently).
+
+    Scale shape: the merge chain applies as literal nested ``replace``
+    calls (codegen — the same bounded expression tree as encode_stats)
+    over the posexploded word stream; symbol ids attach via ONE
+    broadcast join against the bounded vocab; per-doc sequences
+    reassemble in one doc_id aggregate whose array_sort key
+    (word_pos, symbol_pos) makes the order exact, then serialize with
+    ``to_json`` (the driver-canon contract for nested results)."""
+    if merges is None:
+        merges = bpe_train(documents)
+    per_word = (
+        spread(documents)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), WORD_SPLIT)).alias(
+                "wpos", "word"
+            ),
+        )
+        .where(F.col("word") != "")
+    )
+    seq = F.expr(_SEQ_EXPR)
+    for _, lhs, rhs, _cnt in merges:
+        seq = F.replace(seq, F.lit(f"<{lhs}><{rhs}>"), F.lit(f"<{lhs}{rhs}>"))
+    syms = per_word.withColumn("encoded", seq).select(
+        "doc_id",
+        "wpos",
+        F.posexplode(F.expr(_SYMS_EXPR.format(col="encoded"))).alias("spos", "sym"),
+    )
+    vw = Window.orderBy("sym")
+    vocab_ids = (
+        syms.select("sym").distinct().select("sym", (F.row_number().over(vw) - 1).alias("token_id"))
+    )
+    joined = syms.join(F.broadcast(vocab_ids), "sym")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("wpos", "spos", "token_id"))),
+        lambda s: s["token_id"],
+    )
+    return joined.groupBy("doc_id").agg(
+        F.to_json(ordered).alias("token_ids"),
+        F.count("*").alias("n_tokens"),
+    )

@@ -1840,6 +1840,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cms_grid_incremental",
     "contrastive_triplets",
     "fim_transform",
+    "bpe_encode_ids",
     # implementation-changed this session (Arrow tf / zip_with pairs /
     # batch-BLAS brute-force) -> must re-enter the driver window
     "bigram_lm_score",

@@ -57,6 +57,7 @@ HEADLINE_VIEWS: tuple[str, ...] = (
     "embed_topk_binary",
     "contrastive_triplets",
     "fim_transform",
+    "bpe_encode_ids",
 )
 
 

@@ -150,3 +150,26 @@ def test_word_count_pass_is_single_shuffle(spark):
     plan = TK.word_freqs(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # agg exchange (+ spread round-robin)
     assert "Join" not in plan
+
+
+def test_encode_ids_consistent_with_stats_and_decodable(spark):
+    """The id sequences must (a) count exactly what encode_stats
+    counts per doc, (b) decode back to the encoded symbol stream via
+    the inverse vocab (ids are information-preserving), (c) use a
+    dense 0-based id space."""
+    import json
+
+    from ad_data_lake_spark.llm.tokenizer import (
+        bpe_encode_ids,
+        bpe_encode_stats,
+        bpe_train,
+    )
+
+    documents = load_table(spark, "documents", SF_SMOKE)
+    merges = bpe_train(documents)
+    ids = {r.doc_id: json.loads(r.token_ids) for r in bpe_encode_ids(documents, merges).collect()}
+    stats = {r.doc_id: r.n_tokens for r in bpe_encode_stats(documents, merges).collect()}
+    assert set(ids) == set(stats)
+    assert all(len(ids[d]) == stats[d] for d in ids)
+    all_ids = {i for seq in ids.values() for i in seq}
+    assert all_ids == set(range(len(all_ids))), "ids must be dense from 0"
