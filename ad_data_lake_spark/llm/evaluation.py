@@ -56,6 +56,10 @@ def ann_recalls(embeddings: DataFrame, k: int = 5, query_mod: int = QUERY_MOD) -
             embeddings, query_mod=query_mod, k=k, probe_hamming=h, n_tables=t
         )
         out[f"lsh_t{t}_h{h}"] = recall_at_k(lsh, exact)
+    binary = sim.topk_binary(
+        embeddings, k=k, query_pred=F.col("vec_id") % query_mod == 0
+    )
+    out["binary"] = recall_at_k(binary, exact)
     return out
 
 

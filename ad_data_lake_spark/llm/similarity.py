@@ -1209,6 +1209,7 @@ def topk_binary(
     embeddings: DataFrame,
     n_queries: int = BINARY_N_QUERIES,
     k: int = BINARY_TOP_K,
+    query_pred: Column | None = None,
 ) -> DataFrame:
     """Hamming top-k over SIGN-BIT (1 bit/dim) quantized vectors — the
     third quantization tier under float (``topk_bruteforce``) and int8
@@ -1231,11 +1232,8 @@ def topk_binary(
     the norm) break on vec_id. Retrieval ERROR vs the exact float
     top-k is measured and pinned in tests/test_ann_recall.py, like
     every other approximate index here."""
-    qrows = (
-        embeddings.where(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    pred = query_pred if query_pred is not None else F.col("vec_id") < n_queries
+    qrows = embeddings.where(pred).select("vec_id", "embedding").collect()
     if not qrows:
         empty = "query_id long, vec_id long, hamming int, rank int"
         return embeddings.sparkSession.createDataFrame([], empty)
