@@ -2348,3 +2348,18 @@ _add(
     _bpe_encode_ids_sql(),
     ("llm", "tokenizer", "bpe", "encode", "join"),
 )
+
+
+_add(
+    "postings_index_incremental",
+    RET.postings_index_incremental,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(w) AS token
+        FROM (SELECT doc_id, {_WORDS} AS w FROM documents)),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2)
+    SELECT token, count(*) AS df, sum(tf)::BIGINT AS total_tf
+    FROM tf GROUP BY 1
+    """,
+    ("llm", "retrieval", "bm25", "write", "incremental"),
+)

@@ -328,3 +328,44 @@ def mmr_diversify(
         _mmr_group,
         "query_id long, select_rank int, doc_id long, rel double, mmr_score double",
     )
+
+
+POSTINGS_BATCH_MOD = 6  # base/batch split (the index-maintenance contract)
+
+
+def postings_index_incremental(spark, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance for the BM25 serving
+    path: persist the (doc_id, token, tf, dl) posting table for the
+    base corpus (doc_id % POSTINGS_BATCH_MOD != 0), then APPEND the
+    held-out batch's postings — documents are row-atomic, so a batch's
+    postings are exact in isolation and append ≡ rebuild with no merge
+    step at all. Returns the df/total-tf view of the merged index; the
+    DuckDB oracle recomputes it from scratch over ALL documents, so
+    the hash match proves the maintained index serves the same
+    statistics a full re-index would (the minhash/IVF/CMS/BPE-vocab
+    invariant, closing the set for the retrieval layer). Only the
+    batch re-tokenizes; history is never re-scanned.
+
+    At scale the postings land bucketed by token (layout.py Y1) so the
+    query probe is co-located; plain parquet here mirrors the other
+    index-maintenance rows."""
+    from ad_data_lake_spark.scratch import scratch_dir
+    from ad_data_lake_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = scratch_dir(spark, "bm25-postings", sf_dir)
+
+    base = docs.where(F.col("doc_id") % POSTINGS_BATCH_MOD != 0)
+    batch = docs.where(F.col("doc_id") % POSTINGS_BATCH_MOD == 0)
+    # term_frequencies checkpoints for multi-consumer reads; the write
+    # path has exactly one consumer, so write the raw Arrow pass
+    spread(base.select("doc_id", "text")).mapInPandas(
+        _tf_partials, _TF_SCHEMA
+    ).write.parquet(path)
+    spread(batch.select("doc_id", "text")).mapInPandas(
+        _tf_partials, _TF_SCHEMA
+    ).write.mode("append").parquet(path)
+    merged = spark.read.parquet(path)
+    return merged.groupBy("token").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+    )

@@ -1841,6 +1841,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "contrastive_triplets",
     "fim_transform",
     "bpe_encode_ids",
+    "postings_index_incremental",
     # implementation-changed this session (Arrow tf / zip_with pairs /
     # batch-BLAS brute-force) -> must re-enter the driver window
     "bigram_lm_score",
