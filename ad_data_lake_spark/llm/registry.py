@@ -2363,3 +2363,26 @@ _add(
     """,
     ("llm", "retrieval", "bm25", "write", "incremental"),
 )
+
+
+_add(
+    "lang_quality_calibration",
+    _doc_q(T.lang_quality_calibration),
+    f"""
+    WITH m AS (
+        SELECT doc_id, lang,
+               round(length(replace(text, ' ', '')) / len({_WORDS}), 4)
+                   AS mean_token_len
+        FROM documents),
+    th AS (
+        SELECT lang,
+               round(quantile_cont(mean_token_len, 0.1), 4) AS lang_p10,
+               round(quantile_cont(mean_token_len, 0.9), 4) AS lang_p90
+        FROM m GROUP BY 1)
+    SELECT doc_id, lang, mean_token_len, lang_p10, lang_p90,
+           (mean_token_len < lang_p10 OR mean_token_len > lang_p90)
+               AS is_outlier
+    FROM m JOIN th USING (lang)
+    """,
+    ("llm", "text", "quality", "calibration", "aggregate"),
+)

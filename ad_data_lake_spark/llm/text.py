@@ -1045,3 +1045,44 @@ def cms_grid_incremental(spark, sf_dir: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def lang_quality_calibration(documents: DataFrame) -> DataFrame:
+    """Per-LANGUAGE quality calibration: a single global band on a
+    quality signal mis-fires across languages (mean token length is
+    genuinely different in zh vs en — a threshold tuned on English
+    flags healthy Chinese text), so production filters calibrate
+    per-language percentile bands (CCNet trains one LM per language
+    for the same reason). Output: each document's mean token length
+    against its OWN language's exact p10/p90 band, with the outlier
+    verdict.
+
+    Scale shape: one projection + one language-keyed percentile
+    aggregate whose output is LANGUAGE-bounded by construction (one
+    row per language — broadcastable at any corpus size) joined back
+    onto the scan. Spark's exact ``percentile`` matches DuckDB's
+    ``quantile_cont`` interpolation bit-for-bit on double inputs (the
+    perplexity_buckets contract), and both sides compare the same
+    4-dp-rounded values, so the verdict is engine-reproducible. At
+    100 TB swap ``percentile`` for ``approx_percentile`` (the A11
+    sketch path) — the band moves by the sketch tolerance, the plan
+    is identical."""
+    qc = quality_columns(F.col("text"))
+    base = documents.select(
+        "doc_id", "lang", qc["mean_token_len"].alias("mean_token_len")
+    )
+    th = base.groupBy("lang").agg(
+        F.round(F.expr("percentile(mean_token_len, 0.1)"), 4).alias("lang_p10"),
+        F.round(F.expr("percentile(mean_token_len, 0.9)"), 4).alias("lang_p90"),
+    )
+    return base.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        "mean_token_len",
+        "lang_p10",
+        "lang_p90",
+        (
+            (F.col("mean_token_len") < F.col("lang_p10"))
+            | (F.col("mean_token_len") > F.col("lang_p90"))
+        ).alias("is_outlier"),
+    )

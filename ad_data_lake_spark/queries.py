@@ -1842,6 +1842,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fim_transform",
     "bpe_encode_ids",
     "postings_index_incremental",
+    "lang_quality_calibration",
     # implementation-changed this session (Arrow tf / zip_with pairs /
     # batch-BLAS brute-force) -> must re-enter the driver window
     "bigram_lm_score",

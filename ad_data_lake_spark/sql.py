@@ -58,6 +58,7 @@ HEADLINE_VIEWS: tuple[str, ...] = (
     "contrastive_triplets",
     "fim_transform",
     "bpe_encode_ids",
+    "lang_quality_calibration",
 )
 
 
