@@ -2386,3 +2386,55 @@ _add(
     """,
     ("llm", "text", "quality", "calibration", "aggregate"),
 )
+
+
+_add(
+    "filter_agreement",
+    _doc_q(T.filter_agreement),
+    f"""
+    WITH q AS (
+        SELECT doc_id,
+               round(0.4 * (CASE WHEN len(w) BETWEEN 20 AND 2000
+                            THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN len(list_filter(w,
+                                x -> x IN ({_sql_in(T.STOPWORDS_EN)}))) / len(w)
+                                >= 0.01 THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN length(replace(text, ' ', '')) / len(w)
+                                BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END),
+                     4) >= 0.7 AS f_quality
+        FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents)),
+    g AS (SELECT doc_id, keep AS f_gopher FROM ({_GOPHER_SQL})),
+    cm AS (
+        SELECT doc_id, lang,
+               round(length(replace(text, ' ', '')) / len({_WORDS}), 4)
+                   AS mean_token_len
+        FROM documents),
+    cth AS (
+        SELECT lang,
+               round(quantile_cont(mean_token_len, 0.1), 4) AS lang_p10,
+               round(quantile_cont(mean_token_len, 0.9), 4) AS lang_p90
+        FROM cm GROUP BY 1),
+    c AS (
+        SELECT doc_id,
+               NOT (mean_token_len < lang_p10 OR mean_token_len > lang_p90)
+                   AS f_lang_calib
+        FROM cm JOIN cth USING (lang)),
+    v AS (SELECT doc_id, f_quality, f_gopher, f_lang_calib
+          FROM q JOIN g USING (doc_id) JOIN c USING (doc_id)),
+    pairs AS (
+        SELECT 'quality' AS filter_a, 'gopher' AS filter_b,
+               f_quality AS a, f_gopher AS b FROM v
+        UNION ALL
+        SELECT 'quality', 'lang_calib', f_quality, f_lang_calib FROM v
+        UNION ALL
+        SELECT 'gopher', 'lang_calib', f_gopher, f_lang_calib FROM v)
+    SELECT filter_a, filter_b, count(*) AS n_docs,
+           count(*) FILTER (WHERE a = b) AS n_agree,
+           round(avg(CASE WHEN a THEN 1 ELSE 0 END), 4) AS keep_rate_a,
+           round(avg(CASE WHEN b THEN 1 ELSE 0 END), 4) AS keep_rate_b,
+           round(count(*) FILTER (WHERE a = b) / CAST(count(*) AS DOUBLE), 4)
+               AS agreement_rate
+    FROM pairs GROUP BY 1, 2
+    """,
+    ("llm", "text", "quality", "agreement", "aggregate"),
+)

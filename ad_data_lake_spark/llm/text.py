@@ -1086,3 +1086,57 @@ def lang_quality_calibration(documents: DataFrame) -> DataFrame:
             | (F.col("mean_token_len") > F.col("lang_p90"))
         ).alias("is_outlier"),
     )
+
+
+def filter_agreement(documents: DataFrame) -> DataFrame:
+    """Pairwise agreement matrix between the rule-based quality
+    filters (composite quality score, Gopher rule suite, per-language
+    calibration band) — the analysis a curation team runs before
+    picking a filter stack: high agreement means a filter adds no
+    information; low agreement with similar keep rates means the
+    filters reject DIFFERENT documents and should be ablated
+    separately (the Gopher paper's per-rule ablation, lifted to
+    whole-filter granularity).
+
+    Output: one row per unordered filter pair with doc counts,
+    agreement rate, and each filter's keep rate.
+
+    Scale shape: three per-doc verdict projections joined on doc_id
+    (slim boolean frames — the calibration verdict needs its own
+    language-percentile aggregate, so inline composition is not
+    available), then a literal 3-pair explode and ONE tiny aggregate
+    whose output is pair-bounded (3 rows). Nothing here grows with
+    corpus size except the verdict scans themselves."""
+    g = gopher_rules(documents, min_words=40, max_words=90).select(
+        "doc_id", F.col("keep").alias("f_gopher")
+    )
+    qc = quality_columns(F.col("text"))
+    q = documents.select("doc_id", qc["keep"].alias("f_quality"))
+    c = lang_quality_calibration(documents).select(
+        "doc_id", (~F.col("is_outlier")).alias("f_lang_calib")
+    )
+    v = q.join(g, "doc_id").join(c, "doc_id")
+    pair = lambda an, bn, a, b: F.struct(
+        F.lit(an).alias("filter_a"),
+        F.lit(bn).alias("filter_b"),
+        F.col(a).alias("a"),
+        F.col(b).alias("b"),
+    )
+    pairs = v.select(
+        F.explode(
+            F.array(
+                pair("quality", "gopher", "f_quality", "f_gopher"),
+                pair("quality", "lang_calib", "f_quality", "f_lang_calib"),
+                pair("gopher", "lang_calib", "f_gopher", "f_lang_calib"),
+            )
+        ).alias("p")
+    ).select("p.*")
+    agg = pairs.groupBy("filter_a", "filter_b").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("a") == F.col("b"), 1)).alias("n_agree"),
+        F.round(F.avg(F.col("a").cast("double")), 4).alias("keep_rate_a"),
+        F.round(F.avg(F.col("b").cast("double")), 4).alias("keep_rate_b"),
+    )
+    return agg.withColumn(
+        "agreement_rate", F.round(F.col("n_agree") / F.col("n_docs"), 4)
+    )

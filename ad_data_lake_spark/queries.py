@@ -1843,6 +1843,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_encode_ids",
     "postings_index_incremental",
     "lang_quality_calibration",
+    "filter_agreement",
     # implementation-changed this session (Arrow tf / zip_with pairs /
     # batch-BLAS brute-force) -> must re-enter the driver window
     "bigram_lm_score",

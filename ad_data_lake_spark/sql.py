@@ -59,6 +59,7 @@ HEADLINE_VIEWS: tuple[str, ...] = (
     "fim_transform",
     "bpe_encode_ids",
     "lang_quality_calibration",
+    "filter_agreement",
 )
 
 
