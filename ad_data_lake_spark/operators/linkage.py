@@ -1,0 +1,131 @@
+"""Fuzzy entity join (record linkage) — trigram-set similarity.
+
+The dedup family (llm/dedup.py) collapses near-copies WITHIN one
+corpus; this is the other classic shape: match a DIRTY table against a
+clean catalog (typo'd vendor feeds, OCR'd invoices, user-entered
+names) via character-trigram Jaccard — the pg_trgm / Ethiopia-record-
+linkage approach, built the candidate-generation way:
+
+- each side explodes its DISTINCT character trigrams (codegen
+  sequence+substring, the exploded_shingles pattern);
+- candidates come from the trigram equi-join — names sharing ZERO
+  trigrams never meet, so there is no all-pairs anywhere (the MinHash
+  band philosophy with trigrams as the bands);
+- shared-trigram counts aggregate per candidate pair, Jaccard =
+  shared / (|A| + |B| - shared) on distinct-set sizes, thresholded,
+  then one window keeps the best catalog match per dirty row
+  (rounded-Jaccard desc, key asc — deterministic).
+
+At 100 TB the trigram join is keyed by a bounded alphabet³ space and
+skew-managed like any hot-key join (salting/AQE, layout.py Y2); the
+common-trigram long tail can also be stop-listed the way pg_trgm's
+planner downweights frequent trigrams.
+
+The dirty side here is DERIVED from the catalog (one md5-positioned
+character dropped per name — a planted typo), so the true link is
+known and both recall (pytest) and exact values (DuckDB oracle) are
+checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FUZZY_TAU = 0.3  # short fixture names: one dropped char costs ~1/3 of trigrams
+DIRTY_OFFSET = 1_000_000
+
+
+def _trigrams(df: DataFrame, key: str, name_col: str) -> DataFrame:
+    """(key, set_size, tri): one row per DISTINCT character trigram —
+    codegen explode over the start-index range (the exploded_shingles
+    pattern; a transform-HOF over the index range would evaluate
+    interpreted)."""
+    idx = df.select(
+        key,
+        F.col(name_col).alias("_n"),
+        F.explode(
+            F.when(
+                F.length(name_col) >= 3,
+                F.sequence(F.lit(1), F.length(name_col) - 2),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_i"),
+    )
+    occ = idx.select(key, F.col("_n").substr(F.col("_i"), F.lit(3)).alias("tri"))
+    distinct = occ.distinct()
+    sizes = distinct.groupBy(key).agg(F.count("*").alias("set_size"))
+    return distinct.join(sizes, key)
+
+
+def planted_dirty(part: DataFrame) -> DataFrame:
+    """The dirty feed: every part name with ONE md5-positioned
+    character dropped (a deterministic planted typo), keyed past
+    ``DIRTY_OFFSET`` so the linkage back to ``p_partkey`` is the
+    ground truth the quality test checks."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("typo"), F.col("p_partkey"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    pos = (h % F.length("p_name")) + 1
+    dirty_name = F.concat(
+        F.col("p_name").substr(F.lit(1), pos - 1),
+        F.col("p_name").substr(pos + 1, F.length("p_name")),
+    )
+    return part.select(
+        (F.col("p_partkey") + DIRTY_OFFSET).alias("dirty_id"),
+        dirty_name.alias("dirty_name"),
+    )
+
+
+def fuzzy_name_join(part: DataFrame, tau: float = FUZZY_TAU) -> DataFrame:
+    """Best catalog match per dirty record by trigram Jaccard ≥ tau.
+    Output: (dirty_id, p_partkey, shared, jaccard) — one row per dirty
+    record that cleared the threshold, matched to its best candidate.
+
+    Matching runs over DISTINCT NAMES, not rows: the trigram candidate
+    join is quadratic in bucket occupancy, and duplicate names multiply
+    every bucket for zero information — deduplicate first and the
+    candidate volume drops from |rows sharing a trigram|² to
+    |distinct names sharing a trigram|² (on this catalog: 50 distinct
+    names across 20k rows at sf0.1, a ~160000× candidate reduction;
+    real entity catalogs repeat names too — the dedup-first shape is
+    always at least as good). Row-level results come back via one
+    name-keyed join. EXACT same output as row-level matching: keys of
+    a duplicated name tie on jaccard, and the (jaccard desc, key asc)
+    tie-break picks the minimum key — which is the duplicate group's
+    min-key representative."""
+    cat_rep = part.groupBy("p_name").agg(F.min("p_partkey").alias("p_partkey"))
+    cat = _trigrams(cat_rep, "p_partkey", "p_name")
+    dirty_rows = planted_dirty(part)
+    dirty_rep = dirty_rows.groupBy("dirty_name").agg(
+        F.min("dirty_id").alias("_rep_id")
+    )
+    dirty = _trigrams(dirty_rep, "_rep_id", "dirty_name").withColumnRenamed(
+        "set_size", "dirty_size"
+    )
+    cand = (
+        dirty.join(cat.withColumnRenamed("set_size", "cat_size"), "tri")
+        .groupBy("_rep_id", "p_partkey")
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("dirty_size").alias("la"),
+            F.first("cat_size").alias("lb"),
+        )
+    )
+    jacc = F.round(
+        F.col("shared") / (F.col("la") + F.col("lb") - F.col("shared")), 4
+    )
+    scored = cand.select(
+        "_rep_id", "p_partkey", "shared", jacc.alias("jaccard")
+    ).where(F.col("jaccard") >= tau)
+    w = Window.partitionBy("_rep_id").orderBy(F.desc("jaccard"), F.asc("p_partkey"))
+    best = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .join(dirty_rep, "_rep_id")
+        .select("dirty_name", "p_partkey", "shared", "jaccard")
+    )
+    return dirty_rows.join(best, "dirty_name").select(
+        "dirty_id", "p_partkey", "shared", "jaccard"
+    )

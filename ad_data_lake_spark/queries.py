@@ -1661,6 +1661,68 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Record linkage: fuzzy entity join over the part catalog (trigram
+# Jaccard, candidate-generation via the trigram equi-join — the
+# between-tables sibling of the within-corpus dedup family).
+# ---------------------------------------------------------------------------
+
+from ad_data_lake_spark.operators import linkage  # noqa: E402
+
+_register(
+    "fuzzy_name_join",
+    QuerySpec(
+        _q(linkage.fuzzy_name_join, "part"),
+        f"""
+        WITH cat AS (
+            SELECT p_name, min(p_partkey) AS p_partkey FROM part GROUP BY 1),
+        dirty AS (
+            SELECT p_partkey + {linkage.DIRTY_OFFSET} AS dirty_id,
+                   substr(p_name, 1, pos - 1)
+                       || substr(p_name, pos + 1, length(p_name)) AS dirty_name
+            FROM (SELECT p_partkey, p_name,
+                         (('0x' || substr(md5('typo:' || p_partkey::VARCHAR),
+                                          1, 13))::BIGINT
+                          % length(p_name)) + 1 AS pos
+                  FROM part)),
+        dnames AS (SELECT dirty_name FROM dirty GROUP BY 1),
+        ct AS (
+            SELECT DISTINCT p_partkey, substr(p_name, i, 3) AS tri
+            FROM cat, unnest(range(1, length(p_name) - 1)) AS u(i)
+            WHERE length(p_name) >= 3),
+        cs AS (SELECT p_partkey, count(*) AS cat_size FROM ct GROUP BY 1),
+        dt AS (
+            SELECT DISTINCT dirty_name, substr(dirty_name, i, 3) AS tri
+            FROM dnames, unnest(range(1, length(dirty_name) - 1)) AS u(i)
+            WHERE length(dirty_name) >= 3),
+        ds AS (SELECT dirty_name, count(*) AS dirty_size FROM dt GROUP BY 1),
+        cand AS (
+            SELECT dirty_name, p_partkey, count(*) AS shared
+            FROM dt JOIN ct USING (tri)
+            GROUP BY 1, 2),
+        scored AS (
+            SELECT c.dirty_name, c.p_partkey, c.shared,
+                   round(c.shared
+                         / CAST(d.dirty_size + s.cat_size - c.shared AS DOUBLE),
+                         4) AS jaccard
+            FROM cand c
+            JOIN ds d USING (dirty_name)
+            JOIN cs s USING (p_partkey)),
+        best AS (
+            SELECT dirty_name, p_partkey, shared, jaccard
+            FROM (SELECT *, row_number() OVER (PARTITION BY dirty_name
+                                               ORDER BY jaccard DESC, p_partkey)
+                                AS rnk
+                  FROM scored WHERE jaccard >= {linkage.FUZZY_TAU})
+            WHERE rnk = 1)
+        SELECT dirty_id, p_partkey, shared, jaccard
+        FROM dirty JOIN best USING (dirty_name)
+        """,
+        ("linkage", "fuzzy", "trigram", "join"),
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # LLM-data-pipeline layer (BASELINE.json north star; SURVEY §7 step 8):
 # dedup / text analysis over documents, similarity over embeddings.
 # Specs live next to the operators (llm/registry.py) and are merged here.
@@ -1844,6 +1906,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "postings_index_incremental",
     "lang_quality_calibration",
     "filter_agreement",
+    "fuzzy_name_join",
     # implementation-changed this session (Arrow tf / zip_with pairs /
     # batch-BLAS brute-force) -> must re-enter the driver window
     "bigram_lm_score",

@@ -60,6 +60,7 @@ HEADLINE_VIEWS: tuple[str, ...] = (
     "bpe_encode_ids",
     "lang_quality_calibration",
     "filter_agreement",
+    "fuzzy_name_join",
 )
 
 

@@ -737,3 +737,30 @@ def test_mmr_diversifies_against_plain_topk(spark, embeddings):
         # scores weakly decrease in pick order past step 1 only if the
         # pool is homogeneous; what MUST hold: no pick repeats
         assert len(set(sel_ids)) == len(sel_ids)
+
+
+def test_fuzzy_join_links_planted_typos_to_true_names(spark):
+    """Every dirty record carries one dropped character; its best
+    trigram match must carry the SAME NAME as its true source for the
+    great majority (names repeat in the catalog, so key equality is
+    too strict — name equality is the linkage truth), and matched
+    pairs must clear the threshold. The bar is 0.8, not higher,
+    honestly: the fixture names are 8-12 chars from a tiny vocabulary,
+    so a dropped char sometimes makes a DIFFERENT catalog name the
+    genuinely closer trigram set ('hot gear' -> 'ht gear' is nearer
+    'old gear') — real-world entity names are longer and recall rises
+    with name length."""
+    from ad_data_lake_spark.operators import linkage
+    from ad_data_lake_spark.sources.tables import load_table
+
+    part = load_table(spark, "part", SF_ORACLE)
+    names = {r.p_partkey: r.p_name for r in part.collect()}
+    out = linkage.fuzzy_name_join(part).collect()
+    assert len(out) >= 0.9 * len(names)
+    hits = 0
+    for r in out:
+        true_key = r.dirty_id - linkage.DIRTY_OFFSET
+        assert r.jaccard >= linkage.FUZZY_TAU
+        if names[r.p_partkey] == names[true_key]:
+            hits += 1
+    assert hits >= 0.8 * len(out), f"linkage recall too low: {hits}/{len(out)}"
