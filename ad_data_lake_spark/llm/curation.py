@@ -1048,3 +1048,72 @@ def fim_transform(documents: DataFrame) -> DataFrame:
         F.when(is_fim, F.size(middle)).otherwise(F.lit(0)).cast("long").alias("n_middle"),
         F.when(is_fim, F.size(suffix)).otherwise(F.lit(0)).cast("long").alias("n_suffix"),
     )
+
+
+BUDGET_TOKENS = 100_000  # fixture-scaled training token budget
+_SQ_SCALE = 1000  # sqrt quantization: integer weights -> exact integer denom
+
+
+def token_budget_plan(
+    documents: DataFrame, total_budget: int = BUDGET_TOKENS
+) -> DataFrame:
+    """Apportion a training-run token budget across sources under the
+    α=0.5 temperature rule (share ∝ sqrt(available tokens) — the
+    mT5/XLM-R flattening ``temperature_mixture`` applies per document,
+    here at PLAN level): the sheet a run planner produces before
+    sampling, with per-source quotas that sum EXACTLY to the budget
+    via largest-remainder apportionment (floor the raw shares, then
+    hand the leftover units to the largest fractional remainders —
+    ties on source name).
+
+    Cross-engine arithmetic contract: sqrt weights are quantized to
+    integers (floor(sqrt·1000)) so the denominator is an EXACT integer
+    sum (a float Σ over sources would be summation-order-dependent in
+    the last ulp, and a one-ulp denominator wiggle can flip a floor at
+    a quota boundary); each raw share is then one multiply + one
+    divide of that integer pair — deterministic in both engines.
+
+    Scale: one source-keyed aggregate (source-bounded output), one
+    scalar attach, windows over the ≤|sources| rows. ``epochs`` > 1
+    means the quota upsamples that source (multiple passes — the
+    standard small-domain story)."""
+    w = words(F.col("text"))
+    avail = documents.groupBy("source").agg(
+        F.sum(F.size(w)).alias("n_avail")
+    )
+    sq = F.floor(F.sqrt(F.col("n_avail")) * _SQ_SCALE).cast("long")
+    weighted = avail.withColumn("sq", sq)
+    denom = weighted.agg(F.sum("sq").alias("denom"))
+    raw = F.col("sq") * F.lit(float(total_budget)) / F.col("denom")
+    base = (
+        weighted.crossJoin(F.broadcast(denom))
+        .withColumn("raw", raw)
+        .withColumn("quota0", F.floor(F.col("raw")).cast("long"))
+        .withColumn("frac", F.col("raw") - F.floor(F.col("raw")))
+    )
+    all_w = Window.partitionBy(F.lit(1))
+    rank_w = Window.orderBy(F.desc("frac"), F.asc("source"))
+    return (
+        base.withColumn("leftover", F.lit(total_budget) - F.sum("quota0").over(all_w))
+        .withColumn("rnk", F.row_number().over(rank_w))
+        .select(
+            "source",
+            "n_avail",
+            (
+                F.col("quota0")
+                + F.when(F.col("rnk") <= F.col("leftover"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("quota"),
+            F.round(
+                (
+                    F.col("quota0")
+                    + F.when(F.col("rnk") <= F.col("leftover"), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.col("n_avail"),
+                4,
+            ).alias("epochs"),
+        )
+    )

@@ -2438,3 +2438,38 @@ _add(
     """,
     ("llm", "text", "quality", "agreement", "aggregate"),
 )
+
+
+_add(
+    "token_budget_plan",
+    _doc_q(CU.token_budget_plan),
+    f"""
+    WITH avail AS (
+        SELECT source, sum(len({_WORDS}))::BIGINT AS n_avail
+        FROM documents GROUP BY 1),
+    wtd AS (
+        SELECT source, n_avail,
+               CAST(floor(sqrt(n_avail) * {CU._SQ_SCALE}) AS BIGINT) AS sq
+        FROM avail),
+    d AS (SELECT sum(sq)::BIGINT AS denom FROM wtd),
+    base AS (
+        SELECT source, n_avail, sq,
+               CAST(sq AS DOUBLE) * {float(CU.BUDGET_TOKENS)!r} / denom AS raw
+        FROM wtd, d),
+    q AS (
+        SELECT source, n_avail,
+               CAST(floor(raw) AS BIGINT) AS quota0,
+               raw - floor(raw) AS frac
+        FROM base),
+    l AS (SELECT {CU.BUDGET_TOKENS} - sum(quota0) AS leftover FROM q),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY frac DESC, source) AS rnk
+        FROM q)
+    SELECT source, n_avail,
+           quota0 + (CASE WHEN rnk <= leftover THEN 1 ELSE 0 END) AS quota,
+           round((quota0 + (CASE WHEN rnk <= leftover THEN 1 ELSE 0 END))
+                 / CAST(n_avail AS DOUBLE), 4) AS epochs
+    FROM r, l
+    """,
+    ("llm", "curation", "mixture", "budget", "aggregate"),
+)

@@ -1907,6 +1907,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lang_quality_calibration",
     "filter_agreement",
     "fuzzy_name_join",
+    "token_budget_plan",
     # implementation-changed this session (Arrow tf / zip_with pairs /
     # batch-BLAS brute-force) -> must re-enter the driver window
     "bigram_lm_score",

@@ -61,6 +61,7 @@ HEADLINE_VIEWS: tuple[str, ...] = (
     "lang_quality_calibration",
     "filter_agreement",
     "fuzzy_name_join",
+    "token_budget_plan",
 )
 
 

@@ -546,3 +546,14 @@ def test_fim_reconstruction_is_token_exact(documents):
         assert (r.n_prefix, r.n_middle, r.n_suffix) == (len(pre), len(mid), len(suf))
         assert len(mid) >= 1 and len(pre) >= 1 and len(suf) >= 1
     assert 0.35 <= n_fim / len(out) <= 0.65
+
+
+def test_token_budget_plan_sums_exactly_and_flattens(documents):
+    """Quotas must sum EXACTLY to the budget (largest-remainder
+    guarantee), and the α=0.5 rule must flatten: the smallest source's
+    budget share must exceed its raw availability share."""
+    rows = CU.token_budget_plan(documents).collect()
+    assert sum(r.quota for r in rows) == CU.BUDGET_TOKENS
+    total_avail = sum(r.n_avail for r in rows)
+    smallest = min(rows, key=lambda r: r.n_avail)
+    assert smallest.quota / CU.BUDGET_TOKENS > smallest.n_avail / total_avail

@@ -53,6 +53,7 @@ _CROSS_BY_DESIGN = {
     "embed_topk_binary",
     "pmi_collocations",  # one-row n_tokens + n_pairs scalar attaches
     "contrastive_triplets",  # one-row n_docs scalar attach
+    "token_budget_plan",  # one-row denom scalar attach
 }
 
 
