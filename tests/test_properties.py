@@ -226,3 +226,52 @@ def test_serpentine_deal_balance_property(sizes, n_shards):
         shard = pos if pos < n_shards else 2 * n_shards - 1 - pos
         totals[shard] += sizes[i]
     assert max(totals) - min(totals) <= max(sizes)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab \t\n\r\x0b\x0c.x")),
+            max_size=30,
+        )
+        | st.none(),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_arrow_tf_kernel_matches_counter_reference(texts, index_offset):
+    """The vectorized pandas tokenize-count kernel (BM25 postings) must
+    reproduce a plain Counter over ASCII-\\s+ split for ARBITRARY text
+    — including whitespace-only, empty, and None rows, and a
+    non-default pandas index (the dl alignment via .map is the risky
+    vectorized step). Pure-Python: no Spark session needed."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from ad_data_lake_spark.llm.retrieval import _tf_partials
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+        },
+        index=range(index_offset, index_offset + len(texts)),
+    )
+    got = {}
+    for out in _tf_partials(iter([pdf])):
+        for r in out.itertuples(index=False):
+            got[(r.doc_id, r.token)] = (r.tf, r.dl)
+
+    expect = {}
+    for doc_id, text in zip(range(len(texts)), texts):
+        if text is None:
+            continue
+        toks = re.split(r"\s+", text.strip(" "), flags=re.ASCII)
+        c = Counter(toks)
+        for tok, tf in c.items():
+            expect[(doc_id, tok)] = (tf, len(toks))
+    assert got == expect
