@@ -1887,6 +1887,7 @@ def _pagerank_sql(iters: int) -> str:
         "edges AS (SELECT src, dst, count(*)::BIGINT AS w FROM links GROUP BY 1, 2)",
         "nodes AS (SELECT src AS domain FROM edges UNION SELECT dst FROM edges)",
         "nn AS (SELECT count(*)::BIGINT AS n FROM nodes)",
+        "srcs AS (SELECT DISTINCT src AS domain FROM edges)",
         "outw AS (SELECT src, sum(w)::BIGINT AS outw FROM edges GROUP BY 1)",
         # p = w/outw normalized ONCE, matching the Spark side's
         # pre-normalized graph (same float association: pr * (w/outw))
@@ -1895,6 +1896,15 @@ def _pagerank_sql(iters: int) -> str:
         f"pr0 AS (SELECT domain, round(1.0::DOUBLE / n, {rnd}) AS pr FROM nodes, nn)",
     ]
     for r in range(1, iters + 1):
+        # dangling mass: rank on nodes with no out-edges, redistributed
+        # uniformly (mirrors the per-iteration anti-join + broadcast
+        # scalar on the Spark side; 0.0 on the sink-free planted graph)
+        ctes.append(
+            f"""dang{r} AS (
+            SELECT coalesce(sum(pr), 0.0::DOUBLE) AS dangling
+            FROM pr{r - 1} p
+            WHERE NOT EXISTS (SELECT 1 FROM srcs s WHERE s.domain = p.domain))"""
+        )
         ctes.append(
             f"""c{r} AS (
             SELECT g.dst AS domain, sum(p.pr * g.p) AS inflow
@@ -1905,18 +1915,21 @@ def _pagerank_sql(iters: int) -> str:
             f"""pr{r} AS (
             SELECT nd.domain,
                    round({t}::DOUBLE / nn.n
-                         + {d}::DOUBLE * coalesce(c{r}.inflow, 0.0::DOUBLE),
+                         + {d}::DOUBLE * (coalesce(c{r}.inflow, 0.0::DOUBLE)
+                                          + dang{r}.dangling / nn.n),
                          {rnd}) AS pr
-            FROM nodes nd LEFT JOIN c{r} ON nd.domain = c{r}.domain, nn)"""
+            FROM nodes nd LEFT JOIN c{r} ON nd.domain = c{r}.domain, nn, dang{r})"""
         )
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-    SELECT domain,
-           row_number() OVER (ORDER BY pr DESC, domain) AS pr_rank,
-           round(pr, 6) AS pagerank
-    FROM pr{iters}
+    SELECT domain, pr_rank, pagerank FROM (
+        SELECT domain,
+               row_number() OVER (ORDER BY pr DESC, domain) AS pr_rank,
+               round(pr, 6) AS pagerank
+        FROM pr{iters})
+    WHERE pr_rank <= {WG.PR_TOP_K}
     """
     )
 

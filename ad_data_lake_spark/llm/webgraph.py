@@ -24,10 +24,14 @@ carries (src, dst) pairs, never text). Each iteration is a shuffle
 join of the node-sized rank table with the edge table on ``src`` plus
 a re-aggregation on ``dst`` — the standard distributed PageRank; at
 100 TB both sides bucket by node id (layout.py Y1) so every iteration
-reuses one co-located partitioning. Dangling mass: the planted graph
-has none (every node appears as a source); production graphs
-redistribute the dangling sum per iteration — one extra scalar
-aggregate.
+reuses one co-located partitioning. Dangling mass IS redistributed:
+each iteration anti-joins the rank vector against the out-edge source
+set and broadcasts the scalar dangling sum back into the update (one
+1-row cross join per iteration — the planted graph's sum is 0.0, but
+real crawl graphs are full of sinks and the term is load-bearing
+there). The final ranking is emitted TOP-K (TakeOrderedAndProject +
+a row_number over the bounded k rows), never a global single-partition
+sort of the node table — a real crawl graph has 1e8 nodes.
 
 Numeric contract: ranks are rounded to 7 dp after every iteration on
 BOTH engines (the ``cosine6_pd`` pattern) so double summation order
@@ -60,6 +64,12 @@ PR_ROUND = 7
 # 19x top-to-bottom spread at sf0.001).
 _D1 = "(doc_id * doc_id + 3) % 20"
 _D2 = "(doc_id DIV 3) % 7"
+# Bounded emission: the ranking returns the top-K domains, not the
+# whole node table. 100 >> the 20-node planted namespace (so the
+# fixture result is unchanged in membership), but the PLAN is the one
+# that survives a 1e8-node crawl graph: TakeOrderedAndProject instead
+# of a global single-partition sort.
+PR_TOP_K = 100
 
 
 def domain_edges(documents: DataFrame) -> DataFrame:
@@ -78,21 +88,24 @@ def domain_edges(documents: DataFrame) -> DataFrame:
     return links.groupBy("src", "dst").agg(F.count("*").alias("w"))
 
 
-def domain_pagerank(
-    documents: DataFrame,
+def pagerank_rank(
+    edges: DataFrame,
     iters: int = PR_ITERS,
     damping: float = PR_DAMPING,
+    top_k: int = PR_TOP_K,
 ) -> DataFrame:
-    """(domain, pr_rank, pagerank): weighted PageRank after ``iters``
-    iterations, ranked by (pagerank desc, domain). Entirely lazy — one
-    action evaluates the full recurrence."""
+    """(domain, pr_rank, pagerank): weighted PageRank over an
+    ``(src, dst, w)`` edge table after ``iters`` iterations, top-K by
+    (pagerank desc, domain). Entirely lazy — one action evaluates the
+    full recurrence. Sink nodes (appear only as ``dst``) have their
+    rank mass redistributed uniformly each iteration, the standard
+    dangling-node correction."""
     # Materialize the normalized graph ONCE: every iteration joins it,
     # so re-deriving the corpus-sized edge aggregate 5x (plus the
     # out-degree join) is pure waste — the standard production-PR
     # shape (build adjacency, then iterate). localCheckpoint also cuts
     # the 5-deep recurrence lineage, which otherwise replans the whole
     # subtree per reference.
-    edges = domain_edges(documents)
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     graph = (
         edges.join(outw, "src")
@@ -105,6 +118,10 @@ def domain_pagerank(
         .distinct()
         .localCheckpoint()
     )
+    # Source set for the dangling anti-join — node-sized, bounded
+    # (domains, not documents), derived from the already-materialized
+    # adjacency so it costs no corpus pass.
+    srcs = graph.select(F.col("src").alias("domain")).distinct().localCheckpoint()
     # The node COUNT is a bounded scalar (one long — every iteration's
     # teleport term needs it), collected once like the IVF centroid
     # list; the rank VECTOR itself stays distributed.
@@ -112,6 +129,13 @@ def domain_pagerank(
 
     pr = nodes.select("domain", F.round(F.lit(1.0 / n), PR_ROUND).alias("pr"))
     for _ in range(iters):
+        # Dangling mass: rank sitting on nodes with NO out-edges. One
+        # scalar aggregate per iteration, broadcast back into the
+        # update as a 1-row join (never a shuffle). coalesce covers
+        # the no-sinks graph, where the anti-join is empty.
+        dangling = pr.join(srcs, "domain", "left_anti").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dangling")
+        )
         contrib = (
             pr.join(graph, pr["domain"] == graph["src"])
             .select(
@@ -121,17 +145,39 @@ def domain_pagerank(
             .groupBy("domain")
             .agg(F.sum("c").alias("inflow"))
         )
-        pr = nodes.join(contrib, "domain", "left").select(
-            "domain",
-            F.round(
-                F.lit(PR_TELEPORT / n)
-                + damping * F.coalesce(F.col("inflow"), F.lit(0.0)),
-                PR_ROUND,
-            ).alias("pr"),
+        pr = (
+            nodes.join(contrib, "domain", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "domain",
+                F.round(
+                    F.lit(PR_TELEPORT / n)
+                    + damping
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dangling") / n
+                    ),
+                    PR_ROUND,
+                ).alias("pr"),
+            )
         )
+    # Bounded emission: TakeOrderedAndProject to top_k rows, THEN the
+    # rank window over only those k rows — never a global
+    # single-partition sort of the full node table.
+    top = pr.orderBy(F.desc("pr"), "domain").limit(top_k)
     w = Window.orderBy(F.desc("pr"), "domain")
-    return pr.select(
+    return top.select(
         "domain",
         F.row_number().over(w).cast("long").alias("pr_rank"),
         F.round("pr", 6).alias("pagerank"),
     )
+
+
+def domain_pagerank(
+    documents: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """(domain, pr_rank, pagerank): weighted PageRank of the planted
+    corpus link graph — see :func:`pagerank_rank` for the recurrence."""
+    return pagerank_rank(domain_edges(documents), iters, damping)

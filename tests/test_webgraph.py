@@ -63,6 +63,48 @@ def test_pagerank_mass_and_nondegeneracy(spark):
     assert ranks == list(range(1, len(res) + 1))
 
 
+def test_pagerank_redistributes_dangling_mass(spark):
+    """A graph WITH a sink (c has no out-edges): the per-iteration
+    dangling correction must conserve probability mass and match an
+    independent numpy power iteration that applies the same
+    dangling-sum/n redistribution. Without the correction, mass decays
+    by ~damping * pr(c) every iteration (~10%+ here) — the bug this
+    pins."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("a", "c", 1)],
+        "src string, dst string, w long",
+    )
+    got = {r.domain: r.pagerank for r in WG.pagerank_rank(edges).collect()}
+
+    nodes = ["a", "b", "c"]
+    n = len(nodes)
+    P = np.array([[0.0, 0.5, 0.5], [0.0, 0.0, 1.0], [0.0, 0.0, 0.0]])
+    is_sink = np.array([False, False, True])
+    pr = np.full(n, round(1.0 / n, WG.PR_ROUND))
+    for _ in range(WG.PR_ITERS):
+        dangling = float(pr[is_sink].sum())
+        pr = np.round(
+            WG.PR_TELEPORT / n + WG.PR_DAMPING * (pr @ P + dangling / n),
+            WG.PR_ROUND,
+        )
+    expect = {nodes[i]: round(float(pr[i]), 6) for i in range(n)}
+    assert got == expect
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_emits_bounded_topk_not_global_sort(spark):
+    """The final ranking must be TakeOrderedAndProject over top-k (a
+    real crawl graph has 1e8 nodes — a global single-partition sort of
+    the node table is the plan this pins out), and an oversized graph
+    must actually truncate to top_k rows."""
+    docs = load_table(spark, "documents", SF_SMOKE)
+    df = WG.domain_pagerank(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    truncated = WG.pagerank_rank(WG.domain_edges(docs), top_k=3).collect()
+    assert [r.pr_rank for r in truncated] == [1, 2, 3]
+
+
 def test_pagerank_ranks_deterministic_under_reruns(spark):
     docs = load_table(spark, "documents", SF_SMOKE)
     a = sorted(map(tuple, WG.domain_pagerank(docs).collect()))
