@@ -143,6 +143,19 @@ def _version_history(target_path: str) -> list[str]:
         return priors + [current]
 
 
+def _published_history(target_path: str, current: str | None) -> list[str]:
+    """The version log truncated at the ``_CURRENT`` pointer. A merge
+    that crashed between the log append and the pointer flip leaves a
+    never-published tail in ``_VERSIONS``; every consumer that reasons
+    about "prior versions" (time travel, vacuum, the next publish)
+    must ignore that tail — it was never current, so it is not a
+    readable prior, just an orphan directory awaiting GC."""
+    history = _version_history(target_path)
+    if current is not None and current in history:
+        history = history[: history.index(current) + 1]
+    return history
+
+
 def _write_atomic(target_path: str, name: str, content: str) -> None:
     tmp = os.path.join(target_path, f".{name}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
@@ -214,8 +227,16 @@ def _publish(
     priors — stay readable via ``read_version``). Write order is
     log → pointer → GC, so a crash at any boundary leaves the table
     consistent: an unpointed log tail is just an orphaned directory
-    the next publish GCs, never a dangling pointer."""
-    history = [v for v in _version_history(target_path) if v != new_version]
+    the next publish GCs, never a dangling pointer. The history this
+    publish extends is truncated at the CURRENT pointer first, so a
+    prior crash's never-published tail is dropped from the log (and
+    its directory GC'd below) instead of surviving as a readable
+    'prior' ahead of the version it never superseded."""
+    history = [
+        v
+        for v in _published_history(target_path, _current_version(target_path))
+        if v != new_version
+    ]
     history.append(new_version)
     kept = history[-max(1, retain):]
     _write_atomic(target_path, _LOG, "\n".join(kept) + "\n")
@@ -431,9 +452,13 @@ def read_version(
     current = _current_version(target_path)
     if current is None:
         raise ValueError(f"{target_path} is not a versioned (bucketed) table")
+    if steps_back < 0:
+        raise ValueError(f"steps_back must be >= 0, got {steps_back}")
     if steps_back == 0:
         return _read_version_dir(spark, os.path.join(target_path, current))
-    history = _version_history(target_path)
+    # truncated-at-current history: a crashed merge's unpointed log
+    # tail is never resolvable as a prior version
+    history = _published_history(target_path, current)
     try:
         idx = history.index(current) - steps_back
     except ValueError:
@@ -466,7 +491,10 @@ def vacuum(target_path: str, retain: int = 1) -> list[str]:
     current = _current_version(target_path)
     if current is None:
         raise ValueError(f"{target_path} is not a versioned (bucketed) table")
-    history = _version_history(target_path)
+    # Truncate at the pointer BEFORE applying the retention window: a
+    # crashed merge's unpointed log tail must be GC'd as the orphan it
+    # is, never retained ahead of current as a readable 'prior'.
+    history = _published_history(target_path, current)
     kept = history[-max(1, retain):]
     if current not in kept:
         kept = kept + [current]

@@ -737,6 +737,68 @@ def test_time_travel_depth_and_orphan_robustness(spark, events, tmp_path):
         read_version(spark, target, 3)
 
 
+def test_crashed_merge_log_tail_never_resolves_as_prior(spark, events, tmp_path):
+    """Crash-consistency contract: a merge that appended its version to
+    ``_VERSIONS`` but died BEFORE flipping ``_CURRENT`` leaves an
+    unpointed log tail. That tail must never resolve as 'previous'
+    (it was never current), vacuum must GC it rather than retain it,
+    and the next publish must drop it from the log. Also pins the
+    ``steps_back >= 0`` ValueError contract."""
+    import pytest as _pytest
+
+    from ad_data_lake_spark.incremental import (
+        _LOG,
+        merge_upsert,
+        read_merged,
+        read_version,
+        vacuum,
+    )
+
+    base = events.select("event_id", "ts", "user_id", "value").limit(400)
+    target = str(tmp_path / "crash_t")
+    merge_upsert(spark, target, base, "event_id", "ts", "value")
+    h0 = _table_hash(read_merged(spark, target))
+    upd = base.limit(40).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        (F.col("value") + 1).alias("value"),
+    )
+    merge_upsert(spark, target, upd, "event_id", "ts", "value")
+    h1 = _table_hash(read_merged(spark, target))
+
+    # simulate the crash: log appended + data dir written, pointer NOT
+    # flipped (the exact interleaving _publish's write order allows)
+    orphan = "v-ffffdead"
+    os.makedirs(os.path.join(target, orphan))
+    with open(os.path.join(target, _LOG), "a") as f:
+        f.write(orphan + "\n")
+
+    with _pytest.raises(ValueError):
+        read_version(spark, target, steps_back=-1)
+    # 'previous' is the version the last PUBLISH superseded, never the
+    # unpointed tail
+    assert _table_hash(read_version(spark, target, 0)) == h1
+    assert _table_hash(read_version(spark, target, 1)) == h0
+
+    removed = vacuum(target, retain=2)
+    assert orphan in removed, "vacuum must GC the unpointed tail"
+    assert not os.path.isdir(os.path.join(target, orphan))
+    with open(os.path.join(target, _LOG)) as f:
+        assert orphan not in f.read()
+    assert _table_hash(read_version(spark, target, 1)) == h0  # prior intact
+
+    # same scenario resolved by the NEXT publish instead of vacuum
+    os.makedirs(os.path.join(target, orphan))
+    with open(os.path.join(target, _LOG), "a") as f:
+        f.write(orphan + "\n")
+    merge_upsert(spark, target, upd, "event_id", "ts", "value")
+    with open(os.path.join(target, _LOG)) as f:
+        assert orphan not in f.read()
+    assert not os.path.isdir(os.path.join(target, orphan))
+    assert _table_hash(read_version(spark, target, 1)) == h1
+
+
 def test_vacuum_tightens_retention(spark, events, tmp_path):
     from ad_data_lake_spark.incremental import (
         merge_upsert,
