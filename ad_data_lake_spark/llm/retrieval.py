@@ -77,7 +77,13 @@ def _tf_partials(batches: Iterator) -> Iterator:
     occurrence of (doc_id, token) is inside one batch — the batch-local
     groupby count is the global term frequency, and ``dl`` (document
     length in tokens) is the row's own token count. Null text mirrors
-    the JVM contract (split(NULL) -> NULL -> explode emits nothing)."""
+    the JVM contract (split(NULL) -> NULL -> explode emits nothing).
+    ``dl`` is carried POSITIONALLY into the exploded frame (and the
+    count groups on the row ordinal, not the id), so a batch carrying
+    duplicate doc_id rows yields per-row postings instead of an opaque
+    pandas reindex error mid-Arrow-pass — well-formed corpora have
+    unique doc_id and are byte-identical either way."""
+    import numpy as np
     import pandas as pd
 
     for pdf in batches:
@@ -85,20 +91,22 @@ def _tf_partials(batches: Iterator) -> Iterator:
         if not len(pdf):
             continue
         toks = pdf["text"].str.strip(" ").str.split(_WS_ASCII)
-        dl = toks.str.len()
+        rep = toks.str.len().to_numpy()
         ex = pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"].repeat(dl),
+                "rid": np.arange(len(pdf)).repeat(rep),
+                "doc_id": pdf["doc_id"].to_numpy().repeat(rep),
+                "dl": rep.repeat(rep),
                 "token": toks.explode().to_numpy(),
             }
         )
-        g = ex.groupby(["doc_id", "token"], sort=False).size().reset_index(name="tf")
-        g["dl"] = (
-            g["doc_id"]
-            .map(pd.Series(dl.to_numpy(), index=pdf["doc_id"].to_numpy()))
-            .astype("int64")
+        g = (
+            ex.groupby(["rid", "doc_id", "dl", "token"], sort=False)
+            .size()
+            .reset_index(name="tf")
         )
-        yield g
+        g["dl"] = g["dl"].astype("int64")
+        yield g[["doc_id", "token", "tf", "dl"]]
 
 
 def term_frequencies(documents: DataFrame) -> DataFrame:

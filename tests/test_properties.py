@@ -275,3 +275,19 @@ def test_arrow_tf_kernel_matches_counter_reference(texts, index_offset):
         for tok, tf in c.items():
             expect[(doc_id, tok)] = (tf, len(toks))
     assert got == expect
+
+
+def test_arrow_tf_kernel_tolerates_duplicate_doc_ids():
+    """A batch with DUPLICATE doc_id rows (malformed input) must yield
+    per-row postings — never the opaque pandas InvalidIndexError the
+    Series-indexed dl mapping used to raise mid-Arrow-pass."""
+    import pandas as pd
+
+    from ad_data_lake_spark.llm.retrieval import _tf_partials
+
+    pdf = pd.DataFrame({"doc_id": [7, 7, 8], "text": ["a b a", "c", "a"]})
+    out = pd.concat(list(_tf_partials(iter([pdf]))), ignore_index=True)
+    rows = {
+        (r.doc_id, r.token, r.tf, r.dl) for r in out.itertuples(index=False)
+    }
+    assert rows == {(7, "a", 2, 3), (7, "b", 1, 3), (7, "c", 1, 1), (8, "a", 1, 1)}
