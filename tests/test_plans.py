@@ -54,6 +54,7 @@ _CROSS_BY_DESIGN = {
     "pmi_collocations",  # one-row n_tokens + n_pairs scalar attaches
     "contrastive_triplets",  # one-row n_docs scalar attach
     "token_budget_plan",  # one-row denom scalar attach
+    "domain_pagerank",  # one-row dangling-mass scalar attach per iteration (r8)
 }
 
 
@@ -373,13 +374,31 @@ def test_cohort_single_event_shuffle(spark):
 
 
 def test_sql_surface_views_run_and_match(spark):
-    """Every headline operator view must be runnable from spark.sql and
-    return the same rows as the DataFrame registry plan it wraps."""
+    """The DEFAULT SQL surface is the full lazy read-path registry
+    (view count ~= read-path row count), its registration runs ZERO
+    jobs beyond parquet footer reads, and views return the same rows
+    as the DataFrame registry plans they wrap. Action-bearing rows
+    (model trains / iterative loops / bounded collects at plan build)
+    are excluded by default and register only on explicit opt-in."""
     from ad_data_lake_spark.queries import REGISTRY
-    from ad_data_lake_spark.sql import HEADLINE_VIEWS, register_sql_surface
+    from ad_data_lake_spark.sql import (
+        ACTION_VIEWS,
+        lazy_views,
+        register_sql_surface,
+    )
+
+    read_path = [
+        n
+        for n, s in REGISTRY.items()
+        if "write" not in s.tags and "streaming" not in s.tags
+    ]
+    assert set(lazy_views()) | set(ACTION_VIEWS) == set(read_path)
+    # every ACTION_VIEWS name must still be a real registry row
+    assert set(ACTION_VIEWS) <= set(read_path)
 
     registered = register_sql_surface(spark, SF_SMOKE)
-    assert list(registered) == list(HEADLINE_VIEWS)
+    assert list(registered) == list(lazy_views())
+    assert len(registered) >= 100  # the widened surface, not the r7 34
     for name in ("hierarchy_flat", "dedup_exact", "sessionize_events"):
         via_sql = spark.sql(f"SELECT * FROM {name}")
         via_df = REGISTRY[name].fn(spark, SF_SMOKE)
@@ -390,6 +409,37 @@ def test_sql_surface_views_run_and_match(spark):
         "SELECT count(*) AS n FROM frequency_cap WHERE capped"
     ).collect()[0].n
     assert n > 0
+    # opt-in tier: registration is eager but the view then works
+    more = register_sql_surface(
+        spark, SF_SMOKE, views=("bm25_retrieve",), include_action_views=True
+    )
+    assert more == ["bm25_retrieve"]
+    assert spark.sql("SELECT * FROM bm25_retrieve WHERE rank = 1").count() > 0
+
+
+def test_sql_surface_default_registration_is_lazy(spark):
+    """Registering the default surface must not execute operator jobs:
+    the job-count delta over registration stays at footer-read scale
+    (one small job per distinct parquet read, no corpus passes). This
+    pins the ACTION_VIEWS split — a collect-bearing operator slipping
+    into the default tier shows up as a job-count jump here."""
+    from ad_data_lake_spark.sql import lazy_views, register_sql_surface
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def latest_job():
+        ids = tracker.getJobIdsForGroup()
+        return max(ids) if ids else -1
+
+    before = latest_job()
+    registered = register_sql_surface(spark, SF_SMOKE)
+    jobs = latest_job() - before
+    # footer reads only: bounded by ~2 per registered view (most rows
+    # read 1-2 tables), nowhere near what one corpus operator costs
+    assert jobs <= 2 * len(registered), (
+        f"registration ran {jobs} jobs for {len(registered)} views — "
+        "an action-bearing operator leaked into the lazy tier"
+    )
 
 
 def test_sql_view_pushdown(spark):
