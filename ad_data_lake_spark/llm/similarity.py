@@ -1173,6 +1173,27 @@ _BITS_PER_WORD = 32  # two 32-bit words per 64-dim vector: bit 63 of a
 # single BIGINT pack would overflow the signed range in both engines
 
 
+def _popcount32(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized SWAR popcount for arrays of non-negative 32-bit
+    words held in int64 (numpy < 2.0 has no ``bitwise_count``).
+    Classic public bit-twiddling identity, exact for 0..2^32-1."""
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    # int64 carries bits above 31 through the multiply; mask them off
+    return ((x * 0x01010101) >> 24) & 0xFF
+
+
+def _pack_words(bits: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """(n, 64) sign-bit matrix → (lo, hi) int64 word arrays with the
+    ``_binary_word`` convention (bit j of word w = dim w*32+j+1);
+    equality with the JVM pack is pinned in tests/test_ann_recall.py."""
+    b = np.ascontiguousarray(bits, dtype=np.uint8)
+    lo = np.packbits(b[:, :32], axis=1, bitorder="little").view("<u4")[:, 0]
+    hi = np.packbits(b[:, 32:], axis=1, bitorder="little").view("<u4")[:, 0]
+    return lo.astype(np.int64), hi.astype(np.int64)
+
+
 def _binary_word(vec: Column, word: int) -> Column:
     """Bits ``word*32+1 .. word*32+32`` of the sign-bit code as one
     non-negative long: bit j set iff component >= 0 (exact-zero counts
@@ -1222,34 +1243,45 @@ def topk_binary(
     Storage codes pack as two 32-bit words (``binary_codes`` — pure
     codegen, the LSH hyperplane-code pattern with axis-aligned planes;
     bit 63 of one BIGINT would overflow the signed range in both
-    engines). The probe is one Arrow pass in the ``topk_bruteforce``
-    batch shape: Hamming(a,b) = a·(1−b) + (1−a)·b over the 0/1 bit
-    matrices — two BLAS matmuls, exactly the popcount of the packed
-    XOR (equality pinned in pytest) — emitting batch-local top-k, so
-    the final window ranks n_batches·q·k rows, never the corpus.
-    Hamming is integer-exact in both engines, so the row needs no
-    rounding contract at all; ties (hamming is 0..64-valued, ties are
-    the norm) break on vec_id. Retrieval ERROR vs the exact float
-    top-k is measured and pinned in tests/test_ann_recall.py, like
-    every other approximate index here."""
+    engines; a production deployment probes that stored table and
+    never rereads the floats). The fixture probe is ONE zero-copy
+    ``mapInArrow`` pass over the float column: the ListArray flattens
+    straight into an (n, 64) view (no per-row list materialization,
+    no vstack), signs pack via ``np.packbits`` into the same two
+    words (``_pack_words``, equality with the JVM pack pinned in
+    pytest), and Hamming = XOR + vectorized SWAR popcount
+    (``_popcount32``, numpy<2 has no bitwise_count) with batch-local
+    top-k emission — the final window ranks n_batches·q·k rows,
+    never the corpus. Hamming is integer-exact in both engines, so
+    the row needs no rounding contract at all; ties (hamming is
+    0..64-valued, ties are the norm) break on vec_id. Retrieval ERROR
+    vs the exact float top-k is measured and pinned in
+    tests/test_ann_recall.py, like every other approximate index
+    here."""
+    import pyarrow as pa
+
     pred = query_pred if query_pred is not None else F.col("vec_id") < n_queries
+    # pred applies to the RAW table so the query-side collect stays a
+    # pruned one-row-group read (a filter above the pack projection
+    # would not push: element_at can throw under ANSI)
     qrows = embeddings.where(pred).select("vec_id", "embedding").collect()
     if not qrows:
         empty = "query_id long, vec_id long, hamming int, rank int"
         return embeddings.sparkSession.createDataFrame([], empty)
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    QB = (np.vstack([r["embedding"] for r in qrows]) >= 0).astype(np.float64)
+    q_lo, q_hi = _pack_words(np.vstack([r["embedding"] for r in qrows]) >= 0)
 
     def score(batches):
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            B = (np.vstack(pdf["embedding"].to_numpy()) >= 0).astype(np.float64)
-            # Hamming(a, b) = |a xor b| = a·(1-b) + (1-a)·b: two BLAS
-            # matmuls over the 0/1 bit matrices — exact small-integer
-            # doubles, identical to popcount over the packed words
-            ham = (B @ (1.0 - QB).T + (1.0 - B) @ QB.T).astype(np.int64)
+            ids = rb.column(0).to_numpy()
+            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            lo, hi = _pack_words(flat.reshape(rb.num_rows, -1) >= 0)
+            # popcount(a XOR b) per word pair, broadcast (n, q)
+            ham = _popcount32(lo[:, None] ^ q_lo[None, :]) + _popcount32(
+                hi[:, None] ^ q_hi[None, :]
+            )
             out_q, out_v, out_h = [], [], []
             for j in range(len(q_ids)):
                 col = ham[:, j]
@@ -1259,7 +1291,7 @@ def topk_binary(
                 out_q.append(np.full(len(order), q_ids[j]))
                 out_v.append(cand_ids[order])
                 out_h.append(cands[order])
-            yield pd.DataFrame(
+            yield pa.RecordBatch.from_pydict(
                 {
                     "query_id": np.concatenate(out_q),
                     "vec_id": np.concatenate(out_v),
@@ -1267,7 +1299,7 @@ def topk_binary(
                 }
             )
 
-    cand = embeddings.mapInPandas(
+    cand = embeddings.select("vec_id", "embedding").mapInArrow(
         score, "query_id long, vec_id long, hamming int"
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
