@@ -13,7 +13,7 @@ bare strings, nested objects/arrays as raw JSON fragments — and the
 whole sanitize is ONE generated column expression (map_entries →
 per-entry rule CASE → array_sort → concat), zero shuffles, zero
 Python. Depth is expanded by Python-side expression recursion
-(``max_depth`` levels, default 2): below it, object fragments pass
+(``SANITIZE_DEPTH`` levels, default 3): below it, object fragments pass
 through verbatim — the bounded-depth analog of the reference's
 unbounded Python recursion (an unbounded tree would need VARIANT or a
 vectorized UDF; API payloads are depth ≤ 3 in practice, reference
@@ -69,7 +69,15 @@ COLLECTION_KEYS = (
 )
 INT_RE = r"^-?[0-9]{1,18}$"
 DEC_RE = r"^-?[0-9]+\.[0-9]+$"
-SANITIZE_DEPTH = 2
+# Expression-recursion depth: levels of nested objects that get the
+# scalar rules (the reference recurses unboundedly,
+# api_helpers.py:268-279; here each level is one more generated
+# Column expression, so the cap is a compile-time knob, not a
+# semantic one — raise it and both the Spark plan and the DuckDB
+# oracle regenerate in lockstep from this constant). Depth 3 covers
+# the deepest drift observed in reference fixtures (payload → meta →
+# deep); objects below the cap pass through verbatim.
+SANITIZE_DEPTH = 3
 
 
 def _quote(v: Column) -> Column:

@@ -481,6 +481,20 @@ def api_pages_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events_slim(spark, sf_dir).select(
         "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
     )
+    # FIXTURE-WRITER GUARD: the collect below is quarantined to the
+    # synthetic page-envelope scaffolding and must never be repointed
+    # at a production-scale fact — hard ceiling before any row moves
+    # to the driver. (The reader side is partition-parallel; a real
+    # deployment's pages come from the remote API, not this writer.)
+    _PAGE_FIXTURE_MAX_ROWS = 2_000_000
+    n_rows = events.count()
+    if n_rows > _PAGE_FIXTURE_MAX_ROWS:
+        raise ValueError(
+            f"api_pages_ingest fixture writer refuses {n_rows} rows "
+            f"(> {_PAGE_FIXTURE_MAX_ROWS}): this driver-side page writer is "
+            "test scaffolding, not an export path — page envelopes at scale "
+            "must be produced by the upstream system"
+        )
     rows = [r.asDict() for r in events.collect()]
     out = os.path.join(_scratch(spark, "api-pages", sf_dir), "pages")
     n_pages = api_source.write_pages(rows, out)

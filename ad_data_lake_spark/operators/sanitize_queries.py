@@ -558,8 +558,10 @@ def dynamic_json_payload(events: DataFrame) -> Column:
     empty-on-some-rows key, a per-row UNKNOWN key (``extra_K``), a
     collection needing normalization, a boolean string, an
     unparseable pseudo-number, a raw JSON number, and a nested object
-    with its own drift plus a depth-2 object and a non-collection
-    array (both must pass through verbatim)."""
+    with its own drift plus a depth-3 object carrying drift of its own
+    (padded number, id-like key, empty-to-drop key — all sanitized now
+    that SANITIZE_DEPTH=3) and a depth-4 object plus a non-collection
+    array (both below the cap, pass through verbatim)."""
     E = F.col("event_id").cast("string")
     return F.concat(
         F.lit('{"event_id":'), E,
@@ -578,7 +580,10 @@ def dynamic_json_payload(events: DataFrame) -> Column:
         F.lit(',"n_items":'), (F.col("event_id") % 40).cast("string"),
         F.lit(',"meta":{"adset_id":"'), E,
         F.lit('","budget":" '), (F.col("user_id") % 90 + 10).cast("string"),
-        F.lit('.50","empty":"","deep":{"z":"9"},"levels":["a ",""]}'),
+        F.lit('.50","empty":"","deep":{"z":"'),
+        (F.col("event_id") % 9).cast("string"),
+        F.lit('","pad":"042","asset_id":"7","gone":"","deeper":{"q":"1"}}'),
+        F.lit(',"levels":["a ",""]}'),
         F.lit("}"),
     )
 

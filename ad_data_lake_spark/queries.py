@@ -916,16 +916,75 @@ def _dynj_oracle_sql() -> str:
             ELSE {quote(v)}
         END"""
 
-    # depth-1 (nested) level: objects below it pass through verbatim
-    p2 = "p1 || '.\"' || k2 || '\"'"
-    render2 = render("payload", p2, "k2", 'CAST(json_extract(payload, ' + p2 + ") AS VARCHAR)")
-    nested = f"""(
-        SELECT '{{' || coalesce(string_agg('"' || k2 || '":' || r2, ',' ORDER BY k2)
-                                FILTER (r2 IS NOT NULL), '') || '}}'
-        FROM (SELECT k2, {render2} AS r2
-              FROM unnest(json_keys(payload, p1)) AS u2(k2))
-    )"""
-    render1 = render("payload", "p1", "k1", nested)
+    # Nested levels are GENERATED from the same SANITIZE_DEPTH constant
+    # the Spark expression recursion uses — raising the cap regenerates
+    # both engines in lockstep. Bottom-up fold (per-level key-explode
+    # CTEs l2..lD, then aggregate CTEs oD..o2 joined back by
+    # (event_id, path)) rather than correlated scalar subqueries, which
+    # DuckDB rejects beyond one correlation level. An object at
+    # depth_remaining <= 1 passes through verbatim, exactly like the
+    # Spark side's ``depth > 1`` guard; an object whose key-explode is
+    # empty ({{}}) renders as '{{}}' via the coalesce on the join.
+    D = max(DJ.SANITIZE_DEPTH, 1)
+    ctes: list[str] = []
+    for i in range(2, D + 1):
+        prev = i - 1
+        parent = "src" if prev == 1 else f"l{prev}"
+        ppath = "p1" if prev == 1 else f"p{prev}"
+        if prev == 1:
+            ctes.append(
+                """l1 AS (
+            SELECT event_id, payload, k1, '$."' || k1 || '"' AS p1
+            FROM src, unnest(json_keys(payload)) AS u1(k1))"""
+            )
+        ctes.append(
+            f"""l{i} AS (
+            SELECT event_id, payload, p{prev}, k{i},
+                   p{prev} || '."' || k{i} || '"' AS p{i}
+            FROM l{prev}, unnest(json_keys(payload, p{prev})) AS u{i}(k{i})
+            WHERE json_type(payload, p{prev}) = 'OBJECT')"""
+        )
+    if D == 1:
+        ctes.append(
+            """l1 AS (
+            SELECT event_id, payload, k1, '$."' || k1 || '"' AS p1
+            FROM src, unnest(json_keys(payload)) AS u1(k1))"""
+        )
+    agg = (
+        "'{{' || coalesce(string_agg('\"' || {k} || '\":' || r, ',' ORDER BY {k})"
+        " FILTER (r IS NOT NULL), '') || '}}'"
+    )
+    for i in range(D, 1, -1):
+        k, prev = f"k{i}", i - 1
+        if i == D:
+            rend = render("payload", f"p{i}", k, f"CAST(json_extract(payload, p{i}) AS VARCHAR)")
+            frm = f"FROM l{i}"
+        else:
+            rend = render("payload", f"p{i}", k, "coalesce(nx.obj, '{}')")
+            frm = (
+                f"FROM l{i} LEFT JOIN o{i + 1} nx"
+                f" ON nx.event_id = l{i}.event_id AND nx.path = l{i}.p{i}"
+            )
+        ctes.append(
+            f"""o{i} AS (
+            SELECT event_id, p{prev} AS path, {agg.format(k=k)} AS obj
+            FROM (SELECT l{i}.event_id, p{prev}, {k}, {rend} AS r {frm})
+            GROUP BY event_id, p{prev})"""
+        )
+    nested1 = "coalesce(nx.obj, '{}')" if D > 1 else "CAST(json_extract(payload, p1) AS VARCHAR)"
+    join1 = (
+        " LEFT JOIN o2 nx ON nx.event_id = l1.event_id AND nx.path = l1.p1" if D > 1 else ""
+    )
+    level_ctes = ",\n        ".join(ctes)
+    tail = f"""{level_ctes},
+        tl AS (
+            SELECT l1.event_id, payload, k1, {render("payload", "p1", "k1", nested1)} AS r1
+            FROM l1{join1})
+        SELECT event_id, any_value(payload) AS payload,
+               '{{' || coalesce(string_agg('"' || k1 || '":' || r1, ',' ORDER BY k1)
+                                FILTER (r1 IS NOT NULL), '') || '}}' AS sanitized
+        FROM tl GROUP BY event_id
+    """
     return f"""
         WITH src AS (
             SELECT event_id,
@@ -943,18 +1002,12 @@ def _dynj_oracle_sql() -> str:
                    || ',"n_items":' || (event_id % 40)
                    || ',"meta":{{"adset_id":"' || event_id
                    || '","budget":" ' || (user_id % 90 + 10)
-                   || '.50","empty":"","deep":{{"z":"9"}},"levels":["a ",""]}}'
+                   || '.50","empty":"","deep":{{"z":"' || (event_id % 9)
+                   || '","pad":"042","asset_id":"7","gone":"","deeper":{{"q":"1"}}}}'
+                   || ',"levels":["a ",""]}}'
                    || '}}' AS payload
             FROM events),
-        tl AS (
-            SELECT event_id, payload, k1, {render1} AS r1
-            FROM (SELECT event_id, payload, '$."' || k1 || '"' AS p1, k1
-                  FROM src, unnest(json_keys(payload)) AS u(k1)))
-        SELECT event_id, any_value(payload) AS payload,
-               '{{' || coalesce(string_agg('"' || k1 || '":' || r1, ',' ORDER BY k1)
-                                FILTER (r1 IS NOT NULL), '') || '}}' AS sanitized
-        FROM tl GROUP BY event_id
-    """
+        {tail}"""
 
 
 _register(
@@ -1858,112 +1911,58 @@ _register(
 # queries() in registration order and caps how many it checks at 50
 # (CORRECTNESS_r02/r04 both stopped there). Rotation policy: every
 # registry name must hold a green row in the UNION of the last two
-# rounds' correctness files, so each round leads with (a) the queries
-# whose latest driver check is two rounds old, then (b) anything whose
-# implementation changed this round, then the queries the previous
-# round's window already re-proved. Round 6: leads are all 28 names
-# with no row in r04 ∪ r05 — the fixed neardup_clusters, the 12 added
-# after round 5's rotation, and this round's 15 new operators — then
-# the queries whose implementation changed this round, then
-# round-4-window names; everything pushed past slot 50 is r4/r5-green
-# and unchanged, keeping the r04 ∪ r05 ∪ r06 union complete.
+# rounds' correctness files; the registry (167) exceeds two 50-slot
+# windows, so coverage is best-effort oldest-first and the judge gate
+# re-verifies the complement each round.
 # ---------------------------------------------------------------------------
 
+# Round 8 window (50 slots). Leads: (a) the 14 rows whose
+# IMPLEMENTATION changed this round (PageRank dangling-mass+top-k;
+# depth-3 dynamic-JSON sanitize incl. its streaming twin; the
+# duplicate-id-safe Arrow tf kernel behind bm25/hybrid/postings;
+# embed_topk_binary's mapInArrow re-plan; the crash-consistent
+# version-log truncation behind the merge/CDC/time-travel family;
+# the api_pages fixture-writer guard), then (b) all 22 remaining
+# r04-checked names, then (c) r05-checked names oldest-first until
+# the window fills. The 32 r05 names past slot 50 remain
+# judge-covered; they lead round 9.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---------------------------------------------------------------
-    # Round 7 window (50 slots). Policy: every name green in the union
-    # of the last two rounds' driver files, best-effort now that the
-    # registry (133) exceeds two windows (100) — the judge gate covers
-    # the complement. Leads: (a) the 4 rows NEW this round, (b) the 32
-    # names with no row in r05 ∪ r06 (they were r04-green and rotated
-    # out), (c) the 11 rows whose implementation changed this round
-    # (incremental.py rewrite, topk_ivf/bigram/boilerplate re-plans,
-    # metric_anomalies guard, IVF train cap; bloom's cache-key-only
-    # change stays r6-green and yields its slot). Everything past slot 50 is r05/r06-
-    # green and unchanged.
-    # Late-round additions lead (BPE tokenizer family, keep-best dedup,
-    # novelty profile, JSONL quarantine ingest, shard_assign, int8 ANN,
-    # IVF-SQ8, rare-token scrub, streaming scrub); eight unchanged
-    # r04-green rows (scan_project, filter_updated_since,
-    # filter_time_range, semi_join_lookup, anti_join_missing,
-    # distinct_ids, broadcast_dim_join, hierarchy_flat) moved past slot
-    # 50 to make room — the judge complement covers them.
-    # ---------------------------------------------------------------
-    # Session additions (BM25 / PMI / A-ES sampling) lead; text_stats,
-    # token_counts, lang_id (pure projections, unchanged since round 4,
-    # r6-judge-green) yield their slots to the judge complement.
+    "domain_pagerank",
+    "sanitize_dynamic_json",
+    "streaming_json_sanitize",
     "bm25_retrieve",
     "hybrid_retrieve_rrf",
-    "pmi_collocations",
-    "weighted_sample",
-    "cms_heavy_hitters",
-    "mmr_diversify",
-    "embed_topk_binary",
-    "cms_grid_incremental",
-    "contrastive_triplets",
-    "fim_transform",
-    "bpe_encode_ids",
     "postings_index_incremental",
-    "lang_quality_calibration",
-    "filter_agreement",
-    "fuzzy_name_join",
-    "token_budget_plan",
-    # implementation-changed this session (Arrow tf / zip_with pairs /
-    # batch-BLAS brute-force) -> must re-enter the driver window
-    "bigram_lm_score",
-    "embed_topk_bruteforce",
-    "rag_retrieve",
-    "bpe_train_merges",
-    "bpe_pair_counts",
-    "bpe_encode_stats",
-    "bpe_vocab_incremental",
-    "domain_pagerank",
-    "streaming_rare_token_scrub",
-    "rare_token_scrub",
-    "embed_topk_ivf_sq8",
-    "embed_topk_int8",
-    "shard_assign",
-    "dedup_keep_best",
-    "novelty_profile",
-    "jsonl_corpus_ingest",
-    "sanitize_dynamic_json",
+    "embed_topk_binary",
+    "time_travel_read",
     "time_travel_depth",
-    "semantic_dedup_ivf",
-    "neardup_clusters_star",
-    "perplexity_buckets",
-    "nb_quality_score",
+    "merge_upsert_idempotent",
+    "cdc_apply",
+    "merge_schema_evolution",
     "api_pages_ingest",
-    "url_domain_filter",
-    "streaming_json_sanitize",
-    "asof_attribution",
-    "flight_window_rollup",
-    "backfill_partition_replace",
-    "sessionize_events",
-    "sessionize_native",
-    "frequency_cap",
-    "skew_salted_agg",
-    "bucketed_join_colocated",
-    "compaction_roundtrip",
+    "multimodal_resize",
     "chunk_documents",
     "mixture_sample",
     "agg_percentiles",
     "pivot_action_metrics",
     "split_summary",
     "multimodal_features",
-    "multimodal_resize",
     "streaming_daily_insights",
     "quality_score",
     "repetition_stats",
     "pii_redact",
     "doc_fingerprint",
-    "embed_topk_ivf",
-    "boilerplate_removal",
-    "metric_anomalies",
-    "merge_upsert_idempotent",
-    "cdc_apply",
-    "merge_schema_evolution",
-    "time_travel_read",
-    "ivf_index_incremental",
+    "text_stats",
+    "token_counts",
+    "lang_id",
+    "semi_join_lookup",
+    "anti_join_missing",
+    "distinct_ids",
+    "broadcast_dim_join",
+    "hierarchy_flat",
+    "scan_project",
+    "filter_updated_since",
+    "filter_time_range",
     "derived_ratio_metrics",
     "latest_snapshot_window",
     "per_user_frequency",
@@ -1999,23 +1998,102 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "json_decode_ingest",
     "fn_brand_safety",
     "lake_write_roundtrip",
-    "text_stats",
-    "token_counts",
-    "lang_id",
     "token_vocab",
     "unigram_lm_score",
     "tfidf_top_terms",
     "stratified_sample",
     "epoch_shuffle",
     "corpus_health",
-    "semi_join_lookup",
-    "anti_join_missing",
-    "distinct_ids",
-    "broadcast_dim_join",
-    "hierarchy_flat",
-    "scan_project",
-    "filter_updated_since",
-    "filter_time_range",
+    "agg_action_type",
+    "agg_reach_frequency",
+    "agg_rollup",
+    "nested_report",
+    "streaming_corpus_ingest",
+    "pmi_collocations",
+    "weighted_sample",
+    "cms_heavy_hitters",
+    "mmr_diversify",
+    "cms_grid_incremental",
+    "contrastive_triplets",
+    "fim_transform",
+    "bpe_encode_ids",
+    "lang_quality_calibration",
+    "filter_agreement",
+    "fuzzy_name_join",
+    "token_budget_plan",
+    "bigram_lm_score",
+    "embed_topk_bruteforce",
+    "rag_retrieve",
+    "bpe_train_merges",
+    "bpe_pair_counts",
+    "bpe_encode_stats",
+    "bpe_vocab_incremental",
+    "streaming_rare_token_scrub",
+    "rare_token_scrub",
+    "embed_topk_ivf_sq8",
+    "embed_topk_int8",
+    "shard_assign",
+    "dedup_keep_best",
+    "novelty_profile",
+    "jsonl_corpus_ingest",
+    "semantic_dedup_ivf",
+    "neardup_clusters_star",
+    "perplexity_buckets",
+    "nb_quality_score",
+    "url_domain_filter",
+    "asof_attribution",
+    "flight_window_rollup",
+    "backfill_partition_replace",
+    "sessionize_events",
+    "sessionize_native",
+    "frequency_cap",
+    "skew_salted_agg",
+    "bucketed_join_colocated",
+    "compaction_roundtrip",
+    "embed_topk_ivf",
+    "boilerplate_removal",
+    "metric_anomalies",
+    "ivf_index_incremental",
+    "count_summary",
+    "sort_by_name",
+    "union_pages",
+    "streaming_sliding_insights",
+    "streaming_attribution_join",
+    "streaming_frequency_cap",
+    "streaming_sessionize",
+    "streaming_dim_enrich",
+    "zorder_roundtrip",
+    "reach_sketch_rollup",
+    "snapshot_diff",
+    "scd2_history",
+    "daily_extract_pipeline",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_minhash_lsh",
+    "neardup_clusters",
+    "dedup_minhash_lsh_xx",
+    "dedup_simhash",
+    "ngram_jaccard_pairs",
+    "embed_neardup_pairs",
+    "embed_topk_lsh",
+    "dataset_split",
+    "pack_sequences",
+    "contamination_check",
+    "curation_pipeline",
+    "minhash_index_incremental",
+    "cross_split_leakage",
+    "bloom_decontaminate",
+    "dsir_weights",
+    "exact_substring_dedup",
+    "temperature_mixture",
+    "gopher_rules",
+    "semantic_dedup",
+    "luhn_scan",
+    "embedding_drift",
+    "cohort_retention",
+    "funnel_conversion",
+    "linear_attribution",
+    "spend_pacing",
 )
 
 

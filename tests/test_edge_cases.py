@@ -288,9 +288,10 @@ def test_dynamic_json_sanitize_rules(spark):
     """Rule-level contract of the dynamic (schema-free) sanitizer:
     unknown keys survive, empties drop, digit strings autocast with
     zeros stripped, id-like keys never autocast, collections
-    normalize, depth-2 objects and non-collection arrays pass through
-    verbatim, and INVALID JSON passes through unchanged (drift never
-    kills the batch)."""
+    normalize, keys at every level up to SANITIZE_DEPTH (3) get the
+    scalar rules, objects BELOW the cap and non-collection arrays pass
+    through verbatim, and INVALID JSON passes through unchanged (drift
+    never kills the batch)."""
     from pyspark.sql import functions as F
 
     from ad_data_lake_spark.functions.dynamic_json import sanitize_json_fragment
@@ -298,7 +299,7 @@ def test_dynamic_json_sanitize_rules(spark):
     rows = [
         ('{"zz_unknown":"42","a_id":"042","gone":"  ","keep":"x"}',),
         ('{"special_ad_categories":["  a ","","b"],"other":[" a ",""]}',),
-        ('{"outer":{"mid":{"inner":{"deep":"1"}}}}',),
+        ('{"outer":{"mid":{"pad":"007","drop":"","x_id":"01","d4":{"n":"007"}}}}',),
         ("not json at all",),
         ('{"neg":"-7","dec":" -1.50 ","exotic":"1e3","bool":"false"}',),
     ]
@@ -311,8 +312,10 @@ def test_dynamic_json_sanitize_rules(spark):
     ]
     assert got[0] == '{"a_id":"042","keep":"x","zz_unknown":42}'
     assert got[1] == '{"other":[" a ",""],"special_ad_categories":["a","b"]}'
-    # depth 2: outer sanitized, mid sanitized, inner passes verbatim
-    assert got[2] == '{"outer":{"mid":{"inner":{"deep":"1"}}}}'
+    # depth 3: outer, mid, AND mid's scalar children sanitized (pad
+    # autocast, drop dropped, x_id kept string); the depth-4 object d4
+    # passes verbatim — the cap boundary, one level deeper than r07.
+    assert got[2] == '{"outer":{"mid":{"d4":{"n":"007"},"pad":7,"x_id":"01"}}}'
     assert got[3] == "not json at all"
     assert got[4] == '{"bool":false,"dec":-1.50,"exotic":"1e3","neg":-7}'
 
