@@ -36,6 +36,23 @@ contracts are carried by an explicit bucketed + versioned layout:
   partitions present in the incoming frame are replaced, everything
   else untouched: exactly ``replaceWhere`` for the written keys.
 
+**Concurrent writers** (a 100 TB lake has streaming + backfill writers
+by construction) are handled with optimistic concurrency, the Delta
+commit protocol's shape: every merge records the version it computed
+FROM, and the publish — serialized by a per-table commit lock —
+CAS-checks ``_CURRENT`` against that base before flipping the pointer.
+A writer that lost the race gets ``ConcurrentWriteError`` and re-runs
+its merge off the new current (automatic, ``MERGE_MAX_ATTEMPTS``), so
+both merges land and neither is silently discarded. The lock is a
+host-local ``O_CREAT|O_EXCL`` file (valid here because this layout
+targets a host-local filesystem); on an object store the same CAS is
+the store's conditional-put on the log object. GC distinguishes
+logged directories (safe to remove immediately — log appends happen
+only inside the critical section) from never-logged ones, which might
+be a concurrent writer's merge awaiting publish and are only reclaimed
+past ``ORPHAN_GRACE_SECONDS``. The legacy unbucketed fallback remains
+single-writer (documented at the call site).
+
 Scale notes: the MERGE shuffle is one hash partition by key (the
 window dedupe) over the AFFECTED buckets only; ``n_buckets`` should
 scale with table size (buckets ≈ table_bytes / target_rewrite_bytes)
@@ -49,7 +66,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,6 +90,88 @@ _PTR = "_CURRENT"
 _NB = "_BUCKETS"
 _LOG = "_VERSIONS"
 _SCHEMA_FILE = "_SCHEMA.json"
+_LOCK = "_COMMIT.lock"
+# Optimistic-concurrency knobs. Commits (log append + pointer flip) are
+# a few file writes — milliseconds — so a lock older than this belongs
+# to a dead writer and is broken. The orphan grace window protects a
+# CONCURRENT writer's not-yet-published version directory (written
+# before it reaches the commit lock) from being GC'd as a crashed
+# merge's leftover: never-logged v-* dirs are only removed once older
+# than the grace window. Logged-but-unpointed tails carry no such risk
+# (the log is only appended inside the commit critical section, so a
+# logged orphan's writer is dead by construction) and GC immediately.
+LOCK_STALE_SECONDS = 60.0
+ORPHAN_GRACE_SECONDS = 600.0
+MERGE_MAX_ATTEMPTS = 5
+_UNSET = object()
+
+
+class ConcurrentWriteError(RuntimeError):
+    """The table's ``_CURRENT`` advanced between a merge's base read
+    and its publish — committing would silently discard the other
+    writer's merge (the classic lost update). Callers re-run the merge
+    off the new current; ``merge_upsert``/``cdc_apply`` do so
+    automatically up to ``MERGE_MAX_ATTEMPTS``."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+@contextmanager
+def _commit_lock(target_path: str, timeout: float = 30.0):
+    """Host-local mutual exclusion for the commit critical section
+    (CAS check + log append + pointer flip + GC), via O_CREAT|O_EXCL —
+    atomic on POSIX, and it serializes threads of one process and
+    processes of one host alike. Locks whose holder pid is dead, or
+    older than ``LOCK_STALE_SECONDS``, are broken (a commit is a few
+    metadata writes; nothing healthy holds this for a minute). On an
+    object-store lake this whole primitive is replaced by the store's
+    conditional-put (If-None-Match) on the log object, exactly as
+    Delta's commit protocol does — the CAS semantics are identical."""
+    lock_path = os.path.join(target_path, _LOCK)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()}\n".encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                st = os.stat(lock_path)
+                with open(lock_path) as f:
+                    holder = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                holder, st = 0, None  # holder mid-write or just released
+            if st is not None and (
+                (holder > 0 and not _pid_alive(holder))
+                or time.time() - st.st_mtime > LOCK_STALE_SECONDS
+            ):
+                try:
+                    os.unlink(lock_path)
+                except FileNotFoundError:
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"{target_path}: commit lock held by pid {holder} "
+                    f"for longer than {timeout}s"
+                )
+            time.sleep(0.02)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock_path)
+        except FileNotFoundError:
+            pass
 
 
 def buckets_for_bytes(
@@ -218,33 +319,86 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(os.path.join(root, f), os.path.join(tgt, f))
 
 
+def _gc_versions(target_path: str, keep: set[str], logged: set[str]) -> list[str]:
+    """Remove version directories outside the retention set. Two
+    classes, per the concurrency contract:
+
+    - **logged** dirs (in ``_VERSIONS`` at any point — superseded
+      published versions and crashed merges' unpointed tails) are
+      removed immediately: log appends happen only inside the commit
+      critical section, so a logged-but-unretained dir's writer is
+      finished or dead, never in flight;
+    - **never-logged** dirs are either a crashed merge that died before
+      commit OR a concurrent writer's version still awaiting its
+      publish — indistinguishable by name, so they are removed only
+      once older than ``ORPHAN_GRACE_SECONDS`` (a commit follows its
+      write within seconds; ten minutes is a dead writer)."""
+    removed = []
+    now = time.time()
+    for d in os.listdir(target_path):
+        if not d.startswith("v-") or d in keep:
+            continue
+        path = os.path.join(target_path, d)
+        if d not in logged:
+            try:
+                if now - os.stat(path).st_mtime < ORPHAN_GRACE_SECONDS:
+                    continue
+            except OSError:
+                continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(d)
+    return sorted(removed)
+
+
 def _publish(
-    target_path: str, new_version: str, retain: int = RETAIN_VERSIONS
+    target_path: str,
+    new_version: str,
+    retain: int = RETAIN_VERSIONS,
+    base_version: object = _UNSET,
+    n_buckets: int | None = None,
 ) -> None:
-    """Append ``new_version`` to the ordered version log, atomically
-    repoint ``_CURRENT``, and GC versions past the retention window
-    (the newest ``retain`` versions — current plus ``retain - 1``
-    priors — stay readable via ``read_version``). Write order is
-    log → pointer → GC, so a crash at any boundary leaves the table
-    consistent: an unpointed log tail is just an orphaned directory
-    the next publish GCs, never a dangling pointer. The history this
+    """Commit ``new_version``: append it to the ordered version log,
+    atomically repoint ``_CURRENT``, and GC versions past the retention
+    window (the newest ``retain`` versions — current plus ``retain-1``
+    priors — stay readable via ``read_version``).
+
+    **Optimistic concurrency (the Delta commit protocol's CAS):** when
+    ``base_version`` is given, the whole commit runs under the table's
+    commit lock and first re-checks that ``_CURRENT`` still equals the
+    version this merge was computed FROM. If another writer published
+    in between, committing would silently discard that writer's merge
+    (lost update), so this raises :class:`ConcurrentWriteError` instead
+    and the caller recomputes off the new current. Two concurrent
+    merges therefore serialize: one commits, the other retries — no
+    version is ever silently lost.
+
+    Write order inside the critical section is buckets-sidecar → log →
+    pointer → GC, so a crash at any boundary leaves the table
+    consistent: an unpointed log tail is just an orphaned directory a
+    later publish GCs, never a dangling pointer. The history this
     publish extends is truncated at the CURRENT pointer first, so a
     prior crash's never-published tail is dropped from the log (and
     its directory GC'd below) instead of surviving as a readable
     'prior' ahead of the version it never superseded."""
-    history = [
-        v
-        for v in _published_history(target_path, _current_version(target_path))
-        if v != new_version
-    ]
-    history.append(new_version)
-    kept = history[-max(1, retain):]
-    _write_atomic(target_path, _LOG, "\n".join(kept) + "\n")
-    _write_atomic(target_path, _PTR, new_version)
-    retain_set = set(kept)
-    for d in os.listdir(target_path):
-        if d.startswith("v-") and d not in retain_set:
-            shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
+    with _commit_lock(target_path):
+        current = _current_version(target_path)
+        if base_version is not _UNSET and current != base_version:
+            raise ConcurrentWriteError(
+                f"{target_path}: _CURRENT is {current!r}, but this merge "
+                f"was computed from {base_version!r} — another writer "
+                "published in between; recompute off the new current"
+            )
+        logged = set(_version_history(target_path))
+        history = [
+            v for v in _published_history(target_path, current) if v != new_version
+        ]
+        history.append(new_version)
+        kept = history[-max(1, retain):]
+        if n_buckets is not None and _stored_buckets(target_path) != n_buckets:
+            _write_atomic(target_path, _NB, str(n_buckets))
+        _write_atomic(target_path, _LOG, "\n".join(kept) + "\n")
+        _write_atomic(target_path, _PTR, new_version)
+        _gc_versions(target_path, set(kept), logged | set(history))
 
 
 def _apply_bucketed(
@@ -257,11 +411,40 @@ def _apply_bucketed(
     n_buckets: int | None,
     delete_col: str | None,
 ) -> None:
-    """Shared bucket-scoped write core for MERGE and CDC-apply: resolve
-    the bucket count (stored layout wins; first write sizes from the
-    batch), last-wins-dedupe current ∪ batch within the TOUCHED buckets
-    only, optionally drop tombstoned keys (``delete_col``), write a new
-    version, hardlink untouched buckets, persist the count, publish."""
+    """Shared bucket-scoped write core for MERGE and CDC-apply, with
+    optimistic-concurrency retry: each attempt computes the merged
+    state from the version ``_CURRENT`` points at, and the publish
+    CAS-checks that the pointer hasn't advanced since (see
+    :func:`_publish`). A lost race raises ``ConcurrentWriteError``
+    internally and the attempt re-runs off the new current — the batch
+    is re-applied, which the last-wins recency rule makes correct and
+    idempotent — so two concurrent merges both land, serialized."""
+    for attempt in range(MERGE_MAX_ATTEMPTS):
+        try:
+            return _apply_bucketed_once(
+                spark, target_path, batch, key, order_col, tiebreak,
+                n_buckets, delete_col,
+            )
+        except ConcurrentWriteError:
+            if attempt == MERGE_MAX_ATTEMPTS - 1:
+                raise
+
+
+def _apply_bucketed_once(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    key: str,
+    order_col: str,
+    tiebreak: str,
+    n_buckets: int | None,
+    delete_col: str | None,
+) -> None:
+    """One merge attempt: resolve the bucket count (stored layout wins;
+    first write sizes from the batch), last-wins-dedupe current ∪ batch
+    within the TOUCHED buckets only, optionally drop tombstoned keys
+    (``delete_col``), write a new version, hardlink untouched buckets,
+    publish (CAS against the base version read here)."""
 
     def finalize(deduped: DataFrame) -> DataFrame:
         if delete_col is None:
@@ -270,7 +453,9 @@ def _apply_bucketed(
 
     prev_version = _current_version(target_path)
     if prev_version is None and os.path.isdir(target_path) and os.listdir(target_path):
-        # legacy unbucketed parquet directory: full-rewrite fallback
+        # legacy unbucketed parquet directory: full-rewrite fallback.
+        # SINGLE-WRITER ONLY — the directory swap below has no CAS;
+        # concurrent writers are supported only on the versioned layout
         current = spark.read.option("mergeSchema", "true").parquet(target_path)
         if delete_col is not None:
             current = current.withColumn(delete_col, F.lit(False))
@@ -353,9 +538,18 @@ def _apply_bucketed(
             if d.startswith(f"{_BUCKET}=") and int(d.split("=", 1)[1]) not in touched:
                 _link_tree(os.path.join(cur_dir, d), os.path.join(new_dir, d))
     _save_schema(new_dir, deduped.drop(_BUCKET).schema)
-    if _stored_buckets(target_path) != n_buckets:
-        _write_atomic(target_path, _NB, str(n_buckets))
-    _publish(target_path, new_version)
+    # the _NB sidecar is written INSIDE the commit critical section
+    # (after the CAS passes) so a losing concurrent first-write can
+    # never stamp its bucket count over the winner's layout
+    try:
+        _publish(
+            target_path, new_version, base_version=prev_version, n_buckets=n_buckets
+        )
+    except ConcurrentWriteError:
+        # this attempt's version dir is ours alone — reclaim it now
+        # rather than leaving it for the age-gated orphan GC
+        shutil.rmtree(new_dir, ignore_errors=True)
+        raise
 
 
 def merge_upsert(
@@ -487,25 +681,27 @@ def vacuum(target_path: str, retain: int = 1) -> list[str]:
     Returns the removed version names. Complements the automatic
     per-publish window: a pipeline that just finished an audited
     backfill calls this to reclaim the space early instead of waiting
-    ``RETAIN_VERSIONS`` more merges."""
-    current = _current_version(target_path)
-    if current is None:
-        raise ValueError(f"{target_path} is not a versioned (bucketed) table")
-    # Truncate at the pointer BEFORE applying the retention window: a
-    # crashed merge's unpointed log tail must be GC'd as the orphan it
-    # is, never retained ahead of current as a readable 'prior'.
-    history = _published_history(target_path, current)
-    kept = history[-max(1, retain):]
-    if current not in kept:
-        kept = kept + [current]
-    _write_atomic(target_path, _LOG, "\n".join(kept) + "\n")
-    removed = []
-    keep_set = set(kept)
-    for d in os.listdir(target_path):
-        if d.startswith("v-") and d not in keep_set:
-            shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
-            removed.append(d)
-    return sorted(removed)
+    ``RETAIN_VERSIONS`` more merges.
+
+    Runs under the commit lock (it rewrites the log a concurrent
+    publish CASes against). Never-logged version directories — possibly
+    a concurrent writer's merge awaiting publish — are only removed
+    past the orphan grace window (see :func:`_gc_versions`); logged
+    tails GC immediately."""
+    with _commit_lock(target_path):
+        current = _current_version(target_path)
+        if current is None:
+            raise ValueError(f"{target_path} is not a versioned (bucketed) table")
+        logged = set(_version_history(target_path))
+        # Truncate at the pointer BEFORE applying the retention window:
+        # a crashed merge's unpointed log tail must be GC'd as the
+        # orphan it is, never retained ahead of current as a 'prior'.
+        history = _published_history(target_path, current)
+        kept = history[-max(1, retain):]
+        if current not in kept:
+            kept = kept + [current]
+        _write_atomic(target_path, _LOG, "\n".join(kept) + "\n")
+        return _gc_versions(target_path, set(kept), logged)
 
 
 def lake_stats(target_path: str) -> dict:

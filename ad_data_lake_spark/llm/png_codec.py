@@ -110,7 +110,23 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """(width, height, channels, packed pixels) for an 8-bit RGB/RGBA
-    non-interlaced PNG; ValueError for anything else."""
+    non-interlaced PNG; ValueError for anything else.
+
+    EVERY malformed payload maps to ValueError — including corrupt
+    IDAT (zlib.error), short chunk bodies (struct.error), and filter
+    bytes that index past the row (IndexError) — so callers that gate
+    on ValueError (``decode_asset_bytes`` → md5 stand-in fallback)
+    never let one bad byte stream kill a whole Arrow batch.
+    """
+    try:
+        return _decode_png_strict(data)
+    except ValueError:
+        raise
+    except (zlib.error, struct.error, IndexError, OverflowError) as exc:
+        raise ValueError(f"corrupt PNG: {exc!r}") from exc
+
+
+def _decode_png_strict(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8

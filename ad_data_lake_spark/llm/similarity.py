@@ -1187,8 +1187,17 @@ def _popcount32(x: "np.ndarray") -> "np.ndarray":
 def _pack_words(bits: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
     """(n, 64) sign-bit matrix → (lo, hi) int64 word arrays with the
     ``_binary_word`` convention (bit j of word w = dim w*32+j+1);
-    equality with the JVM pack is pinned in tests/test_ann_recall.py."""
+    equality with the JVM pack is pinned in tests/test_ann_recall.py.
+
+    Hard dim guard: packbits past column 64 would yield extra u4 words
+    that ``[:, 0]`` silently drops, truncating the Hamming code —
+    a >64-dim corpus must fail loudly, not return wrong top-k."""
     b = np.ascontiguousarray(bits, dtype=np.uint8)
+    if b.shape[1] != 2 * _BITS_PER_WORD:
+        raise ValueError(
+            f"binary sign-bit pack requires exactly {2 * _BITS_PER_WORD} dims, "
+            f"got {b.shape[1]}"
+        )
     lo = np.packbits(b[:, :32], axis=1, bitorder="little").view("<u4")[:, 0]
     hi = np.packbits(b[:, 32:], axis=1, bitorder="little").view("<u4")[:, 0]
     return lo.astype(np.int64), hi.astype(np.int64)

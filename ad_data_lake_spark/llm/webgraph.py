@@ -129,6 +129,14 @@ def pagerank_rank(
 
     pr = nodes.select("domain", F.round(F.lit(1.0 / n), PR_ROUND).alias("pr"))
     for _ in range(iters):
+        # Each iteration references pr TWICE (dangling anti-join +
+        # contrib join); without a cut the unrolled lineage doubles per
+        # iteration (~2^iters subtrees) and only ReuseExchange keeps it
+        # benign. A LAZY localCheckpoint pins each iteration's rank
+        # vector to one evaluated node instead — plan size stays linear
+        # in iters, and the module's one-action laziness contract holds
+        # (eager=False defers materialization to the final action).
+        pr = pr.localCheckpoint(eager=False)
         # Dangling mass: rank sitting on nodes with NO out-edges. One
         # scalar aggregate per iteration, broadcast back into the
         # update as a 1-row join (never a shuffle). coalesce covers

@@ -876,11 +876,15 @@ _register(
 )
 
 
-def _dynj_oracle_sql() -> str:
-    """DuckDB twin of functions/dynamic_json.sanitize_json_fragment:
-    json_keys + json_extract_string expose the same permissive view
-    Spark's map<string,string> parse does; the rule CASE is generated
-    once per depth level from the same constants."""
+def dynj_rule_sql(depth: int) -> str:
+    """The DuckDB rule body of the dynamic-JSON sanitize, GENERATED for
+    an arbitrary depth from the same constants the Spark expression
+    recursion uses — the lockstep half of the cross-engine contract.
+    Returns the CTE chain + final SELECT; callers prepend a ``src``
+    CTE with ``(event_id, payload)``. Exposed (not just inlined into
+    the registry row) so tests can regenerate BOTH engines at a
+    depth ≠ SANITIZE_DEPTH and prove the GENERATOR generalizes, not
+    just the shipped constant (tests/test_edge_cases.py)."""
     from ad_data_lake_spark.functions import dynamic_json as DJ
 
     excl = ", ".join(f"'{k}'" for k in DJ.NUMERIC_EXCLUSIONS)
@@ -916,8 +920,8 @@ def _dynj_oracle_sql() -> str:
             ELSE {quote(v)}
         END"""
 
-    # Nested levels are GENERATED from the same SANITIZE_DEPTH constant
-    # the Spark expression recursion uses — raising the cap regenerates
+    # Nested levels are GENERATED from the requested depth (the
+    # registry row passes SANITIZE_DEPTH) — raising the cap regenerates
     # both engines in lockstep. Bottom-up fold (per-level key-explode
     # CTEs l2..lD, then aggregate CTEs oD..o2 joined back by
     # (event_id, path)) rather than correlated scalar subqueries, which
@@ -925,7 +929,7 @@ def _dynj_oracle_sql() -> str:
     # depth_remaining <= 1 passes through verbatim, exactly like the
     # Spark side's ``depth > 1`` guard; an object whose key-explode is
     # empty ({{}}) renders as '{{}}' via the coalesce on the join.
-    D = max(DJ.SANITIZE_DEPTH, 1)
+    D = max(depth, 1)
     ctes: list[str] = []
     for i in range(2, D + 1):
         prev = i - 1
@@ -976,7 +980,7 @@ def _dynj_oracle_sql() -> str:
         " LEFT JOIN o2 nx ON nx.event_id = l1.event_id AND nx.path = l1.p1" if D > 1 else ""
     )
     level_ctes = ",\n        ".join(ctes)
-    tail = f"""{level_ctes},
+    return f"""{level_ctes},
         tl AS (
             SELECT l1.event_id, payload, k1, {render("payload", "p1", "k1", nested1)} AS r1
             FROM l1{join1})
@@ -985,6 +989,17 @@ def _dynj_oracle_sql() -> str:
                                 FILTER (r1 IS NOT NULL), '') || '}}' AS sanitized
         FROM tl GROUP BY event_id
     """
+
+
+def _dynj_oracle_sql() -> str:
+    """DuckDB twin of functions/dynamic_json.sanitize_json_fragment on
+    the registry fixture payload: json_keys + json_extract_string
+    expose the same permissive view Spark's map<string,string> parse
+    does; the rule CASE chain is generated at SANITIZE_DEPTH by
+    :func:`dynj_rule_sql`."""
+    from ad_data_lake_spark.functions import dynamic_json as DJ
+
+    tail = dynj_rule_sql(DJ.SANITIZE_DEPTH)
     return f"""
         WITH src AS (
             SELECT event_id,
@@ -1916,184 +1931,185 @@ _register(
 # re-verifies the complement each round.
 # ---------------------------------------------------------------------------
 
-# Round 8 window (50 slots). Leads: (a) the 14 rows whose
-# IMPLEMENTATION changed this round (PageRank dangling-mass+top-k;
-# depth-3 dynamic-JSON sanitize incl. its streaming twin; the
-# duplicate-id-safe Arrow tf kernel behind bm25/hybrid/postings;
-# embed_topk_binary's mapInArrow re-plan; the crash-consistent
-# version-log truncation behind the merge/CDC/time-travel family;
-# the api_pages fixture-writer guard), then (b) all 22 remaining
-# r04-checked names, then (c) r05-checked names oldest-first until
-# the window fills. The 32 r05 names past slot 50 remain
-# judge-covered; they lead round 9.
+# Round 9 window (50 slots). Rotation onto the stale cohorts per the r8
+# verdict: slots 1-32 are ALL rows last driver-checked in r05 (the cohort
+# that would age out of the two-round union), slots 33-50 are the oldest
+# 18 of the 44 r06-checked rows (exact_substring_dedup leads -- it is
+# also the r8 perf watch item); the remaining 26 r06 rows lead round 10,
+# then r07- and r08-checked rows follow oldest-first. This round's
+# implementation changes (CAS publish on the versioned lake, PageRank
+# per-iteration checkpoint, PNG-codec error-class widening, the
+# _pack_words dim guard) are all semantics-preserving, pytest-pinned,
+# and touch rows checked green in r08 -- still green in the r08/r09
+# union even though they sit past slot 50 here.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "domain_pagerank",
-    "sanitize_dynamic_json",
-    "streaming_json_sanitize",
-    "bm25_retrieve",
-    "hybrid_retrieve_rrf",
-    "postings_index_incremental",
-    "embed_topk_binary",
-    "time_travel_read",
-    "time_travel_depth",
-    "merge_upsert_idempotent",
-    "cdc_apply",
-    "merge_schema_evolution",
-    "api_pages_ingest",
-    "multimodal_resize",
-    "chunk_documents",
-    "mixture_sample",
-    "agg_percentiles",
-    "pivot_action_metrics",
-    "split_summary",
-    "multimodal_features",
-    "streaming_daily_insights",
-    "quality_score",
-    "repetition_stats",
-    "pii_redact",
-    "doc_fingerprint",
-    "text_stats",
-    "token_counts",
-    "lang_id",
-    "semi_join_lookup",
-    "anti_join_missing",
-    "distinct_ids",
-    "broadcast_dim_join",
-    "hierarchy_flat",
-    "scan_project",
-    "filter_updated_since",
-    "filter_time_range",
-    "derived_ratio_metrics",
-    "latest_snapshot_window",
-    "per_user_frequency",
-    "top_k",
-    "collect_list_nest",
-    "fn_positive_amount",
-    "fn_budget_exclusion",
-    "fn_spend_cap",
-    "fn_string_collection",
-    "fn_parse_datetime",
-    "fn_clamp_start_time",
-    "fn_numeric_autocast",
-    "fn_boolean_coerce",
-    "fn_actid_norm",
-    "fn_flatten_ref",
-    "fn_coalesce_spec",
-    "fn_gather_arrays",
-    "fn_nested_update",
-    "fn_story_spec_update",
-    "fn_unicode_unescape",
-    "sanitize_nested_struct",
-    "sanitize_campaign_payload",
     "agg_action_breakdown",
-    "last_wins_dedupe",
-    "fn_cbo_resolve",
-    "fn_build_cta",
-    "fn_asset_kind",
-    "fn_creative_payload",
-    "fn_parse_targeting",
-    "fn_null_strip",
-    "sanitize_adset_payload",
-    "stamp_parent_keys",
-    "json_decode_ingest",
-    "fn_brand_safety",
-    "lake_write_roundtrip",
-    "token_vocab",
-    "unigram_lm_score",
-    "tfidf_top_terms",
-    "stratified_sample",
-    "epoch_shuffle",
-    "corpus_health",
     "agg_action_type",
     "agg_reach_frequency",
     "agg_rollup",
+    "corpus_health",
+    "epoch_shuffle",
+    "fn_asset_kind",
+    "fn_brand_safety",
+    "fn_build_cta",
+    "fn_cbo_resolve",
+    "fn_coalesce_spec",
+    "fn_creative_payload",
+    "fn_flatten_ref",
+    "fn_gather_arrays",
+    "fn_nested_update",
+    "fn_null_strip",
+    "fn_parse_targeting",
+    "fn_story_spec_update",
+    "fn_unicode_unescape",
+    "json_decode_ingest",
+    "lake_write_roundtrip",
+    "last_wins_dedupe",
     "nested_report",
+    "sanitize_adset_payload",
+    "sanitize_campaign_payload",
+    "sanitize_nested_struct",
+    "stamp_parent_keys",
+    "stratified_sample",
     "streaming_corpus_ingest",
-    "pmi_collocations",
-    "weighted_sample",
-    "cms_heavy_hitters",
-    "mmr_diversify",
-    "cms_grid_incremental",
-    "contrastive_triplets",
-    "fim_transform",
-    "bpe_encode_ids",
-    "lang_quality_calibration",
-    "filter_agreement",
-    "fuzzy_name_join",
-    "token_budget_plan",
-    "bigram_lm_score",
-    "embed_topk_bruteforce",
-    "rag_retrieve",
-    "bpe_train_merges",
-    "bpe_pair_counts",
-    "bpe_encode_stats",
-    "bpe_vocab_incremental",
-    "streaming_rare_token_scrub",
-    "rare_token_scrub",
-    "embed_topk_ivf_sq8",
-    "embed_topk_int8",
-    "shard_assign",
-    "dedup_keep_best",
-    "novelty_profile",
-    "jsonl_corpus_ingest",
-    "semantic_dedup_ivf",
-    "neardup_clusters_star",
-    "perplexity_buckets",
-    "nb_quality_score",
-    "url_domain_filter",
-    "asof_attribution",
-    "flight_window_rollup",
-    "backfill_partition_replace",
-    "sessionize_events",
-    "sessionize_native",
-    "frequency_cap",
-    "skew_salted_agg",
-    "bucketed_join_colocated",
-    "compaction_roundtrip",
-    "embed_topk_ivf",
+    "tfidf_top_terms",
+    "token_vocab",
+    "unigram_lm_score",
+    "exact_substring_dedup",
+    "bloom_decontaminate",
     "boilerplate_removal",
-    "metric_anomalies",
-    "ivf_index_incremental",
+    "cohort_retention",
+    "contamination_check",
     "count_summary",
+    "cross_split_leakage",
+    "curation_pipeline",
+    "daily_extract_pipeline",
+    "dataset_split",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_xx",
+    "dedup_normalized",
+    "dedup_simhash",
+    "dsir_weights",
+    "embed_neardup_pairs",
+    "embed_topk_ivf",
+    "embed_topk_lsh",
+    "embedding_drift",
+    "funnel_conversion",
+    "gopher_rules",
+    "ivf_index_incremental",
+    "linear_attribution",
+    "luhn_scan",
+    "metric_anomalies",
+    "minhash_index_incremental",
+    "neardup_clusters",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
+    "reach_sketch_rollup",
+    "scd2_history",
+    "semantic_dedup",
+    "snapshot_diff",
     "sort_by_name",
-    "union_pages",
-    "streaming_sliding_insights",
+    "spend_pacing",
     "streaming_attribution_join",
+    "streaming_dim_enrich",
     "streaming_frequency_cap",
     "streaming_sessionize",
-    "streaming_dim_enrich",
-    "zorder_roundtrip",
-    "reach_sketch_rollup",
-    "snapshot_diff",
-    "scd2_history",
-    "daily_extract_pipeline",
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_minhash_lsh",
-    "neardup_clusters",
-    "dedup_minhash_lsh_xx",
-    "dedup_simhash",
-    "ngram_jaccard_pairs",
-    "embed_neardup_pairs",
-    "embed_topk_lsh",
-    "dataset_split",
-    "pack_sequences",
-    "contamination_check",
-    "curation_pipeline",
-    "minhash_index_incremental",
-    "cross_split_leakage",
-    "bloom_decontaminate",
-    "dsir_weights",
-    "exact_substring_dedup",
+    "streaming_sliding_insights",
     "temperature_mixture",
-    "gopher_rules",
-    "semantic_dedup",
-    "luhn_scan",
-    "embedding_drift",
-    "cohort_retention",
-    "funnel_conversion",
-    "linear_attribution",
-    "spend_pacing",
+    "union_pages",
+    "zorder_roundtrip",
+    "asof_attribution",
+    "backfill_partition_replace",
+    "bigram_lm_score",
+    "bpe_encode_ids",
+    "bpe_encode_stats",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "bpe_vocab_incremental",
+    "bucketed_join_colocated",
+    "cms_grid_incremental",
+    "cms_heavy_hitters",
+    "compaction_roundtrip",
+    "contrastive_triplets",
+    "dedup_keep_best",
+    "embed_topk_bruteforce",
+    "embed_topk_int8",
+    "embed_topk_ivf_sq8",
+    "filter_agreement",
+    "fim_transform",
+    "flight_window_rollup",
+    "frequency_cap",
+    "fuzzy_name_join",
+    "jsonl_corpus_ingest",
+    "lang_quality_calibration",
+    "mmr_diversify",
+    "nb_quality_score",
+    "neardup_clusters_star",
+    "novelty_profile",
+    "perplexity_buckets",
+    "pmi_collocations",
+    "rag_retrieve",
+    "rare_token_scrub",
+    "semantic_dedup_ivf",
+    "sessionize_events",
+    "sessionize_native",
+    "shard_assign",
+    "skew_salted_agg",
+    "streaming_rare_token_scrub",
+    "token_budget_plan",
+    "url_domain_filter",
+    "weighted_sample",
+    "agg_percentiles",
+    "anti_join_missing",
+    "api_pages_ingest",
+    "bm25_retrieve",
+    "broadcast_dim_join",
+    "cdc_apply",
+    "chunk_documents",
+    "collect_list_nest",
+    "derived_ratio_metrics",
+    "distinct_ids",
+    "doc_fingerprint",
+    "domain_pagerank",
+    "embed_topk_binary",
+    "filter_time_range",
+    "filter_updated_since",
+    "fn_actid_norm",
+    "fn_boolean_coerce",
+    "fn_budget_exclusion",
+    "fn_clamp_start_time",
+    "fn_numeric_autocast",
+    "fn_parse_datetime",
+    "fn_positive_amount",
+    "fn_spend_cap",
+    "fn_string_collection",
+    "hierarchy_flat",
+    "hybrid_retrieve_rrf",
+    "lang_id",
+    "latest_snapshot_window",
+    "merge_schema_evolution",
+    "merge_upsert_idempotent",
+    "mixture_sample",
+    "multimodal_features",
+    "multimodal_resize",
+    "per_user_frequency",
+    "pii_redact",
+    "pivot_action_metrics",
+    "postings_index_incremental",
+    "quality_score",
+    "repetition_stats",
+    "sanitize_dynamic_json",
+    "scan_project",
+    "semi_join_lookup",
+    "split_summary",
+    "streaming_daily_insights",
+    "streaming_json_sanitize",
+    "text_stats",
+    "time_travel_depth",
+    "time_travel_read",
+    "token_counts",
+    "top_k",
 )
 
 

