@@ -3,11 +3,12 @@
 ``mapInPandas`` feature extractors.
 
 The container has no media libraries (no Pillow/ffmpeg/torchaudio).
-PNG payloads still take a REAL decode → resize → re-encode path via
-the vendored pure-stdlib codec (``png_codec`` — zlib inflate, scanline
-unfilter, integer nearest-neighbor resample, deterministic re-encode),
+PNG and baseline-JPEG payloads still take a REAL decode → resize →
+re-encode path via the vendored pure-stdlib codecs (``png_codec`` —
+zlib inflate, scanline unfilter, deterministic re-encode; and
+``jpeg_codec`` — Huffman entropy decode, dequantize, IDCT), both
 exercised in CI; Pillow, when importable, takes over the same call
-sites and widens coverage to JPEG/GIF. Non-decodable payloads
+sites and widens coverage to GIF/WebP. Non-decodable payloads
 (audio/video, unrecognized bytes) fall back to the deterministic
 md5-derived stand-ins so the Arrow plumbing — the binary column, the
 metadata struct, the mapInPandas batch shape, the output schema, the
@@ -87,35 +88,44 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
 
 def decode_asset_bytes(payload: bytes, mime: str):
     """Decode an image payload — Pillow when importable (any image
-    format Pillow knows), else the vendored pure-stdlib PNG codec
-    (8-bit RGB/RGBA), so the REAL decode branch runs in CI too.
-    Returns a Pillow image or a ``(width, height, channels, pixels)``
-    tuple respectively. Audio/video decode would gate on soundfile/av
-    the same way and currently raises ``NotImplementedError``."""
+    format Pillow knows), else the vendored pure-stdlib codecs (PNG:
+    8-bit RGB/RGBA; JPEG: baseline sequential 4:4:4/grayscale), so the
+    REAL decode branch runs in CI for BOTH of the reference uploader's
+    primary formats (reference pages/2_Creative_Uploader.py:25 lists
+    jpg/jpeg first, then png). Returns a Pillow image or a
+    ``(width, height, channels, pixels)`` tuple respectively.
+    Audio/video decode would gate on soundfile/av the same way and
+    currently raises ``NotImplementedError``."""
     if mime.startswith("image/"):
         if HAVE_IMAGE_DECODER:
             import io
 
             return Image.open(io.BytesIO(payload))
-        from ad_data_lake_spark.llm import png_codec
+        from ad_data_lake_spark.llm import jpeg_codec, png_codec
 
         try:
             return png_codec.decode_png(payload)
         except ValueError:
-            pass  # not a (supported) PNG: fall through to the stub error
+            pass  # not a (supported) PNG: try JPEG next
+        try:
+            return jpeg_codec.decode_jpeg(payload)
+        except ValueError:
+            pass  # neither: fall through to the stub error
     raise NotImplementedError(
-        "no decoder for this payload in this container (PNG decodes via "
-        "the vendored codec; other formats need Pillow/soundfile/av); "
-        "use fake_features() (deterministic stand-in)"
+        "no decoder for this payload in this container (PNG/baseline "
+        "JPEG decode via the vendored codecs; other formats need "
+        "Pillow/soundfile/av); use fake_features() (deterministic "
+        "stand-in)"
     )
 
 
 def resize_image_bytes(payload: bytes, max_dim: int = 384) -> bytes:
     """Real aspect-preserving resize: decode (Pillow or the vendored
-    PNG codec), scale with the same integer ``resize_dims`` plan the
-    stub path uses, re-encode as PNG. The vendored branch is
+    PNG/JPEG codecs), scale with the same integer ``resize_dims`` plan
+    the stub path uses, re-encode as PNG. The vendored branch is
     byte-deterministic (fixed zlib level, nearest-neighbor floor
-    resample), which is what lets the resized md5 be asserted in CI."""
+    resample, float64 IDCT with one final round), which is what lets
+    the resized md5 be asserted in CI."""
     decoded = decode_asset_bytes(payload, "image/any")
     if HAVE_IMAGE_DECODER:
         import io
@@ -257,13 +267,18 @@ def resize_assets(
                 resized_md5 = None
                 if real_decode and dims is not None:
                     # real pixel path: Pillow when present, else the
-                    # vendored PNG codec; payloads neither can decode
-                    # (e.g. JPEG without Pillow) drop to the stand-in
+                    # vendored PNG/JPEG codecs; payloads none can
+                    # decode (e.g. GIF without Pillow) drop to the
+                    # stand-in.
+                    # ValueError = corrupt-but-signed payload (the codec
+                    # maps zlib/struct/index errors onto it); OSError =
+                    # Pillow's lazy-decode failures — one bad byte
+                    # stream must never kill the whole Arrow batch.
                     try:
                         resized_md5 = hashlib.md5(
                             resize_image_bytes(b, max_dim)
                         ).hexdigest()
-                    except NotImplementedError:
+                    except (NotImplementedError, ValueError, OSError):
                         pass
                 if resized_md5 is None:
                     resized_md5 = hashlib.md5(

@@ -387,6 +387,31 @@ def test_png_codec_roundtrip_and_filters():
     with pytest.raises(ValueError):
         PC.encode_png(b"\x00" * 5, 2, 2, 3)  # wrong buffer size
 
+    # CORRUPT-but-signed payloads must raise ValueError, never leak
+    # zlib.error/struct.error/IndexError — decode_asset_bytes gates its
+    # md5-stand-in fallback on ValueError, so any other class would
+    # kill the whole Arrow batch in resize_assets(real_decode=True)
+    good = enc([(0, rows[0]), (1, sub(rows[1]))])
+    idat_at = good.index(b"IDAT")
+    corrupt_idat = (
+        good[: idat_at + 4] + b"\xff\xff\xff\xff" + good[idat_at + 8 :]
+    )
+    short_ihdr = good[:8] + struct.pack(">I", 13) + b"IHDR" + b"\x00\x03"
+    bad_filter = enc([(9, rows[0]), (0, rows[1])])  # filter type 9: invalid
+    for payload in (corrupt_idat, short_ihdr, bad_filter):
+        with pytest.raises(ValueError):
+            PC.decode_png(payload)
+
+    # and the gate-level contract: the corrupt payload routes to the
+    # stand-in branch (NotImplementedError) instead of crashing — the
+    # vendored-codec path only; Pillow surfaces its own lazy errors,
+    # which resize_assets catches as OSError
+    from ad_data_lake_spark.llm import multimodal
+
+    if not multimodal.HAVE_IMAGE_DECODER:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_asset_bytes(corrupt_idat, "image/png")
+
 
 def test_resize_assets_real_decode_hashes_real_reencode(spark):
     """With real_decode=True a PNG payload's resized_md5 must be the
@@ -408,6 +433,100 @@ def test_resize_assets_real_decode_hashes_real_reencode(spark):
     h = hashlib.md5(png).hexdigest()
     stand_in = hashlib.md5(f"{h}:{row.out_w}x{row.out_h}".encode()).hexdigest()
     assert row.resized_md5 != stand_in
+
+
+def _make_jpeg(w: int, h: int) -> bytes:
+    """Deterministic gradient JPEG via the vendored encoder — the CI
+    fixture for the real JPEG decode path."""
+    import numpy as np
+
+    from ad_data_lake_spark.llm import jpeg_codec
+
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    img[..., 1] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    img[..., 2] = 128
+    return jpeg_codec.encode_jpeg(img.tobytes(), w, h)
+
+
+def test_jpeg_codec_roundtrip_and_error_contract():
+    """Vendored baseline-JPEG codec: encode→decode recovers the image
+    to lossy tolerance (gradients: MAE < 3; dims exact), output is
+    byte-deterministic, the SOF dims header-parse agrees, and EVERY
+    malformed/unsupported payload maps to ValueError (the class
+    decode_asset_bytes gates its stand-in fallback on) — truncated
+    streams, progressive SOF2, garbage after SOI."""
+    import numpy as np
+
+    from ad_data_lake_spark.llm import jpeg_codec as JC
+
+    for w, h in ((8, 8), (13, 9), (100, 37)):
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[..., 0] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+        img[..., 1] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+        img[..., 2] = 128
+        px = img.tobytes()
+        data = JC.encode_jpeg(px, w, h)
+        W, H, C, out = JC.decode_jpeg(data)
+        assert (W, H, C) == (w, h, 3)
+        a = np.frombuffer(px, dtype=np.uint8).astype(float)
+        b = np.frombuffer(out, dtype=np.uint8).astype(float)
+        assert np.abs(a - b).mean() < 3.0
+        assert JC.encode_jpeg(px, w, h) == data  # deterministic
+        assert MM.parse_image_dims(data) == (w, h)
+
+    good = _make_jpeg(16, 16)
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    for bad in (b"\xff\xd8junkjunkjunk", good[:40], good[:-20], progressive):
+        with pytest.raises(ValueError):
+            JC.decode_jpeg(bad)
+    with pytest.raises(ValueError):
+        JC.encode_jpeg(b"\x00" * 5, 2, 2, 3)  # wrong buffer size
+
+    # interop: when Pillow is present it must decode our stream
+    if MM.HAVE_IMAGE_DECODER:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(good))
+        assert (img.width, img.height) == (16, 16)
+
+
+def test_resize_assets_real_decode_jpeg_in_ci(spark):
+    """The r8 verdict's ask #4: the real-decode test exercises a JPEG
+    payload IN CI, not just PNG. With real_decode=True a baseline-JPEG
+    payload's resized_md5 must equal the md5 of the actual
+    entropy-decode → NN-resize → PNG re-encode, computed independently
+    here — and differ from the metadata stand-in."""
+    import hashlib
+
+    jpg = _make_jpeg(1000, 500)
+    assets = spark.createDataFrame(
+        [(1, bytearray(jpg), ("image/jpeg", "a.jpg", len(jpg)))],
+        "doc_id long, payload binary, meta struct<mime:string,filename:string,n_bytes:long>",
+    )
+    row = MM.resize_assets(assets, real_decode=True).collect()[0]
+    assert (row.src_w, row.src_h) == (1000, 500)
+    assert (row.out_w, row.out_h) == MM.resize_dims(1000, 500)
+    assert row.resized_md5 == hashlib.md5(
+        MM.resize_image_bytes(jpg, MM.RESIZE_MAX_DIM)
+    ).hexdigest()
+    h = hashlib.md5(jpg).hexdigest()
+    stand_in = hashlib.md5(f"{h}:{row.out_w}x{row.out_h}".encode()).hexdigest()
+    assert row.resized_md5 != stand_in
+
+    # corrupt JPEG (valid SOI/SOF dims, truncated entropy stream):
+    # drops to the stand-in instead of killing the Arrow batch
+    corrupt = jpg[:-200]
+    assets2 = spark.createDataFrame(
+        [(2, bytearray(corrupt), ("image/jpeg", "b.jpg", len(corrupt)))],
+        "doc_id long, payload binary, meta struct<mime:string,filename:string,n_bytes:long>",
+    )
+    row2 = MM.resize_assets(assets2, real_decode=True).collect()[0]
+    h2 = hashlib.md5(corrupt).hexdigest()
+    stand_in2 = hashlib.md5(f"{h2}:{row2.out_w}x{row2.out_h}".encode()).hexdigest()
+    assert row2.resized_md5 == stand_in2
 
 
 def test_token_vocab_frequencies(documents):
