@@ -3,12 +3,15 @@
 ``mapInPandas`` feature extractors.
 
 The container has no media libraries (no Pillow/ffmpeg/torchaudio).
-PNG and baseline-JPEG payloads still take a REAL decode → resize →
-re-encode path via the vendored pure-stdlib codecs (``png_codec`` —
-zlib inflate, scanline unfilter, deterministic re-encode; and
-``jpeg_codec`` — Huffman entropy decode, dequantize, IDCT), both
-exercised in CI; Pillow, when importable, takes over the same call
-sites and widens coverage to GIF/WebP. Non-decodable payloads
+PNG, baseline-JPEG, GIF, and BMP payloads — four of the reference
+uploader's five accepted image formats — still take a REAL decode →
+resize → re-encode path via the vendored pure-stdlib codecs
+(``png_codec`` — zlib inflate, scanline unfilter, deterministic
+re-encode; ``jpeg_codec`` — Huffman entropy decode, dequantize, IDCT;
+``gif_codec`` — LZW decode over the color table; ``bmp_codec`` —
+BGR(A) row unpack), all exercised in CI; Pillow, when importable,
+takes over the same call sites and widens coverage to WebP (the one
+remaining guarded format). Non-decodable payloads
 (audio/video, unrecognized bytes) fall back to the deterministic
 md5-derived stand-ins so the Arrow plumbing — the binary column, the
 metadata struct, the mapInPandas batch shape, the output schema, the
@@ -67,6 +70,10 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
             int.from_bytes(payload[6:8], "little"),
             int.from_bytes(payload[8:10], "little"),
         )
+    if payload[:2] == b"BM" and len(payload) >= 26:  # BITMAPINFOHEADER dims
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        return (w, abs(h)) if w > 0 and h != 0 else None
     if payload[:2] == b"\xff\xd8":  # JPEG: scan segments for a SOF marker
         i = 2
         while i + 9 <= len(payload):
@@ -101,27 +108,29 @@ def decode_asset_bytes(payload: bytes, mime: str):
             import io
 
             return Image.open(io.BytesIO(payload))
-        from ad_data_lake_spark.llm import jpeg_codec, png_codec
+        from ad_data_lake_spark.llm import bmp_codec, gif_codec, jpeg_codec, png_codec
 
-        try:
-            return png_codec.decode_png(payload)
-        except ValueError:
-            pass  # not a (supported) PNG: try JPEG next
-        try:
-            return jpeg_codec.decode_jpeg(payload)
-        except ValueError:
-            pass  # neither: fall through to the stub error
+        for decode in (
+            png_codec.decode_png,
+            jpeg_codec.decode_jpeg,
+            gif_codec.decode_gif,
+            bmp_codec.decode_bmp,
+        ):
+            try:
+                return decode(payload)
+            except ValueError:
+                continue  # not this format: try the next vendored codec
     raise NotImplementedError(
-        "no decoder for this payload in this container (PNG/baseline "
-        "JPEG decode via the vendored codecs; other formats need "
-        "Pillow/soundfile/av); use fake_features() (deterministic "
-        "stand-in)"
+        "no decoder for this payload in this container (PNG/baseline-"
+        "JPEG/GIF/BMP decode via the vendored codecs; WebP and "
+        "audio/video need Pillow/soundfile/av); use fake_features() "
+        "(deterministic stand-in)"
     )
 
 
 def resize_image_bytes(payload: bytes, max_dim: int = 384) -> bytes:
     """Real aspect-preserving resize: decode (Pillow or the vendored
-    PNG/JPEG codecs), scale with the same integer ``resize_dims`` plan
+    PNG/JPEG/GIF/BMP codecs), scale with the same integer ``resize_dims`` plan
     the stub path uses, re-encode as PNG. The vendored branch is
     byte-deterministic (fixed zlib level, nearest-neighbor floor
     resample, float64 IDCT with one final round), which is what lets
@@ -267,9 +276,9 @@ def resize_assets(
                 resized_md5 = None
                 if real_decode and dims is not None:
                     # real pixel path: Pillow when present, else the
-                    # vendored PNG/JPEG codecs; payloads none can
-                    # decode (e.g. GIF without Pillow) drop to the
-                    # stand-in.
+                    # vendored PNG/JPEG/GIF/BMP codecs; payloads none
+                    # can decode (e.g. WebP without Pillow) drop to
+                    # the stand-in.
                     # ValueError = corrupt-but-signed payload (the codec
                     # maps zlib/struct/index errors onto it); OSError =
                     # Pillow's lazy-decode failures — one bad byte

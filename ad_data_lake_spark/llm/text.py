@@ -433,15 +433,46 @@ def pii_redact(documents: DataFrame) -> DataFrame:
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         ),
     ).otherwise(F.col("text"))
-    redacted = F.regexp_replace(
-        F.regexp_replace(planted, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    # Two measured fixes for the sf1 9.6x-of-DuckDB outlier:
+    # (1) spread(): the regex stack is COMPUTE-bound and the fixture
+    #     scan yields 2 tasks — 30 of 32 cores idle (the one-partition
+    #     corpus-pass trap every other heavy text operator here guards);
+    # (2) evaluate each text-sized expression ONCE: a plain alias is
+    #     inlined by CollapseProject into every consumer (planted into
+    #     4 outputs, the 2-regex redact chain into both sha2 and
+    #     length — ~6 regex passes + 4 concat evals per row). A
+    #     single-element explode is a Generate node, which projects do
+    #     NOT collapse through, so `planted`/`redacted` become
+    #     materialized attributes their consumers share. Narrow, no
+    #     added shuffle beyond the spread.
+    from ad_data_lake_spark.sources.tables import spread
+
+    pinned = spread(documents).select("doc_id", planted.alias("_p")).select(
+        "doc_id", F.explode(F.array("_p")).alias("planted")
     )
-    return documents.select(
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("planted"), EMAIL_RE, "[EMAIL]"),
+        PHONE_RE,
+        "[PHONE]",
+    )
+    counted = pinned.select(
         "doc_id",
-        F.size(F.regexp_extract_all(planted, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
-        F.size(F.regexp_extract_all(planted, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
-        F.sha2(redacted, 256).alias("redacted_sha"),
-        F.length(redacted).alias("redacted_len"),
+        F.size(
+            F.regexp_extract_all(F.col("planted"), F.lit(EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.col("planted"), F.lit(PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+        redacted.alias("_r"),
+    ).select(
+        "doc_id", "n_emails", "n_phones", F.explode(F.array("_r")).alias("redacted")
+    )
+    return counted.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.sha2(F.col("redacted"), 256).alias("redacted_sha"),
+        F.length(F.col("redacted")).alias("redacted_len"),
     )
 
 

@@ -1934,8 +1934,11 @@ _register(
 # Round 9 window (50 slots). Rotation onto the stale cohorts per the r8
 # verdict: slots 1-32 are ALL rows last driver-checked in r05 (the cohort
 # that would age out of the two-round union), slots 33-50 are the oldest
-# 18 of the 44 r06-checked rows (exact_substring_dedup leads -- it is
-# also the r8 perf watch item); the remaining 26 r06 rows lead round 10,
+# 18 ORACLED r06-checked rows (exact_substring_dedup leads -- it is
+# also the r8 perf watch item; rows-only dedup_minhash_lsh_xx is bumped
+# to slot 51 so it never occupies an oracle-check slot, per the
+# test_driver_priority_tuple_invariants contract); the remaining 26
+# r06 rows lead round 10,
 # then r07- and r08-checked rows follow oldest-first. This round's
 # implementation changes (CAS publish on the versioned lake, PageRank
 # per-iteration checkpoint, PNG-codec error-class widening, the
@@ -1987,13 +1990,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dataset_split",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_minhash_lsh_xx",
     "dedup_normalized",
     "dedup_simhash",
     "dsir_weights",
     "embed_neardup_pairs",
     "embed_topk_ivf",
     "embed_topk_lsh",
+    "dedup_minhash_lsh_xx",
     "embedding_drift",
     "funnel_conversion",
     "gopher_rules",
@@ -2110,6 +2113,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "time_travel_read",
     "token_counts",
     "top_k",
+
 )
 
 

@@ -113,28 +113,69 @@ def build_fixture(rep: int) -> str:
     return str(dst)
 
 
-def duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
+def _progress(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _fetch_with_timeout(con, sql: str, seconds: float) -> None:
+    """Run one statement with a watchdog: past ``seconds`` the
+    connection is interrupted and duckdb raises, which the caller
+    records as DNF. Without this, a single engine-intractable oracle
+    (the sf1 full-registry run spent 20+ min inside one unrolled-CTE
+    query before OOMing the box) costs an unbounded slice of the
+    bench budget."""
+    import threading
+
+    timer = threading.Timer(seconds, con.interrupt)
+    timer.start()
+    try:
+        con.execute(sql).fetchall()
+    finally:
+        timer.cancel()
+
+
+def duckdb_timings(
+    sf_dir: str, names: list[str], memlimit: str = "64GB", timeout: float = 180.0
+) -> dict[str, float | None]:
+    """Per-query guarded: a row whose oracle blows up at scale (OOM or
+    watchdog timeout on an unrolled-CTE oracle) records None (DNF)
+    instead of killing the whole run — the full-registry sf1 run died
+    exactly that way once (one oracle exhausted 128 GB; everything
+    after it was lost). The memory limit + spill dir bound the blast
+    radius; progress lines flush per row so a crash can't eat the
+    measurements."""
     from ad_data_lake_spark.queries import REGISTRY
     from ad_data_lake_spark.sources.tables import TABLE_NAMES
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
+    con.execute(f"SET memory_limit='{memlimit}'")
+    tmp = REPO / ".scale_fixture" / "duck_tmp"
+    tmp.mkdir(parents=True, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    out: dict[str, float] = {}
+    out: dict[str, float | None] = {}
     for name in names:
         sql = REGISTRY[name].oracle
-        con.execute(sql).fetchall()  # warm
-        for _ in range(2):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            el = time.perf_counter() - t0
-            out[name] = min(out.get(name, el), el)
+        try:
+            _fetch_with_timeout(con, sql, timeout)  # warm
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _fetch_with_timeout(con, sql, timeout)
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            out[name] = best
+            _progress(f"duck  {name:40s} {best:8.3f}s")
+        except Exception as exc:  # OOM / interrupt / resource errors
+            out[name] = None
+            _progress(f"duck  {name:40s} DNF ({type(exc).__name__})")
     con.close()
     return out
 
 
-def spark_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
+def spark_timings(sf_dir: str, names: list[str]) -> dict[str, float | None]:
     from ad_data_lake_spark.queries import REGISTRY
     from ad_data_lake_spark.session import get_spark
 
@@ -144,15 +185,24 @@ def spark_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
     def mat(df):
         df.write.format("noop").mode("overwrite").save()
 
+    out: dict[str, float | None] = {}
+    ok = []
     for name in names:
-        mat(REGISTRY[name].fn(spark, sf_dir))  # warm
-    out: dict[str, float] = {}
+        try:
+            mat(REGISTRY[name].fn(spark, sf_dir))  # warm
+            ok.append(name)
+        except Exception as exc:
+            out[name] = None
+            _progress(f"spark {name:40s} DNF ({type(exc).__name__})")
     for _ in range(2):
-        for name in names:
+        for name in ok:
             t0 = time.perf_counter()
             mat(REGISTRY[name].fn(spark, sf_dir))
             el = time.perf_counter() - t0
-            out[name] = min(out.get(name, el), el)
+            prev = out.get(name)
+            out[name] = el if prev is None else min(prev, el)
+    for name in ok:
+        _progress(f"spark {name:40s} {out[name]:8.3f}s")
     spark.stop()
     return out
 
@@ -161,22 +211,41 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=10)
     ap.add_argument("--queries", type=str, default=",".join(WEAK_ROWS))
+    ap.add_argument("--memlimit", type=str, default="64GB")
+    ap.add_argument("--timeout", type=float, default=180.0)
     args = ap.parse_args()
     names = [q for q in args.queries.split(",") if q]
 
     sf_dir = build_fixture(args.rep)
     sf = round(0.1 * args.rep, 4)
-    duck = duckdb_timings(sf_dir, names)
+    duck = duckdb_timings(sf_dir, names, args.memlimit, args.timeout)
     spark = spark_timings(sf_dir, names)
 
     rows = []
     for n in names:
         d, s = duck[n], spark[n]
-        rows.append((n, round(d, 3), round(s, 3), round(s / d, 2) if d else None))
+        rows.append(
+            (
+                n,
+                round(d, 3) if d is not None else None,
+                round(s, 3) if s is not None else None,
+                round(s / d, 2) if d and s is not None else None,
+            )
+        )
     print(f"\n| Query | DuckDB sf{sf} (s) | Spark sf{sf} (s) | Ratio |")
     print("|---|---|---|---|")
     for n, d, s, r in rows:
-        print(f"| {n} | {d} | {s} | {r}x |")
+        print(f"| {n} | {d if d is not None else 'DNF'} | "
+              f"{s if s is not None else 'DNF'} | "
+              f"{f'{r}x' if r is not None else '—'} |")
+    both = [(n, d, s) for n, d, s, _ in rows if d is not None and s is not None]
+    dnf = [n for n, d, s, _ in rows if d is None or s is None]
+    td = sum(d for _, d, _ in both)
+    ts = sum(s for _, _, s in both)
+    print(
+        f"\nAGGREGATE over {len(both)} rows (DNF excluded: {dnf or 'none'}): "
+        f"DuckDB {td:.1f}s, Spark {ts:.1f}s, ratio {ts / td:.2f}x"
+    )
     print(
         json.dumps(
             {
@@ -185,6 +254,13 @@ def main() -> None:
                 "duckdb": duck,
                 "spark": spark,
                 "ratios": {n: r for n, _, _, r in rows},
+                "aggregate": {
+                    "n": len(both),
+                    "duckdb_sec": round(td, 2),
+                    "spark_sec": round(ts, 2),
+                    "ratio": round(ts / td, 3) if td else None,
+                    "dnf": dnf,
+                },
             }
         )
     )

@@ -1051,3 +1051,35 @@ def test_orphan_gc_is_age_gated_for_unlogged_dirs(spark, events, tmp_path):
         spark, target, _ev_upd(base, 1, 1), "event_id", "ts", "value"
     )
     assert not os.path.isdir(fresh), "expired orphan survived GC"
+
+
+def test_commit_lock_breaks_dead_holder_and_respects_live(tmp_path):
+    """The commit lock's liveness rules, no Spark needed: (a) a lock
+    held by a DEAD pid is broken and acquired; (b) a lock freshly held
+    by a LIVE pid (this process) blocks until timeout; (c) the lock
+    releases on context exit."""
+    target = str(tmp_path / "lock_t")
+    os.makedirs(target)
+    lock_path = os.path.join(target, incremental._LOCK)
+
+    # (a) dead holder: spawn-and-reap a child so its pid is free
+    import subprocess
+
+    child = subprocess.Popen(["true"])
+    child.wait()
+    with open(lock_path, "w") as f:
+        f.write(f"{child.pid}\n")
+    with incremental._commit_lock(target, timeout=5.0):
+        with open(lock_path) as f:
+            assert int(f.read().strip()) == os.getpid()
+    assert not os.path.exists(lock_path)  # (c) released
+
+    # (b) live holder: acquisition must time out, not break the lock
+    with open(lock_path, "w") as f:
+        f.write(f"{os.getpid()}\n")
+    with pytest.raises(TimeoutError):
+        with incremental._commit_lock(target, timeout=0.3):
+            pass
+    with open(lock_path) as f:
+        assert int(f.read().strip()) == os.getpid()  # still held
+    os.unlink(lock_path)

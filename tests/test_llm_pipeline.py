@@ -529,6 +529,90 @@ def test_resize_assets_real_decode_jpeg_in_ci(spark):
     assert row2.resized_md5 == stand_in2
 
 
+def test_gif_bmp_codecs_roundtrip_and_error_contract():
+    """Vendored GIF/BMP codecs: BMP roundtrips RGB and RGBA
+    byte-exactly (bottom-up, 4-byte row padding); GIF roundtrips
+    grayscale content exactly through the 256-gray palette and the
+    spec LZW decoder (variable code width, clear/EOI); header dims
+    parse agrees; malformed/unsupported payloads map to ValueError."""
+    import numpy as np
+
+    from ad_data_lake_spark.llm import bmp_codec as BC
+    from ad_data_lake_spark.llm import gif_codec as GC
+
+    rng = np.random.default_rng(3)
+    for ch in (3, 4):
+        w, h = 13, 9
+        px = rng.integers(0, 256, w * h * ch, dtype=np.uint8).tobytes()
+        data = BC.encode_bmp(px, w, h, ch)
+        assert BC.decode_bmp(data) == (w, h, ch, px)
+        assert MM.parse_image_dims(data) == (w, h)
+
+    g = rng.integers(0, 256, (37, 100), dtype=np.uint8)
+    px = np.stack([g, g, g], axis=-1).tobytes()
+    gif = GC.encode_gif_gray(px, 100, 37)
+    assert GC.decode_gif(gif) == (100, 37, 3, px)
+    assert MM.parse_image_dims(gif) == (100, 37)
+    assert GC.encode_gif_gray(px, 100, 37) == gif  # deterministic
+
+    interlaced = bytearray(gif)
+    # image descriptor sits after the 13-byte header + 768-byte GCT
+    # (searching for 0x2C would hit palette entry 44); its packed
+    # byte is 9 bytes in — set the interlace flag
+    assert interlaced[781] == 0x2C
+    interlaced[781 + 9] |= 0x40
+    for bad in (
+        b"GIF89a" + b"\x00" * 20,
+        gif[:60],
+        bytes(interlaced),
+        b"BM" + b"\x00" * 60,
+    ):
+        with pytest.raises(ValueError):
+            (GC.decode_gif if bad[:2] != b"BM" else BC.decode_bmp)(bad)
+
+    if MM.HAVE_IMAGE_DECODER:
+        import io
+
+        from PIL import Image
+
+        assert Image.open(io.BytesIO(gif)).size == (100, 37)
+
+
+def test_resize_assets_real_decode_gif_bmp_in_ci(spark):
+    """GIF and BMP payloads take the REAL pixel path inside the Arrow
+    batch loop: resized_md5 equals the md5 of the independently
+    recomputed decode → NN-resize → PNG re-encode, and differs from
+    the metadata stand-in."""
+    import hashlib
+
+    import numpy as np
+
+    from ad_data_lake_spark.llm import bmp_codec as BC
+    from ad_data_lake_spark.llm import gif_codec as GC
+
+    g = np.linspace(0, 255, 800 * 600, dtype=np.uint8).reshape(600, 800)
+    px = np.stack([g, g, g], axis=-1).tobytes()
+    payloads = [
+        (1, GC.encode_gif_gray(px, 800, 600), "image/gif", "a.gif"),
+        (2, BC.encode_bmp(px, 800, 600, 3), "image/bmp", "b.bmp"),
+    ]
+    assets = spark.createDataFrame(
+        [(i, bytearray(p), (m, f, len(p))) for i, p, m, f in payloads],
+        "doc_id long, payload binary, meta struct<mime:string,filename:string,n_bytes:long>",
+    )
+    rows = {r.doc_id: r for r in MM.resize_assets(assets, real_decode=True).collect()}
+    for i, payload, _m, _f in payloads:
+        row = rows[i]
+        assert (row.src_w, row.src_h) == (800, 600)
+        assert (row.out_w, row.out_h) == MM.resize_dims(800, 600)
+        assert row.resized_md5 == hashlib.md5(
+            MM.resize_image_bytes(payload, MM.RESIZE_MAX_DIM)
+        ).hexdigest()
+        h = hashlib.md5(payload).hexdigest()
+        stand_in = hashlib.md5(f"{h}:{row.out_w}x{row.out_h}".encode()).hexdigest()
+        assert row.resized_md5 != stand_in
+
+
 def test_token_vocab_frequencies(documents):
     """Vocabulary extraction: counts are consistent (doc frequency
     never exceeds occurrences), ordering is (count desc, token asc),
