@@ -669,9 +669,12 @@ def corpus_health(documents: DataFrame) -> DataFrame:
     dashboard-sized at any corpus scale."""
     from ad_data_lake_spark.llm.dedup import content_hash
     from ad_data_lake_spark.llm.text import quality_columns
+    from ad_data_lake_spark.sources.tables import spread
 
     qc = quality_columns(F.col("text"))
-    base = documents.select(
+    # the quality projection is the compute-heavy part of this scan --
+    # fan out before it (no-op on production row groups)
+    base = spread(documents).select(
         "source",
         qc["n_tokens"].alias("_nt"),
         qc["quality_score"].alias("_q"),

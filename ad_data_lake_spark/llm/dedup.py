@@ -647,7 +647,13 @@ def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     fingerprint. Still one doc_id shuffle with map-side combine, fully
     codegen; integer sums are order-independent, so the fingerprint is
     exactly the per-row array formulation's value."""
-    toks = corpus.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+    from ad_data_lake_spark.sources.tables import spread
+
+    # per-token md5 + packed vote terms: compute-bound map stage --
+    # run it at session parallelism (no-op on production row groups)
+    toks = spread(corpus).select(
+        "doc_id", F.explode(words(F.col("text"))).alias("tok")
+    )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
     hashed = toks.select("doc_id", h.alias("h"))
     n_longs = -(-bits // SIMHASH_PACK)

@@ -132,7 +132,9 @@ def text_stats(documents: DataFrame) -> DataFrame:
     w = words(F.col("text"))
     n_tokens = F.size(w)
     n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS_EN)))
-    return documents.select(
+    # compute-bound projection: fan the narrow scan to session
+    # parallelism (no-op on production row groups -- spread() guard)
+    return spread(documents).select(
         "doc_id",
         "lang",
         F.length("text").alias("n_chars"),
@@ -147,7 +149,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
 def token_counts(documents: DataFrame) -> DataFrame:
     """Token-count estimators: whitespace split, BPE-ish regex split,
     and the chars/4 heuristic LLM pipelines use for budget estimates."""
-    return documents.select(
+    return spread(documents).select(
         "doc_id",
         F.size(words(F.col("text"))).alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)).alias(
@@ -171,7 +173,9 @@ def token_vocab(documents: DataFrame, top_k: int = VOCAB_TOP_K) -> DataFrame:
     sort+limit, which Spark executes as TakeOrdered (per-partition
     heaps, no global sort materialization). Deterministic boundary:
     ties at rank K break on the token string in both engines."""
-    toks = documents.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    toks = spread(documents).select(
+        "doc_id", F.explode(words(F.col("text"))).alias("token")
+    )
     return (
         toks.groupBy("token")
         .agg(
@@ -351,7 +355,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     band, mean-token-length band — the pre-training filter shape
     (C4/Gopher-style heuristics) as one arithmetic expression."""
     qc = quality_columns(F.col("text"))
-    return documents.select(
+    return spread(documents).select(
         "doc_id", *(expr.alias(name) for name, expr in qc.items())
     )
 
@@ -399,7 +403,8 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     doc_id rollup — the shuffle carries one row per distinct token per
     doc, never the raw token stream."""
     per_tok = (
-        documents.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+        spread(documents)
+        .select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
     )
@@ -445,8 +450,6 @@ def pii_redact(documents: DataFrame) -> DataFrame:
     #     NOT collapse through, so `planted`/`redacted` become
     #     materialized attributes their consumers share. Narrow, no
     #     added shuffle beyond the spread.
-    from ad_data_lake_spark.sources.tables import spread
-
     pinned = spread(documents).select("doc_id", planted.alias("_p")).select(
         "doc_id", F.explode(F.array("_p")).alias("planted")
     )
@@ -631,7 +634,9 @@ def gopher_rules(
         lambda a: a["best"],
     )
     lo, hi = GOPHER_MEAN_LEN_BAND
-    out = documents.select(
+    # per-row array_sort + fold over every token: the most compute-
+    # bound projection in the file -- run at session parallelism
+    out = spread(documents).select(
         "doc_id",
         *(["text"] if keep_text else []),
         n.alias("n_words"),

@@ -391,12 +391,18 @@ def test_exact_substring_dedup_joins_are_equi_on_hash(spark):
 
 
 def test_quality_projections_zero_shuffle(spark):
-    """gopher_rules and luhn_scan are pure per-row verdict sheets —
-    any Exchange in their plans means a regression re-introduced an
-    aggregate or join."""
+    """gopher_rules and luhn_scan are pure per-row verdict sheets — no
+    aggregate, no join. gopher_rules (per-row array_sort + fold over
+    every token) additionally spread()s the scan to session parallelism,
+    which at FIXTURE scale materializes as one RoundRobin exchange (a
+    single-row-group scan yields 2 tasks; measured 4.48 -> 0.82 s at
+    sf1) and is a no-op on production row groups — so the contract is:
+    at most the spread's round-robin fan-out, never a KEY exchange
+    (hashpartitioning = a re-introduced aggregate/join)."""
     for name in ("gopher_rules", "luhn_scan"):
         p = plan_of(spark, name)
-        assert p.count("Exchange") == 0, f"{name} must stay a pure projection"
+        assert "hashpartitioning" not in p, f"{name} must not key-shuffle"
+        assert p.count("Exchange") <= 1, f"{name}: more than the spread fan-out"
         assert "Join" not in p, f"{name} must not join"
 
 
