@@ -583,10 +583,18 @@ def ngram_jaccard_pairs(corpus: DataFrame, mod: int = 50) -> DataFrame:
     to the digit (set cardinalities are order- and
     multiplicity-independent)."""
     corpus = spread(corpus)  # shingle explode is compute-bound; fan out the 1-split fixture scan
+    # hs feeds FOUR subtrees (sizes twice via the a/b aliases, plus the
+    # ha/hb sides of the intersection join) and the column renames
+    # break ReuseExchange (measured: 4 scans, 0 reused exchanges), so
+    # without a cut the shingle explode + distinct runs four times.
+    # LAZY localCheckpoint (eager=False): evaluated once at the first
+    # action, reused by all consumers — and plan BUILD stays job-free,
+    # which the lazy-SQL-view registration contract requires.
     hs = (
         _exploded_shingle_hashes(corpus)
         .select("doc_id", (F.col("doc_id") % mod).alias("bucket"), "h60")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = hs.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
     a = sizes.alias("a")
