@@ -1083,3 +1083,65 @@ def test_commit_lock_breaks_dead_holder_and_respects_live(tmp_path):
     with open(lock_path) as f:
         assert int(f.read().strip()) == os.getpid()  # still held
     os.unlink(lock_path)
+
+
+def test_publish_cas_across_processes(tmp_path):
+    """Cross-PROCESS optimistic concurrency, pure file ops (no Spark):
+    N subprocesses each publish M versions against one table using the
+    retry-on-ConcurrentWriteError loop a merge performs. The lock file
+    is O_CREAT|O_EXCL so it serializes processes exactly like threads;
+    afterwards the log must contain the last max(1, retain) commits of
+    the N*M total with a consistent pointer — and every process must
+    have succeeded (no lost publishes, no deadlock)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    target = str(tmp_path / "xproc_t")
+    os.makedirs(target)
+    incremental._write_atomic(target, incremental._PTR, "v-seed0000")
+    incremental._write_atomic(target, incremental._LOG, "v-seed0000\n")
+    os.makedirs(os.path.join(target, "v-seed0000"))
+
+    worker = textwrap.dedent(
+        """
+        import os, sys
+        sys.path.insert(0, {repo!r})
+        from ad_data_lake_spark import incremental as inc
+        target, wid = sys.argv[1], sys.argv[2]
+        for i in range(5):
+            name = f"v-w{{wid}}n{{i}}"
+            os.makedirs(os.path.join(target, name), exist_ok=True)
+            for attempt in range(50):
+                base = inc._current_version(target)
+                try:
+                    inc._publish(target, name, base_version=base)
+                    break
+                except inc.ConcurrentWriteError:
+                    continue
+            else:
+                sys.exit(3)
+        print("ok")
+        """
+    ).format(repo=os.getcwd())
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, target, str(w)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for w in range(4)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[-500:]
+        assert out.strip() == b"ok"
+
+    current = incremental._current_version(target)
+    history = incremental._published_history(target, current)
+    assert history[-1] == current
+    assert len(history) == min(20 + 1, incremental.RETAIN_VERSIONS)
+    assert not os.path.exists(os.path.join(target, incremental._LOCK))
+    # every retained version's directory exists (nothing GC'd wrongly)
+    for v in history:
+        assert os.path.isdir(os.path.join(target, v)), v
