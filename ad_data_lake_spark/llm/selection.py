@@ -223,7 +223,11 @@ def dsir_weights(
     side), bounded at B rows, broadcast back over the raw token stream;
     the two scalar totals derive from that same aggregate and ride
     along as one-row broadcasts."""
-    toks = documents.select(
+    from ad_data_lake_spark.sources.tables import spread
+
+    # tokenize + per-token hash bucket is the compute-bound map stage:
+    # fan the narrow scan out (no-op on production row groups)
+    toks = spread(documents).select(
         (F.col("doc_id") % benchmark_mod == 0).alias("is_target"),
         "doc_id",
         F.explode(words(F.col("text"))).alias("token"),

@@ -1104,7 +1104,7 @@ def lang_quality_calibration(documents: DataFrame) -> DataFrame:
     sketch path) — the band moves by the sketch tolerance, the plan
     is identical."""
     qc = quality_columns(F.col("text"))
-    base = documents.select(
+    base = spread(documents).select(
         "doc_id", "lang", qc["mean_token_len"].alias("mean_token_len")
     )
     th = base.groupBy("lang").agg(
@@ -1147,7 +1147,7 @@ def filter_agreement(documents: DataFrame) -> DataFrame:
         "doc_id", F.col("keep").alias("f_gopher")
     )
     qc = quality_columns(F.col("text"))
-    q = documents.select("doc_id", qc["keep"].alias("f_quality"))
+    q = spread(documents).select("doc_id", qc["keep"].alias("f_quality"))
     c = lang_quality_calibration(documents).select(
         "doc_id", (~F.col("is_outlier")).alias("f_lang_calib")
     )
