@@ -167,6 +167,10 @@ def to_asset_table(documents: DataFrame) -> DataFrame:
     mime = F.element_at(
         F.array(*[F.lit(m) for m in MIMES]), (F.col("doc_id") % 4 + 1).cast("int")
     )
+    # deliberately NOT spread(): the rows ARE the payload bytes, so a
+    # round-robin exchange moves the whole corpus to save a cheap md5 —
+    # measured SLOWER at sf1 (0.71 -> 1.02 s). A deployment with a
+    # genuinely expensive decode kernel would spread here.
     return documents.select(
         "doc_id",
         F.col("text").cast("binary").alias("payload"),
