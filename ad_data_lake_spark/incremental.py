@@ -66,6 +66,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import socket
 import time
 import uuid
 from contextlib import contextmanager
@@ -124,44 +125,89 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def _parse_lock_token(raw: str) -> tuple[str, int]:
+    """(host, pid) from a ``host:pid:uuid`` lock token; ('', 0) for
+    anything unparseable (treated as a foreign holder: never
+    pid-broken, only age-broken)."""
+    parts = raw.split(":")
+    if len(parts) != 3:
+        return "", 0
+    try:
+        return parts[0], int(parts[1])
+    except ValueError:
+        return "", 0
+
+
 @contextmanager
 def _commit_lock(target_path: str, timeout: float = 30.0):
     """Host-local mutual exclusion for the commit critical section
-    (CAS check + log append + pointer flip + GC), via O_CREAT|O_EXCL —
+    (CAS check + log append + pointer flip), via O_CREAT|O_EXCL —
     atomic on POSIX, and it serializes threads of one process and
-    processes of one host alike. Locks whose holder pid is dead, or
-    older than ``LOCK_STALE_SECONDS``, are broken (a commit is a few
-    metadata writes; nothing healthy holds this for a minute). On an
-    object-store lake this whole primitive is replaced by the store's
-    conditional-put (If-None-Match) on the log object, exactly as
-    Delta's commit protocol does — the CAS semantics are identical."""
+    processes of one host alike. On an object-store lake this whole
+    primitive is replaced by the store's conditional-put
+    (If-None-Match) on the log object, exactly as Delta's commit
+    protocol does — the CAS semantics are identical (Delta has no
+    break path at all; breaking below exists only because a local
+    filesystem lock outlives a crashed process, which a lease-based
+    store primitive never does).
+
+    Each lock is stamped with a unique ``host:pid:uuid`` token.
+    Staleness:
+
+    - a SAME-host holder whose pid is dead is broken immediately;
+    - any holder older than ``LOCK_STALE_SECONDS`` is broken (the
+      critical section is a few metadata writes — directory GC runs
+      OUTSIDE it — so nothing healthy holds this for a minute);
+    - a FOREIGN-host holder is never pid-broken: pid liveness is
+      meaningless across hosts on a shared filesystem, so only the
+      age rule applies (mtime comparisons assume loosely-synced
+      clocks, the same assumption NFS lockfiles make).
+
+    Breaking is an atomic ``os.rename`` of the observed lock to a
+    breaker-owned unique name — exactly one breaker's rename succeeds,
+    so two waiters can never both judge a lock stale and between them
+    unlink a THIRD writer's fresh lock (the unlink-break TOCTOU).
+    Release verifies the token before unlinking, so a holder whose
+    lock was age-broken mid-commit cannot remove its successor's lock.
+    The one residual window — a holder judged stale releasing in the
+    nanoseconds between a breaker's stat and its rename — requires a
+    DEAD-or-60s-silent holder to act at that instant, i.e. the false
+    positive the age bound already rules out for healthy commits."""
     lock_path = os.path.join(target_path, _LOCK)
+    token = f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex}"
     deadline = time.monotonic() + timeout
     while True:
         try:
             fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()}\n".encode())
+            os.write(fd, f"{token}\n".encode())
             os.close(fd)
             break
         except FileExistsError:
             try:
                 st = os.stat(lock_path)
                 with open(lock_path) as f:
-                    holder = int(f.read().strip() or "0")
-            except (OSError, ValueError):
-                holder, st = 0, None  # holder mid-write or just released
-            if st is not None and (
-                (holder > 0 and not _pid_alive(holder))
-                or time.time() - st.st_mtime > LOCK_STALE_SECONDS
-            ):
+                    held = f.read().strip()
+            except OSError:
+                continue  # holder mid-write or just released
+            host, pid = _parse_lock_token(held)
+            dead = (
+                host == socket.gethostname() and pid > 0 and not _pid_alive(pid)
+            )
+            aged = time.time() - st.st_mtime > LOCK_STALE_SECONDS
+            if dead or aged:
+                broke = f"{lock_path}.broken-{uuid.uuid4().hex}"
                 try:
-                    os.unlink(lock_path)
+                    os.rename(lock_path, broke)
+                except FileNotFoundError:
+                    continue  # another breaker won, or holder released
+                try:
+                    os.unlink(broke)
                 except FileNotFoundError:
                     pass
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
-                    f"{target_path}: commit lock held by pid {holder} "
+                    f"{target_path}: commit lock held by {held!r} "
                     f"for longer than {timeout}s"
                 )
             time.sleep(0.02)
@@ -169,9 +215,15 @@ def _commit_lock(target_path: str, timeout: float = 30.0):
         yield
     finally:
         try:
-            os.unlink(lock_path)
-        except FileNotFoundError:
-            pass
+            with open(lock_path) as f:
+                held = f.read().strip()
+        except OSError:
+            held = None  # broken away while we held it — nothing to release
+        if held == token:
+            try:
+                os.unlink(lock_path)
+            except FileNotFoundError:
+                pass
 
 
 def buckets_for_bytes(
@@ -319,35 +371,53 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(os.path.join(root, f), os.path.join(tgt, f))
 
 
-def _gc_versions(target_path: str, keep: set[str], logged: set[str]) -> list[str]:
-    """Remove version directories outside the retention set. Two
-    classes, per the concurrency contract:
+def _doomed_versions(target_path: str, keep: set[str], logged: set[str]) -> list[str]:
+    """Version directories outside the retention set, eligible for
+    removal. Two classes, per the concurrency contract:
 
     - **logged** dirs (in ``_VERSIONS`` at any point — superseded
       published versions and crashed merges' unpointed tails) are
-      removed immediately: log appends happen only inside the commit
+      eligible immediately: log appends happen only inside the commit
       critical section, so a logged-but-unretained dir's writer is
       finished or dead, never in flight;
     - **never-logged** dirs are either a crashed merge that died before
       commit OR a concurrent writer's version still awaiting its
-      publish — indistinguishable by name, so they are removed only
+      publish — indistinguishable by name, so they are eligible only
       once older than ``ORPHAN_GRACE_SECONDS`` (a commit follows its
-      write within seconds; ten minutes is a dead writer)."""
-    removed = []
+      write within seconds; ten minutes is a dead writer).
+
+    Selection runs UNDER the commit lock (it reads the log/pointer
+    state a concurrent publish mutates); the actual ``rmtree`` runs
+    AFTER release — see :func:`_remove_versions`. Deleting outside
+    the lock is safe because the pointer has already flipped, a doomed
+    dir can never re-enter any later publish's retention set (the log
+    only ever appends NEW version names), and concurrent removers of
+    the same dir are idempotent (``ignore_errors``). Keeping rmtree
+    out of the critical section keeps commits at a few milliseconds,
+    so the ``LOCK_STALE_SECONDS`` age bound can never break a healthy
+    holder mid-commit no matter how large the superseded versions."""
+    doomed = []
     now = time.time()
     for d in os.listdir(target_path):
         if not d.startswith("v-") or d in keep:
             continue
-        path = os.path.join(target_path, d)
         if d not in logged:
             try:
-                if now - os.stat(path).st_mtime < ORPHAN_GRACE_SECONDS:
-                    continue
+                age = now - os.stat(os.path.join(target_path, d)).st_mtime
             except OSError:
                 continue
-        shutil.rmtree(path, ignore_errors=True)
-        removed.append(d)
-    return sorted(removed)
+            if age < ORPHAN_GRACE_SECONDS:
+                continue
+        doomed.append(d)
+    return sorted(doomed)
+
+
+def _remove_versions(target_path: str, doomed: list[str]) -> list[str]:
+    """rmtree the doomed version dirs — call AFTER the commit lock is
+    released (see :func:`_doomed_versions` for why that is safe)."""
+    for d in doomed:
+        shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
+    return doomed
 
 
 def _publish(
@@ -373,13 +443,17 @@ def _publish(
     version is ever silently lost.
 
     Write order inside the critical section is buckets-sidecar → log →
-    pointer → GC, so a crash at any boundary leaves the table
-    consistent: an unpointed log tail is just an orphaned directory a
-    later publish GCs, never a dangling pointer. The history this
-    publish extends is truncated at the CURRENT pointer first, so a
-    prior crash's never-published tail is dropped from the log (and
-    its directory GC'd below) instead of surviving as a readable
-    'prior' ahead of the version it never superseded."""
+    pointer → GC-selection, so a crash at any boundary leaves the
+    table consistent: an unpointed log tail is just an orphaned
+    directory a later publish GCs, never a dangling pointer. The
+    history this publish extends is truncated at the CURRENT pointer
+    first, so a prior crash's never-published tail is dropped from the
+    log (and its directory GC'd below) instead of surviving as a
+    readable 'prior' ahead of the version it never superseded. The
+    ``rmtree`` of doomed versions runs AFTER the lock is released —
+    it is the only unbounded-cost step, and keeping it out of the
+    critical section keeps commits at a few metadata writes (so the
+    stale-lock age bound never fires on a healthy holder)."""
     with _commit_lock(target_path):
         current = _current_version(target_path)
         if base_version is not _UNSET and current != base_version:
@@ -398,7 +472,8 @@ def _publish(
             _write_atomic(target_path, _NB, str(n_buckets))
         _write_atomic(target_path, _LOG, "\n".join(kept) + "\n")
         _write_atomic(target_path, _PTR, new_version)
-        _gc_versions(target_path, set(kept), logged | set(history))
+        doomed = _doomed_versions(target_path, set(kept), logged | set(history))
+    _remove_versions(target_path, doomed)
 
 
 def _apply_bucketed(
@@ -683,11 +758,12 @@ def vacuum(target_path: str, retain: int = 1) -> list[str]:
     backfill calls this to reclaim the space early instead of waiting
     ``RETAIN_VERSIONS`` more merges.
 
-    Runs under the commit lock (it rewrites the log a concurrent
-    publish CASes against). Never-logged version directories — possibly
-    a concurrent writer's merge awaiting publish — are only removed
-    past the orphan grace window (see :func:`_gc_versions`); logged
-    tails GC immediately."""
+    The log rewrite and GC selection run under the commit lock (a
+    concurrent publish CASes against the log); the directory removal
+    itself runs after release (see :func:`_doomed_versions`).
+    Never-logged version directories — possibly a concurrent writer's
+    merge awaiting publish — are only removed past the orphan grace
+    window; logged tails GC immediately."""
     with _commit_lock(target_path):
         current = _current_version(target_path)
         if current is None:
@@ -701,7 +777,8 @@ def vacuum(target_path: str, retain: int = 1) -> list[str]:
         if current not in kept:
             kept = kept + [current]
         _write_atomic(target_path, _LOG, "\n".join(kept) + "\n")
-        return _gc_versions(target_path, set(kept), logged)
+        doomed = _doomed_versions(target_path, set(kept), logged)
+    return _remove_versions(target_path, doomed)
 
 
 def lake_stats(target_path: str) -> dict:
