@@ -97,6 +97,68 @@ def merge_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.read_merged(spark, target)
 
 
+def lake_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20: the optimistic-concurrency commit protocol, driver-checked.
+
+    Replays the exact lost-update interleaving deterministically:
+    writer A computes a merge of the EVEN event_ids (+100, ts+1h) from
+    the seed version; before A publishes, writer B runs a COMPLETE
+    merge of the ODD event_ids (+200, ts+1h) and commits. A's publish
+    must CAS-fail against the advanced ``_CURRENT``, retry off B's
+    version, and land — so the final table carries BOTH updates and a
+    publish history of exactly depth 3 (seed → B → A-retried). Without
+    the CAS (reference has a single-writer overwrite contract,
+    src/main_extractor.py:358; Delta solves this with its commit
+    protocol), A's pointer flip would silently discard B's merge and
+    the odd ids would hash-mismatch the oracle.
+
+    The injection point is the module's ``_publish`` seam — B's merge
+    runs between A's compute and A's publish, the narrowest window the
+    protocol must survive."""
+    events = _events_slim(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    target = os.path.join(_scratch(spark, "concurrent", sf_dir), "events")
+    incremental.merge_upsert(spark, target, events, "event_id", "ts", "value")
+
+    def upd(parity: int, bump: int) -> DataFrame:
+        return events.where(F.col("event_id") % 2 == parity).select(
+            "event_id",
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+            "user_id",
+            (F.col("value") + bump).alias("value"),
+        )
+
+    orig_publish = incremental._publish
+    state = {"fired": False}
+
+    def hooked(target_path, new_version, *args, **kwargs):
+        if not state["fired"]:
+            state["fired"] = True
+            incremental._publish = orig_publish
+            incremental.merge_upsert(
+                spark, target_path, upd(1, 200), "event_id", "ts", "value"
+            )
+        return orig_publish(target_path, new_version, *args, **kwargs)
+
+    incremental._publish = hooked
+    try:
+        incremental.merge_upsert(spark, target, upd(0, 100), "event_id", "ts", "value")
+    finally:
+        incremental._publish = orig_publish
+
+    depth = len(
+        incremental._published_history(
+            target, incremental._current_version(target)
+        )
+    )
+    return incremental.read_merged(spark, target).select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.lit(depth).cast("int").alias("publish_depth"),
+    )
+
+
 def backfill_partition_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: per-day backfill via dynamic partition overwrite.
 

@@ -1140,6 +1140,21 @@ _register(
 )
 
 _register(
+    "lake_concurrent_writers",
+    QuerySpec(
+        lake_queries.lake_concurrent_writers,
+        """
+        SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id,
+               round(value + CASE WHEN event_id % 2 = 0
+                                  THEN 100 ELSE 200 END, 2) AS value,
+               CAST(3 AS INT) AS publish_depth
+        FROM events
+        """,
+        ("write", "merge", "concurrency"),
+    ),
+)
+
+_register(
     "backfill_partition_replace",
     QuerySpec(
         lake_queries.backfill_partition_replace,
@@ -1946,6 +1961,124 @@ _register(
 # and touch rows checked green in r08 -- still green in the r08/r09
 # union even though they sit past slot 50 here.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    "dedup_minhash_lsh_xx",
+    "embedding_drift",
+    "funnel_conversion",
+    "gopher_rules",
+    "ivf_index_incremental",
+    "linear_attribution",
+    "luhn_scan",
+    "metric_anomalies",
+    "minhash_index_incremental",
+    "neardup_clusters",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
+    "reach_sketch_rollup",
+    "scd2_history",
+    "semantic_dedup",
+    "snapshot_diff",
+    "sort_by_name",
+    "spend_pacing",
+    "streaming_attribution_join",
+    "streaming_dim_enrich",
+    "streaming_frequency_cap",
+    "streaming_sessionize",
+    "streaming_sliding_insights",
+    "temperature_mixture",
+    "union_pages",
+    "zorder_roundtrip",
+    "merge_upsert_idempotent",
+    "cdc_apply",
+    "time_travel_read",
+    "time_travel_depth",
+    "merge_schema_evolution",
+    "lake_concurrent_writers",
+    "filter_agreement",
+    "lang_quality_calibration",
+    "asof_attribution",
+    "backfill_partition_replace",
+    "bigram_lm_score",
+    "bpe_encode_ids",
+    "bpe_encode_stats",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "bpe_vocab_incremental",
+    "bucketed_join_colocated",
+    "cms_grid_incremental",
+    "cms_heavy_hitters",
+    "compaction_roundtrip",
+    "contrastive_triplets",
+    "dedup_keep_best",
+    "embed_topk_bruteforce",
+    "embed_topk_int8",
+    "embed_topk_ivf_sq8",
+    "fim_transform",
+    "flight_window_rollup",
+    "frequency_cap",
+    "fuzzy_name_join",
+    "jsonl_corpus_ingest",
+    "mmr_diversify",
+    "nb_quality_score",
+    "neardup_clusters_star",
+    "novelty_profile",
+    "perplexity_buckets",
+    "pmi_collocations",
+    "rag_retrieve",
+    "rare_token_scrub",
+    "semantic_dedup_ivf",
+    "sessionize_events",
+    "sessionize_native",
+    "shard_assign",
+    "skew_salted_agg",
+    "streaming_rare_token_scrub",
+    "token_budget_plan",
+    "url_domain_filter",
+    "weighted_sample",
+    "agg_percentiles",
+    "anti_join_missing",
+    "api_pages_ingest",
+    "bm25_retrieve",
+    "broadcast_dim_join",
+    "chunk_documents",
+    "collect_list_nest",
+    "derived_ratio_metrics",
+    "distinct_ids",
+    "doc_fingerprint",
+    "domain_pagerank",
+    "embed_topk_binary",
+    "filter_time_range",
+    "filter_updated_since",
+    "fn_actid_norm",
+    "fn_boolean_coerce",
+    "fn_budget_exclusion",
+    "fn_clamp_start_time",
+    "fn_numeric_autocast",
+    "fn_parse_datetime",
+    "fn_positive_amount",
+    "fn_spend_cap",
+    "fn_string_collection",
+    "hierarchy_flat",
+    "hybrid_retrieve_rrf",
+    "lang_id",
+    "latest_snapshot_window",
+    "mixture_sample",
+    "multimodal_features",
+    "multimodal_resize",
+    "per_user_frequency",
+    "pii_redact",
+    "pivot_action_metrics",
+    "postings_index_incremental",
+    "quality_score",
+    "repetition_stats",
+    "sanitize_dynamic_json",
+    "scan_project",
+    "semi_join_lookup",
+    "split_summary",
+    "streaming_daily_insights",
+    "streaming_json_sanitize",
+    "text_stats",
+    "token_counts",
+    "top_k",
     "agg_action_breakdown",
     "agg_action_type",
     "agg_reach_frequency",
@@ -1996,124 +2129,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embed_neardup_pairs",
     "embed_topk_ivf",
     "embed_topk_lsh",
-    "dedup_minhash_lsh_xx",
-    "embedding_drift",
-    "funnel_conversion",
-    "gopher_rules",
-    "ivf_index_incremental",
-    "linear_attribution",
-    "luhn_scan",
-    "metric_anomalies",
-    "minhash_index_incremental",
-    "neardup_clusters",
-    "ngram_jaccard_pairs",
-    "pack_sequences",
-    "reach_sketch_rollup",
-    "scd2_history",
-    "semantic_dedup",
-    "snapshot_diff",
-    "sort_by_name",
-    "spend_pacing",
-    "streaming_attribution_join",
-    "streaming_dim_enrich",
-    "streaming_frequency_cap",
-    "streaming_sessionize",
-    "streaming_sliding_insights",
-    "temperature_mixture",
-    "union_pages",
-    "zorder_roundtrip",
-    "asof_attribution",
-    "backfill_partition_replace",
-    "bigram_lm_score",
-    "bpe_encode_ids",
-    "bpe_encode_stats",
-    "bpe_pair_counts",
-    "bpe_train_merges",
-    "bpe_vocab_incremental",
-    "bucketed_join_colocated",
-    "cms_grid_incremental",
-    "cms_heavy_hitters",
-    "compaction_roundtrip",
-    "contrastive_triplets",
-    "dedup_keep_best",
-    "embed_topk_bruteforce",
-    "embed_topk_int8",
-    "embed_topk_ivf_sq8",
-    "filter_agreement",
-    "fim_transform",
-    "flight_window_rollup",
-    "frequency_cap",
-    "fuzzy_name_join",
-    "jsonl_corpus_ingest",
-    "lang_quality_calibration",
-    "mmr_diversify",
-    "nb_quality_score",
-    "neardup_clusters_star",
-    "novelty_profile",
-    "perplexity_buckets",
-    "pmi_collocations",
-    "rag_retrieve",
-    "rare_token_scrub",
-    "semantic_dedup_ivf",
-    "sessionize_events",
-    "sessionize_native",
-    "shard_assign",
-    "skew_salted_agg",
-    "streaming_rare_token_scrub",
-    "token_budget_plan",
-    "url_domain_filter",
-    "weighted_sample",
-    "agg_percentiles",
-    "anti_join_missing",
-    "api_pages_ingest",
-    "bm25_retrieve",
-    "broadcast_dim_join",
-    "cdc_apply",
-    "chunk_documents",
-    "collect_list_nest",
-    "derived_ratio_metrics",
-    "distinct_ids",
-    "doc_fingerprint",
-    "domain_pagerank",
-    "embed_topk_binary",
-    "filter_time_range",
-    "filter_updated_since",
-    "fn_actid_norm",
-    "fn_boolean_coerce",
-    "fn_budget_exclusion",
-    "fn_clamp_start_time",
-    "fn_numeric_autocast",
-    "fn_parse_datetime",
-    "fn_positive_amount",
-    "fn_spend_cap",
-    "fn_string_collection",
-    "hierarchy_flat",
-    "hybrid_retrieve_rrf",
-    "lang_id",
-    "latest_snapshot_window",
-    "merge_schema_evolution",
-    "merge_upsert_idempotent",
-    "mixture_sample",
-    "multimodal_features",
-    "multimodal_resize",
-    "per_user_frequency",
-    "pii_redact",
-    "pivot_action_metrics",
-    "postings_index_incremental",
-    "quality_score",
-    "repetition_stats",
-    "sanitize_dynamic_json",
-    "scan_project",
-    "semi_join_lookup",
-    "split_summary",
-    "streaming_daily_insights",
-    "streaming_json_sanitize",
-    "text_stats",
-    "time_travel_depth",
-    "time_travel_read",
-    "token_counts",
-    "top_k",
-
 )
 
 

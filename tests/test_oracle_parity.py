@@ -82,7 +82,15 @@ def test_driver_priority_tuple_invariants():
     unknown = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
     assert not unknown, f"priority names missing from registry: {unknown}"
     window = _DRIVER_PRIORITY[:50]
-    no_oracle = [n for n in window if REGISTRY[n].oracle is None]
+    # rows-only rows get a weaker driver check, so they should occupy
+    # window slots only when ROTATION demands it (every name must
+    # appear in the union of recent correctness files) — and only the
+    # two by-design rows-only entries qualify (engine-internal HLL
+    # bytes / xxhash64 not reproducible in DuckDB; both pytest-pinned)
+    rows_only_ok = {"reach_sketch_rollup", "dedup_minhash_lsh_xx"}
+    no_oracle = [
+        n for n in window if REGISTRY[n].oracle is None and n not in rows_only_ok
+    ]
     assert not no_oracle, f"rows-only entries in the 50-slot window: {no_oracle}"
 
 
