@@ -589,7 +589,10 @@ def ngram_jaccard_pairs(corpus: DataFrame, mod: int = 50) -> DataFrame:
     # without a cut the shingle explode + distinct runs four times.
     # LAZY localCheckpoint (eager=False): evaluated once at the first
     # action, reused by all consumers — and plan BUILD stays job-free,
-    # which the lazy-SQL-view registration contract requires.
+    # which the lazy-SQL-view registration contract requires. Cluster
+    # trade-off: localCheckpoint partitions are executor-local (no
+    # recompute path on executor loss) — see the fuller note in
+    # webgraph.pagerank_rank; prefer checkpoint() under executor churn.
     hs = (
         _exploded_shingle_hashes(corpus)
         .select("doc_id", (F.col("doc_id") % mod).alias("bucket"), "h60")

@@ -126,6 +126,13 @@ _AC_CHR = (
 )
 
 
+# decode-side cap on declared SOF dimensions (64M pixels ≈ 8Kx8K):
+# planes allocate ~24 bytes/pixel, so this bounds a decode at ~1.5 GB
+# worst case instead of letting a forged 65535x65535 header demand
+# ~100 GB before a single entropy bit is validated
+_MAX_PIXELS = 64 << 20
+
+
 def _zigzag_order() -> list[tuple[int, int]]:
     """The spec's zigzag scan as (row, col) pairs, GENERATED (diagonal
     walk, direction alternating by diagonal parity) rather than typed
@@ -438,6 +445,13 @@ def _decode_jpeg_strict(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"unsupported JPEG precision {prec}")
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported component count {ncomp}")
+            if width == 0 or height == 0 or width * height > _MAX_PIXELS:
+                # bound BEFORE any plane allocation: SOF dims are
+                # untrusted (a 64KiB truncated stream can declare
+                # 65535x65535 → ~100 GB of planes), and a MemoryError
+                # there would escape the ValueError remap and kill the
+                # whole Arrow batch
+                raise ValueError(f"implausible JPEG dimensions {width}x{height}")
             for i in range(ncomp):  # components start after the 6-byte header
                 cid, samp, qtid = body[6 + 3 * i : 9 + 3 * i]
                 if samp != 0x11:

@@ -136,6 +136,18 @@ def pagerank_rank(
         # vector to one evaluated node instead — plan size stays linear
         # in iters, and the module's one-action laziness contract holds
         # (eager=False defers materialization to the final action).
+        # Cluster trade-off (localCheckpoint, not checkpoint): the
+        # pinned partitions live only on executors, so an executor
+        # loss mid-job is unrecoverable — the standard iterative-algo
+        # choice (GraphX defaults the same way) because a reliable
+        # checkpoint costs a full HDFS write per iteration; flip to
+        # ``checkpoint()`` + ``spark.sparkContext.setCheckpointDir``
+        # where executor churn is expected. Superseded iterations'
+        # blocks are not pinned forever: materializing iteration N's
+        # checkpoint truncates its lineage, dropping the last
+        # reference to iteration N-1's RDD, which the ContextCleaner
+        # then unpersists — storage holds O(1) rank vectors steady
+        # state, not O(iters).
         pr = pr.localCheckpoint(eager=False)
         # Dangling mass: rank sitting on nodes with NO out-edges. One
         # scalar aggregate per iteration, broadcast back into the

@@ -195,9 +195,18 @@ def spark_timings(sf_dir: str, names: list[str]) -> dict[str, float | None]:
             out[name] = None
             _progress(f"spark {name:40s} DNF ({type(exc).__name__})")
     for _ in range(2):
-        for name in ok:
+        for name in list(ok):
             t0 = time.perf_counter()
-            mat(REGISTRY[name].fn(spark, sf_dir))
+            try:
+                mat(REGISTRY[name].fn(spark, sf_dir))
+            except Exception as exc:
+                # a warm-pass survivor can still die in a timed round
+                # (OOM at larger reps); record the DNF and keep the
+                # remaining measurements instead of losing the run
+                out[name] = None
+                ok.remove(name)
+                _progress(f"spark {name:40s} DNF-timed ({type(exc).__name__})")
+                continue
             el = time.perf_counter() - t0
             prev = out.get(name)
             out[name] = el if prev is None else min(prev, el)

@@ -477,7 +477,25 @@ def test_jpeg_codec_roundtrip_and_error_contract():
 
     good = _make_jpeg(16, 16)
     progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    for bad in (b"\xff\xd8junkjunkjunk", good[:40], good[:-20], progressive):
+    # forged SOF dims: a truncated-but-signed stream declaring
+    # 65535x65535 must raise ValueError from the dimension bound,
+    # BEFORE the ~100 GB plane allocation (a MemoryError would escape
+    # the ValueError remap and kill the whole Arrow batch)
+    import struct as _struct
+
+    sof_at = good.index(b"\xff\xc0") + 4  # marker + length
+    forged = (
+        good[: sof_at + 1]
+        + _struct.pack(">HH", 65535, 65535)
+        + good[sof_at + 5 :]
+    )
+    for bad in (
+        b"\xff\xd8junkjunkjunk",
+        good[:40],
+        good[:-20],
+        progressive,
+        forged,
+    ):
         with pytest.raises(ValueError):
             JC.decode_jpeg(bad)
     with pytest.raises(ValueError):
