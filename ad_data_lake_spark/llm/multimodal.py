@@ -9,9 +9,11 @@ resize → re-encode path via the vendored pure-stdlib codecs
 (``png_codec`` — zlib inflate, scanline unfilter, deterministic
 re-encode; ``jpeg_codec`` — Huffman entropy decode, dequantize, IDCT;
 ``gif_codec`` — LZW decode over the color table; ``bmp_codec`` —
-BGR(A) row unpack), all exercised in CI; Pillow, when importable,
-takes over the same call sites and widens coverage to WebP (the one
-remaining guarded format). Non-decodable payloads
+BGR(A) row unpack; ``webp_codec`` — VP8L prefix-code + transform
+decode), all exercised in CI, covering every format the reference
+uploader accepts; Pillow, when importable, takes over the same call
+sites and adds lossy-WebP (VP8) — the one remaining guarded variant.
+Non-decodable payloads
 (audio/video, unrecognized bytes) fall back to the deterministic
 md5-derived stand-ins so the Arrow plumbing — the binary column, the
 metadata struct, the mapInPandas batch shape, the output schema, the
@@ -74,6 +76,10 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
         w = int.from_bytes(payload[18:22], "little", signed=True)
         h = int.from_bytes(payload[22:26], "little", signed=True)
         return (w, abs(h)) if w > 0 and h != 0 else None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from ad_data_lake_spark.llm import webp_codec
+
+        return webp_codec.parse_webp_dims(payload)
     if payload[:2] == b"\xff\xd8":  # JPEG: scan segments for a SOF marker
         i = 2
         while i + 9 <= len(payload):
@@ -96,25 +102,32 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
 def decode_asset_bytes(payload: bytes, mime: str):
     """Decode an image payload — Pillow when importable (any image
     format Pillow knows), else the vendored pure-stdlib codecs (PNG:
-    8-bit RGB/RGBA; JPEG: baseline sequential 4:4:4/grayscale), so the
-    REAL decode branch runs in CI for BOTH of the reference uploader's
-    primary formats (reference pages/2_Creative_Uploader.py:25 lists
-    jpg/jpeg first, then png). Returns a Pillow image or a
-    ``(width, height, channels, pixels)`` tuple respectively.
-    Audio/video decode would gate on soundfile/av the same way and
-    currently raises ``NotImplementedError``."""
+    8-bit RGB/RGBA; JPEG: baseline sequential 4:4:4/grayscale; GIF;
+    BMP; lossless WebP/VP8L), so the REAL decode branch runs in CI for
+    ALL FIVE of the reference uploader's accepted formats (reference
+    pages/2_Creative_Uploader.py:25 lists jpg/jpeg/png/gif/bmp/webp).
+    Returns a Pillow image or a ``(width, height, channels, pixels)``
+    tuple respectively. Audio/video decode would gate on soundfile/av
+    the same way and currently raises ``NotImplementedError``."""
     if mime.startswith("image/"):
         if HAVE_IMAGE_DECODER:
             import io
 
             return Image.open(io.BytesIO(payload))
-        from ad_data_lake_spark.llm import bmp_codec, gif_codec, jpeg_codec, png_codec
+        from ad_data_lake_spark.llm import (
+            bmp_codec,
+            gif_codec,
+            jpeg_codec,
+            png_codec,
+            webp_codec,
+        )
 
         for decode in (
             png_codec.decode_png,
             jpeg_codec.decode_jpeg,
             gif_codec.decode_gif,
             bmp_codec.decode_bmp,
+            webp_codec.decode_webp,
         ):
             try:
                 return decode(payload)
@@ -122,9 +135,9 @@ def decode_asset_bytes(payload: bytes, mime: str):
                 continue  # not this format: try the next vendored codec
     raise NotImplementedError(
         "no decoder for this payload in this container (PNG/baseline-"
-        "JPEG/GIF/BMP decode via the vendored codecs; WebP and "
-        "audio/video need Pillow/soundfile/av); use fake_features() "
-        "(deterministic stand-in)"
+        "JPEG/GIF/BMP/lossless-WebP decode via the vendored codecs; "
+        "lossy WebP and audio/video need Pillow/soundfile/av); use "
+        "fake_features() (deterministic stand-in)"
     )
 
 
@@ -280,9 +293,9 @@ def resize_assets(
                 resized_md5 = None
                 if real_decode and dims is not None:
                     # real pixel path: Pillow when present, else the
-                    # vendored PNG/JPEG/GIF/BMP codecs; payloads none
-                    # can decode (e.g. WebP without Pillow) drop to
-                    # the stand-in.
+                    # vendored PNG/JPEG/GIF/BMP/VP8L-WebP codecs;
+                    # payloads none can decode (e.g. lossy WebP
+                    # without Pillow) drop to the stand-in.
                     # ValueError = corrupt-but-signed payload (the codec
                     # maps zlib/struct/index errors onto it); OSError =
                     # Pillow's lazy-decode failures — one bad byte

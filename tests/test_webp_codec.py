@@ -1,0 +1,532 @@
+"""Vendored VP8L (lossless WebP) codec tests.
+
+The encoder only ever emits literal-only streams (that is all the CI
+fixtures need), so the decoder's transform / LZ77 / color-cache /
+meta-prefix paths are pinned here with hand-built bitstreams: each
+test FORWARD-applies a transform per the public WebP Lossless
+Bitstream Specification, writes the residual plane with the module's
+own plane writer, and asserts the decoder inverts it back to the
+original pixels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ad_data_lake_spark.llm import webp_codec as WC
+from ad_data_lake_spark.llm.webp_codec import (
+    _BitWriter,
+    _subsample_size,
+    _wrap_vp8l,
+    _write_literal_plane,
+    _write_prefix_code,
+    _write_symbol,
+)
+
+
+def _rand_argb(w: int, h: int, seed: int, opaque: bool = True) -> list[int]:
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (w * h, 4)).astype(np.int64)
+    if opaque:
+        px[:, 0] = 255
+    return [(a << 24) | (r << 16) | (g << 8) | b for a, r, g, b in px]
+
+
+def _argb_to_rgba(argb: list[int]) -> bytes:
+    out = bytearray()
+    for px in argb:
+        out += bytes(
+            ((px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF, (px >> 24) & 0xFF)
+        )
+    return bytes(out)
+
+
+def _header(bw: _BitWriter, w: int, h: int, alpha: int = 1) -> None:
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(alpha, 1)
+    bw.write(0, 3)
+
+
+def _sub_px(px: int, pred: int) -> int:
+    """Forward per-channel mod-256 subtract (the inverse of
+    _add_pixels)."""
+    return (
+        ((((px >> 24) - (pred >> 24)) & 0xFF) << 24)
+        | ((((px >> 16) - (pred >> 16)) & 0xFF) << 16)
+        | ((((px >> 8) - (pred >> 8)) & 0xFF) << 8)
+        | (((px - pred) & 0xFF))
+    )
+
+
+def test_roundtrip_and_determinism():
+    for w, h, ch in ((1, 1, 3), (8, 8, 3), (13, 9, 4), (64, 48, 3)):
+        rng = np.random.RandomState(w * h + ch)
+        px = rng.randint(0, 256, (h, w, ch)).astype(np.uint8).tobytes()
+        data = WC.encode_webp(px, w, h, ch)
+        assert WC.encode_webp(px, w, h, ch) == data  # deterministic
+        W, H, C, out = WC.decode_webp(data)
+        assert (W, H, C) == (w, h, ch)
+        assert out == px  # lossless: bit-exact
+        assert WC.parse_webp_dims(data) == (w, h)
+
+
+def test_error_contract():
+    good = WC.encode_webp(b"\x00" * 48, 4, 4, 3)
+    lossy = b"RIFF" + good[4:8] + b"WEBPVP8 " + b"\x00" * 24
+    for bad in (b"", b"RIFFxxxx", good[:16], good[:-4], lossy, b"\x89PNG\r\n"):
+        with pytest.raises(ValueError):
+            WC.decode_webp(bad)
+    with pytest.raises(ValueError):
+        WC.encode_webp(b"\x00" * 5, 2, 2, 3)  # wrong buffer size
+
+
+def test_distance_map_matches_spec_table():
+    """The generated close-pixel map must reproduce the spec's
+    published table (leading 56 entries hand-copied from the WebP
+    Lossless Bitstream Specification's distance-mapping section)."""
+    spec = [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+        (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+        (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+        (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+        (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    ]
+    assert WC._DIST_MAP[: len(spec)] == spec
+    assert len(WC._DIST_MAP) == 120
+    assert len(set(WC._DIST_MAP)) == 120
+
+
+def _decode(vp8l_bits: _BitWriter):
+    return WC.decode_webp(_wrap_vp8l(vp8l_bits.finish()))
+
+
+def test_subtract_green_transform():
+    w, h = 9, 5
+    argb = _rand_argb(w, h, 7)
+    # forward: r -= g, b -= g (mod 256)
+    resid = []
+    for px in argb:
+        g = (px >> 8) & 0xFF
+        r = ((px >> 16) - g) & 0xFF
+        b = (px - g) & 0xFF
+        resid.append((px & 0xFF00FF00) | (r << 16) | b)
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(WC._T_SUBTRACT_GREEN, 2)
+    bw.write(0, 1)  # no more transforms
+    _write_literal_plane(bw, resid, is_main=True)
+    W, H, C, out = _decode(bw)
+    assert (W, H, C) == (w, h, 4)
+    assert out == _argb_to_rgba(argb)
+
+
+@pytest.mark.parametrize("mode", [1, 2, 5, 7, 11, 12, 13])
+def test_predictor_transform_single_mode(mode):
+    """Forward-predict with one mode everywhere (edge rules: pixel 0
+    is opaque black, top row predicts Left, left column predicts Top),
+    then assert the decoder's inverse reproduces the source."""
+    w, h, size_bits = 11, 6, 2
+    argb = _rand_argb(w, h, 100 + mode)
+    resid = [0] * (w * h)
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = argb[pos - 1]
+        elif x == 0:
+            pred = argb[pos - w]
+        else:
+            pred = WC._predict(mode, argb, pos, w)
+        resid[pos] = _sub_px(argb[pos], pred)
+    sub_w = _subsample_size(w, size_bits)
+    sub_h = _subsample_size(h, size_bits)
+    sub = [0xFF000000 | (mode << 8)] * (sub_w * sub_h)
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(WC._T_PREDICTOR, 2)
+    bw.write(size_bits - 2, 3)
+    _write_literal_plane(bw, sub, is_main=False)
+    bw.write(0, 1)
+    _write_literal_plane(bw, resid, is_main=True)
+    _, _, _, out = _decode(bw)
+    assert out == _argb_to_rgba(argb)
+
+
+def test_predictor_transform_mixed_blocks_and_right_edge():
+    """Per-block modes differ, and width is NOT a multiple of the
+    block size so the top-right neighbor of the rightmost column wraps
+    to the current row's first pixel (contiguous scan order)."""
+    w, h, size_bits = 10, 7, 2
+    argb = _rand_argb(w, h, 4242)
+    sub_w = _subsample_size(w, size_bits)
+    sub_h = _subsample_size(h, size_bits)
+    rng = np.random.RandomState(5)
+    modes = rng.randint(0, 14, sub_w * sub_h)
+    resid = [0] * (w * h)
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = argb[pos - 1]
+        elif x == 0:
+            pred = argb[pos - w]
+        else:
+            m = int(modes[(y >> size_bits) * sub_w + (x >> size_bits)])
+            pred = WC._predict(m, argb, pos, w)
+        resid[pos] = _sub_px(argb[pos], pred)
+    sub = [0xFF000000 | (int(m) << 8) for m in modes]
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(WC._T_PREDICTOR, 2)
+    bw.write(size_bits - 2, 3)
+    _write_literal_plane(bw, sub, is_main=False)
+    bw.write(0, 1)
+    _write_literal_plane(bw, resid, is_main=True)
+    _, _, _, out = _decode(bw)
+    assert out == _argb_to_rgba(argb)
+
+
+def test_color_transform():
+    """Forward color transform with per-block coefficients: red' =
+    red - delta(g2r, green); blue' = blue - delta(g2b, green) -
+    delta(r2b, red) with red the ORIGINAL value (the decoder
+    reconstructs red before using it); decoder must invert."""
+    w, h, size_bits = 9, 6, 2
+    argb = _rand_argb(w, h, 77)
+    sub_w = _subsample_size(w, size_bits)
+    sub_h = _subsample_size(h, size_bits)
+    rng = np.random.RandomState(9)
+    ctes = rng.randint(0, 256, (sub_w * sub_h, 3))  # g2r, g2b, r2b
+    resid = []
+    for pos, px in enumerate(argb):
+        x, y = pos % w, pos // w
+        g2r, g2b, r2b = (int(v) for v in ctes[(y >> size_bits) * sub_w + (x >> size_bits)])
+        green = (px >> 8) & 0xFF
+        red = (px >> 16) & 0xFF
+        blue = px & 0xFF
+        red_s = (red - WC._ct_delta(g2r, green)) & 0xFF
+        blue_s = (blue - WC._ct_delta(g2b, green) - WC._ct_delta(r2b, red)) & 0xFF
+        resid.append((px & 0xFF00FF00) | (red_s << 16) | blue_s)
+    # cte pixel: blue channel = g2r, green = g2b, red = r2b
+    sub = [
+        0xFF000000 | (int(r2b) << 16) | (int(g2b) << 8) | int(g2r)
+        for g2r, g2b, r2b in ctes
+    ]
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(WC._T_COLOR, 2)
+    bw.write(size_bits - 2, 3)
+    _write_literal_plane(bw, sub, is_main=False)
+    bw.write(0, 1)
+    _write_literal_plane(bw, resid, is_main=True)
+    _, _, _, out = _decode(bw)
+    assert out == _argb_to_rgba(argb)
+
+
+@pytest.mark.parametrize("n_colors", [2, 3, 12, 100])
+def test_color_indexing_transform(n_colors):
+    """Palette decode incl. sub-byte pixel bundling (1/2/4-bit indices
+    for small palettes) and the component-wise delta-coded palette."""
+    w, h = 13, 4
+    rng = np.random.RandomState(n_colors)
+    palette = [
+        (255 << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+        for r, g, b in rng.randint(0, 256, (n_colors, 3))
+    ]
+    idx = rng.randint(0, n_colors, w * h)
+    argb = [palette[i] for i in idx]
+
+    wbits = WC._index_width_bits(n_colors)
+    packed_w = _subsample_size(w, wbits)
+    per = 1 << wbits
+    bpp = 8 >> wbits
+    packed = []
+    for y in range(h):
+        for px_x in range(packed_w):
+            gbyte = 0
+            for k in range(per):
+                x = px_x * per + k
+                if x < w:
+                    gbyte |= int(idx[y * w + x]) << (k * bpp)
+            packed.append(0xFF000000 | (gbyte << 8))
+    # palette plane is delta-coded per channel
+    deltas, prev = [], 0
+    for p in palette:
+        deltas.append(_sub_px(p, prev))
+        prev = p
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(WC._T_COLOR_INDEX, 2)
+    bw.write(n_colors - 1, 8)
+    _write_literal_plane(bw, deltas, is_main=False)
+    bw.write(0, 1)
+    _write_literal_plane(bw, packed, is_main=True)
+    _, _, _, out = _decode(bw)
+    assert out == _argb_to_rgba(argb)
+
+
+def test_lz77_backref_and_color_cache():
+    """Hand-written stream: literal A, literal B, a backward reference
+    (length 3, 2D distance code 2 = one pixel left), then a color-cache
+    hit on A — decodes to [A, B, B, B, B, A]."""
+    w, h = 6, 1
+    A = 0xFF0A141E
+    B = 0xFF30405A
+    cache_bits = 4
+    idx_a = ((0x1E35A7BD * A) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # color cache present
+    bw.write(cache_bits, 4)
+    bw.write(0, 1)  # no meta-prefix image
+
+    cache_size = 1 << cache_bits
+    green_alpha = 256 + 24 + cache_size
+    g_freq = [0] * green_alpha
+    g_freq[(A >> 8) & 0xFF] += 1
+    g_freq[(B >> 8) & 0xFF] += 1
+    g_freq[256 + 2] += 1  # length prefix code 2 -> length 3
+    g_freq[256 + 24 + idx_a] += 1  # cache ref
+    g_codes = _write_prefix_code(bw, g_freq)
+    r_freq = [0] * 256
+    r_freq[(A >> 16) & 0xFF] += 1
+    r_freq[(B >> 16) & 0xFF] += 1
+    r_codes = _write_prefix_code(bw, r_freq)
+    b_freq = [0] * 256
+    b_freq[A & 0xFF] += 1
+    b_freq[B & 0xFF] += 1
+    b_codes = _write_prefix_code(bw, b_freq)
+    a_freq = [0] * 256
+    a_freq[0xFF] = 2
+    a_codes = _write_prefix_code(bw, a_freq)
+    d_freq = [0] * 40
+    d_freq[1] = 1  # distance prefix code 1 -> value 2 -> map (1,0) -> dist 1
+    d_codes = _write_prefix_code(bw, d_freq)
+
+    def emit(codes, sym):
+        c, ln = codes[sym]
+        if ln:
+            _write_symbol(bw, c, ln)
+
+    for px in (A, B):  # two literals
+        emit(g_codes, (px >> 8) & 0xFF)
+        emit(r_codes, (px >> 16) & 0xFF)
+        emit(b_codes, px & 0xFF)
+        emit(a_codes, (px >> 24) & 0xFF)
+    emit(g_codes, 256 + 2)  # backref, length 3 (no extra bits)
+    emit(d_codes, 1)  # distance code 2 via prefix value (no extra bits)
+    emit(g_codes, 256 + 24 + idx_a)  # cache hit on A
+
+    W, H, C, out = _decode(bw)
+    assert (W, H, C) == (w, h, 4)
+    assert out == _argb_to_rgba([A, B, B, B, B, A])
+
+
+def test_lz77_linear_distance_and_extra_bits():
+    """Backward reference with a >120 distance code (linear distance)
+    and prefix-coded extra bits on the length: 30x2 image, row 2 copies
+    row 1 (length 30 = code 8 + 3 extra bits, distance 30 = code 149)."""
+    w, h = 30, 2
+    row = _rand_argb(w, 1, 31)
+    argb = row + row
+
+    # length 30: code 8 gives offset (2+(8&1))<<3 = 24, +extra+1 -> extra=5
+    # distance 30 -> dist_code = 30+120 = 150 -> prefix code: value 150:
+    # code 13 covers (2+(13&1))<<5=96.. but compute via the module helper
+    def prefix_parts(v):
+        if v <= 4:
+            return v - 1, 0, 0
+        code = 4
+        while True:
+            extra = (code - 2) >> 1
+            offset = (2 + (code & 1)) << extra
+            if offset + 1 <= v <= offset + (1 << extra):
+                return code, v - offset - 1, extra
+            code += 1
+
+    lcode, lextra, lbits = prefix_parts(30)
+    dcode, dextra, dbits = prefix_parts(150)
+
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+
+    green_alpha = 256 + 24
+    g_freq = [0] * green_alpha
+    for px in row:
+        g_freq[(px >> 8) & 0xFF] += 1
+    g_freq[256 + lcode] += 1
+    g_codes = _write_prefix_code(bw, g_freq)
+    r_freq = [0] * 256
+    b_freq = [0] * 256
+    a_freq = [0] * 256
+    for px in row:
+        r_freq[(px >> 16) & 0xFF] += 1
+        b_freq[px & 0xFF] += 1
+        a_freq[(px >> 24) & 0xFF] += 1
+    r_codes = _write_prefix_code(bw, r_freq)
+    b_codes = _write_prefix_code(bw, b_freq)
+    a_codes = _write_prefix_code(bw, a_freq)
+    d_freq = [0] * 40
+    d_freq[dcode] = 1
+    d_codes = _write_prefix_code(bw, d_freq)
+
+    def emit(codes, sym):
+        c, ln = codes[sym]
+        if ln:
+            _write_symbol(bw, c, ln)
+
+    for px in row:
+        emit(g_codes, (px >> 8) & 0xFF)
+        emit(r_codes, (px >> 16) & 0xFF)
+        emit(b_codes, px & 0xFF)
+        emit(a_codes, (px >> 24) & 0xFF)
+    emit(g_codes, 256 + lcode)
+    bw.write(lextra, lbits)
+    emit(d_codes, dcode)
+    bw.write(dextra, dbits)
+
+    _, _, _, out = _decode(bw)
+    assert out == _argb_to_rgba(argb)
+
+
+def test_meta_prefix_image_two_groups():
+    """8x1 image partitioned into two 4px meta blocks whose prefix-code
+    groups decode DIFFERENT literals from the same bit patterns."""
+    w, h, hbits = 8, 1, 2
+    left = [0xFF010203] * 4
+    right = [0xFF707172] * 4
+    argb = left + right
+
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(1, 1)  # meta-prefix image present
+    bw.write(hbits - 2, 3)
+    # meta image: 2x1, group ids 0 and 1 encoded as (red<<8)|green
+    _write_literal_plane(bw, [0xFF000000, 0xFF000100], is_main=False)
+
+    def write_group(px):
+        g = [0] * (256 + 24)
+        g[(px >> 8) & 0xFF] = 1
+        gc = _write_prefix_code(bw, g)
+        r = [0] * 256
+        r[(px >> 16) & 0xFF] = 1
+        rc = _write_prefix_code(bw, r)
+        b = [0] * 256
+        b[px & 0xFF] = 1
+        bc = _write_prefix_code(bw, b)
+        a = [0] * 256
+        a[(px >> 24) & 0xFF] = 1
+        ac = _write_prefix_code(bw, a)
+        _write_prefix_code(bw, [1] + [0] * 39)
+        return gc, rc, bc, ac
+
+    groups = [write_group(left[0]), write_group(right[0])]
+    for pos in range(w):
+        gc, rc, bc, ac = groups[0 if pos < 4 else 1]
+        px = argb[pos]
+        for codes, val in (
+            (gc, (px >> 8) & 0xFF),
+            (rc, (px >> 16) & 0xFF),
+            (bc, px & 0xFF),
+            (ac, (px >> 24) & 0xFF),
+        ):
+            c, ln = codes[val]
+            if ln:
+                _write_symbol(bw, c, ln)
+
+    _, _, _, out = _decode(bw)
+    assert out == _argb_to_rgba(argb)
+
+
+def test_transform_chain_subtract_green_then_predictor():
+    """Two transforms in one stream, inverted in reverse bitstream
+    order: stream lists [PREDICTOR, SUBTRACT_GREEN], so decode applies
+    subtract-green inverse FIRST, then the predictor inverse."""
+    w, h, size_bits, mode = 8, 4, 2, 7
+    argb = _rand_argb(w, h, 55)
+    # forward order (encoder view): predictor first, then subtract-green
+    resid = [0] * (w * h)
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = argb[pos - 1]
+        elif x == 0:
+            pred = argb[pos - w]
+        else:
+            pred = WC._predict(mode, argb, pos, w)
+        resid[pos] = _sub_px(argb[pos], pred)
+    sg = []
+    for px in resid:
+        g = (px >> 8) & 0xFF
+        r = ((px >> 16) - g) & 0xFF
+        b = (px - g) & 0xFF
+        sg.append((px & 0xFF00FF00) | (r << 16) | b)
+    sub_w = _subsample_size(w, size_bits)
+    sub_h = _subsample_size(h, size_bits)
+    sub = [0xFF000000 | (mode << 8)] * (sub_w * sub_h)
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(WC._T_PREDICTOR, 2)
+    bw.write(size_bits - 2, 3)
+    _write_literal_plane(bw, sub, is_main=False)
+    bw.write(1, 1)
+    bw.write(WC._T_SUBTRACT_GREEN, 2)
+    bw.write(0, 1)
+    _write_literal_plane(bw, sg, is_main=True)
+    _, _, _, out = _decode(bw)
+    assert out == _argb_to_rgba(argb)
+
+
+def test_real_world_lossy_webp_is_cleanly_rejected():
+    """The cpython test-suite python.webp (VP8X + lossy VP8) must parse
+    dims from the container but refuse pixel decode with ValueError."""
+    import glob
+
+    hits = sorted(
+        glob.glob("/root/.pyenv/versions/*/lib/python*/test/**/python.webp")
+    ) + sorted(
+        glob.glob("/root/.pyenv/versions/*/lib/python*/test/*/python.webp")
+    )
+    if not hits:
+        pytest.skip("no real-world webp fixture on this host")
+    data = open(hits[0], "rb").read()
+    assert WC.parse_webp_dims(data) == (16, 16)
+    with pytest.raises(ValueError):
+        WC.decode_webp(data)
+
+
+def test_pillow_interop_when_available():
+    """When Pillow is importable it must decode our VP8L stream to the
+    same pixels (it isn't in this container; runs wherever it is)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.RandomState(3)
+    w, h = 20, 11
+    px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    data = WC.encode_webp(px.tobytes(), w, h, 3)
+    img = PIL.open(io.BytesIO(data)).convert("RGB")
+    assert (img.width, img.height) == (w, h)
+    assert img.tobytes() == px.tobytes()
