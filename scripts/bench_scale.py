@@ -222,12 +222,23 @@ def main() -> None:
     ap.add_argument("--queries", type=str, default=",".join(WEAK_ROWS))
     ap.add_argument("--memlimit", type=str, default="64GB")
     ap.add_argument("--timeout", type=float, default=180.0)
+    ap.add_argument(
+        "--spark-only",
+        action="store_true",
+        help="skip the DuckDB side entirely — for rows whose oracle is "
+        "engine-intractable at scale (unrolled-CTE oracles), where the "
+        "deliverable is Spark's wall-clock SLOPE, not a ratio",
+    )
     args = ap.parse_args()
     names = [q for q in args.queries.split(",") if q]
 
     sf_dir = build_fixture(args.rep)
     sf = round(0.1 * args.rep, 4)
-    duck = duckdb_timings(sf_dir, names, args.memlimit, args.timeout)
+    duck = (
+        {n: None for n in names}
+        if args.spark_only
+        else duckdb_timings(sf_dir, names, args.memlimit, args.timeout)
+    )
     spark = spark_timings(sf_dir, names)
 
     rows = []
@@ -251,10 +262,14 @@ def main() -> None:
     dnf = [n for n, d, s, _ in rows if d is None or s is None]
     td = sum(d for _, d, _ in both)
     ts = sum(s for _, _, s in both)
-    print(
-        f"\nAGGREGATE over {len(both)} rows (DNF excluded: {dnf or 'none'}): "
-        f"DuckDB {td:.1f}s, Spark {ts:.1f}s, ratio {ts / td:.2f}x"
-    )
+    if td > 0:
+        print(
+            f"\nAGGREGATE over {len(both)} rows (DNF excluded: {dnf or 'none'}): "
+            f"DuckDB {td:.1f}s, Spark {ts:.1f}s, ratio {ts / td:.2f}x"
+        )
+    else:  # --spark-only (or every oracle DNF'd): slope numbers only
+        ts_all = sum(s for _, _, s, _ in rows if s is not None)
+        print(f"\nSPARK-ONLY total over {len(rows)} rows: {ts_all:.1f}s")
     print(
         json.dumps(
             {
