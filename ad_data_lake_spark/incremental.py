@@ -63,6 +63,7 @@ the old full-rewrite + directory-swap path, kept as a fallback.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -75,6 +76,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ad_data_lake_spark.commit_protocol import (
+    COMMIT_KEY,
+    CommitState,
+    ConcurrentWriteError,
+    PreconditionFailed,
+    cas_publish,
+)
 from ad_data_lake_spark.operators.windows import last_wins_dedupe
 
 N_MERGE_BUCKETS = 8
@@ -107,12 +115,9 @@ MERGE_MAX_ATTEMPTS = 5
 _UNSET = object()
 
 
-class ConcurrentWriteError(RuntimeError):
-    """The table's ``_CURRENT`` advanced between a merge's base read
-    and its publish — committing would silently discard the other
-    writer's merge (the classic lost update). Callers re-run the merge
-    off the new current; ``merge_upsert``/``cdc_apply`` do so
-    automatically up to ``MERGE_MAX_ATTEMPTS``."""
+# ConcurrentWriteError is defined by the store-agnostic protocol
+# module and re-exported here (its historical home) — the file-backed
+# table and an object-store table raise the SAME class.
 
 
 def _pid_alive(pid: int) -> bool:
@@ -420,6 +425,72 @@ def _remove_versions(target_path: str, doomed: list[str]) -> list[str]:
     return doomed
 
 
+class _FileCommitStore:
+    """:class:`~ad_data_lake_spark.commit_protocol.ConditionalStore`
+    over the table directory's ``_CURRENT``/``_VERSIONS``/``_BUCKETS``
+    files. ``get`` composes them into the protocol's single commit
+    object (etag = content hash); ``put_if`` re-composes UNDER the
+    per-table commit lock, verifies the precondition, and decomposes
+    the new state back to the files in the crash-safe order (buckets →
+    log → pointer). The lock is this filesystem's stand-in for the
+    conditional-put a real object store provides server-side — the
+    publish logic above this adapter (``cas_publish``) is identical
+    for both, which is the point: swapping the backend swaps the
+    durability story, not the protocol.
+
+    A get() can run concurrently with a put_if's decomposed writes
+    only by skipping the lock — it doesn't: both take the lock, so
+    composed reads are never torn and etags always correspond to a
+    real committed state."""
+
+    def __init__(self, target_path: str):
+        self.target_path = target_path
+
+    def _compose(self) -> tuple[bytes, str] | None:
+        current = _current_version(self.target_path)
+        versions = _version_history(self.target_path)
+        if current is None and not versions:
+            return None  # fresh table: no commit object yet
+        state = CommitState(
+            tuple(versions), current, _stored_buckets(self.target_path)
+        )
+        data = state.to_bytes()
+        return data, hashlib.sha256(data).hexdigest()
+
+    def get(self, key: str) -> tuple[bytes, str] | None:
+        assert key == COMMIT_KEY
+        with _commit_lock(self.target_path):
+            return self._compose()
+
+    def put_if(
+        self,
+        key: str,
+        data: bytes,
+        *,
+        if_match: str | None = None,
+        if_none_match: bool = False,
+    ) -> str:
+        assert key == COMMIT_KEY
+        with _commit_lock(self.target_path):
+            cur = self._compose()
+            if if_none_match and cur is not None:
+                raise PreconditionFailed(f"{self.target_path}: already committed")
+            if if_match is not None and (cur is None or cur[1] != if_match):
+                raise PreconditionFailed(f"{self.target_path}: etag mismatch")
+            state = CommitState.from_bytes(data)
+            if (
+                state.n_buckets is not None
+                and _stored_buckets(self.target_path) != state.n_buckets
+            ):
+                _write_atomic(self.target_path, _NB, str(state.n_buckets))
+            _write_atomic(
+                self.target_path, _LOG, "\n".join(state.versions) + "\n"
+            )
+            if state.current is not None:
+                _write_atomic(self.target_path, _PTR, state.current)
+            return hashlib.sha256(data).hexdigest()
+
+
 def _publish(
     target_path: str,
     new_version: str,
@@ -432,47 +503,43 @@ def _publish(
     window (the newest ``retain`` versions — current plus ``retain-1``
     priors — stay readable via ``read_version``).
 
-    **Optimistic concurrency (the Delta commit protocol's CAS):** when
-    ``base_version`` is given, the whole commit runs under the table's
-    commit lock and first re-checks that ``_CURRENT`` still equals the
-    version this merge was computed FROM. If another writer published
-    in between, committing would silently discard that writer's merge
-    (lost update), so this raises :class:`ConcurrentWriteError` instead
-    and the caller recomputes off the new current. Two concurrent
-    merges therefore serialize: one commits, the other retries — no
-    version is ever silently lost.
+    **Optimistic concurrency (the Delta commit protocol's CAS):** the
+    commit runs through the store-agnostic protocol
+    (:func:`~ad_data_lake_spark.commit_protocol.cas_publish`) against
+    this table's :class:`_FileCommitStore`. When ``base_version`` is
+    given, the publish first re-checks that the current pointer still
+    equals the version this merge was computed FROM — if another
+    writer published in between, committing would silently discard
+    that writer's merge (lost update), so this raises
+    :class:`ConcurrentWriteError` instead and the caller recomputes
+    off the new current. Two concurrent merges therefore serialize:
+    one commits, the other retries — no version is ever silently
+    lost. The same publish code runs unchanged over an object store's
+    conditional-put (see commit_protocol's backend mapping); only the
+    store adapter differs.
 
-    Write order inside the critical section is buckets-sidecar → log →
-    pointer → GC-selection, so a crash at any boundary leaves the
-    table consistent: an unpointed log tail is just an orphaned
-    directory a later publish GCs, never a dangling pointer. The
-    history this publish extends is truncated at the CURRENT pointer
-    first, so a prior crash's never-published tail is dropped from the
-    log (and its directory GC'd below) instead of surviving as a
-    readable 'prior' ahead of the version it never superseded. The
-    ``rmtree`` of doomed versions runs AFTER the lock is released —
-    it is the only unbounded-cost step, and keeping it out of the
-    critical section keeps commits at a few metadata writes (so the
-    stale-lock age bound never fires on a healthy holder)."""
-    with _commit_lock(target_path):
-        current = _current_version(target_path)
-        if base_version is not _UNSET and current != base_version:
-            raise ConcurrentWriteError(
-                f"{target_path}: _CURRENT is {current!r}, but this merge "
-                f"was computed from {base_version!r} — another writer "
-                "published in between; recompute off the new current"
-            )
-        logged = set(_version_history(target_path))
-        history = [
-            v for v in _published_history(target_path, current) if v != new_version
-        ]
-        history.append(new_version)
-        kept = history[-max(1, retain):]
-        if n_buckets is not None and _stored_buckets(target_path) != n_buckets:
-            _write_atomic(target_path, _NB, str(n_buckets))
-        _write_atomic(target_path, _LOG, "\n".join(kept) + "\n")
-        _write_atomic(target_path, _PTR, new_version)
-        doomed = _doomed_versions(target_path, set(kept), logged | set(history))
+    Write order inside the adapter's critical section is
+    buckets-sidecar → log → pointer, so a crash at any boundary
+    leaves the table consistent: an unpointed log tail is just an
+    orphaned directory a later publish GCs, never a dangling pointer.
+    The history this publish extends is truncated at the CURRENT
+    pointer first, so a prior crash's never-published tail is dropped
+    from the log (and its directory GC'd below) instead of surviving
+    as a readable 'prior' ahead of the version it never superseded.
+    The ``rmtree`` of doomed versions runs AFTER the commit — it is
+    the only unbounded-cost step, and keeping it out of the critical
+    section keeps commits at a few metadata writes (so the stale-lock
+    age bound never fires on a healthy holder)."""
+    result = cas_publish(
+        _FileCommitStore(target_path),
+        new_version,
+        base_version=base_version,
+        retain=retain,
+        n_buckets=n_buckets,
+    )
+    doomed = _doomed_versions(
+        target_path, set(result.kept), set(result.logged)
+    )
     _remove_versions(target_path, doomed)
 
 
@@ -764,21 +831,31 @@ def vacuum(target_path: str, retain: int = 1) -> list[str]:
     Never-logged version directories — possibly a concurrent writer's
     merge awaiting publish — are only removed past the orphan grace
     window; logged tails GC immediately."""
-    with _commit_lock(target_path):
-        current = _current_version(target_path)
-        if current is None:
+    store = _FileCommitStore(target_path)
+    for _ in range(MERGE_MAX_ATTEMPTS):
+        got = store.get(COMMIT_KEY)
+        if got is None:
             raise ValueError(f"{target_path} is not a versioned (bucketed) table")
-        logged = set(_version_history(target_path))
+        state = CommitState.from_bytes(got[0])
+        if state.current is None:
+            raise ValueError(f"{target_path} is not a versioned (bucketed) table")
         # Truncate at the pointer BEFORE applying the retention window:
         # a crashed merge's unpointed log tail must be GC'd as the
         # orphan it is, never retained ahead of current as a 'prior'.
-        history = _published_history(target_path, current)
+        history = state.published()
         kept = history[-max(1, retain):]
-        if current not in kept:
-            kept = kept + [current]
-        _write_atomic(target_path, _LOG, "\n".join(kept) + "\n")
-        doomed = _doomed_versions(target_path, set(kept), logged)
-    return _remove_versions(target_path, doomed)
+        if state.current not in kept:
+            kept = kept + [state.current]
+        new_state = CommitState(tuple(kept), state.current, state.n_buckets)
+        try:
+            store.put_if(COMMIT_KEY, new_state.to_bytes(), if_match=got[1])
+        except PreconditionFailed:
+            continue  # a publish landed mid-vacuum: re-read, re-derive
+        doomed = _doomed_versions(target_path, set(kept), set(state.versions))
+        return _remove_versions(target_path, doomed)
+    raise ConcurrentWriteError(
+        f"{target_path}: vacuum lost {MERGE_MAX_ATTEMPTS} publish races"
+    )
 
 
 def lake_stats(target_path: str) -> dict:

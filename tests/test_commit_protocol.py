@@ -1,0 +1,190 @@
+"""Store-agnostic commit protocol (commit_protocol.py) — the seam that
+makes the versioned lake's publish run identically over a host-local
+filesystem (lock-emulated conditional-put) and an object store's
+native conditional-put. No Spark anywhere: the protocol is pure
+metadata."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from ad_data_lake_spark import incremental
+from ad_data_lake_spark.commit_protocol import (
+    COMMIT_KEY,
+    CommitState,
+    ConcurrentWriteError,
+    MemoryConditionalStore,
+    PreconditionFailed,
+    cas_publish,
+)
+
+
+def test_publish_sequence_and_retention():
+    store = MemoryConditionalStore()
+    for i in range(5):
+        res = cas_publish(store, f"v-{i:04d}", retain=3)
+        assert res.kept[-1] == f"v-{i:04d}"
+    state = CommitState.from_bytes(store.get(COMMIT_KEY)[0])
+    assert state.current == "v-0004"
+    assert list(state.versions) == ["v-0002", "v-0003", "v-0004"]
+    assert state.published() == ["v-0002", "v-0003", "v-0004"]
+
+
+def test_base_version_cas_rejects_stale_writer():
+    store = MemoryConditionalStore()
+    cas_publish(store, "v-0")
+    # A computes from v-0; B lands first; A must fail and retry off v-1
+    cas_publish(store, "v-b", base_version="v-0")
+    with pytest.raises(ConcurrentWriteError):
+        cas_publish(store, "v-a", base_version="v-0")
+    res = cas_publish(store, "v-a", base_version="v-b")  # recompute, retry
+    assert list(res.kept) == ["v-0", "v-b", "v-a"]
+
+
+def test_get_to_put_race_is_caught_by_the_etag():
+    """A writer can pass the base check and still lose to a publish
+    landing between its get and its put — the conditional-put itself
+    must catch that (the window the file backend closes with its lock
+    and an object store closes server-side)."""
+
+    class RacingStore(MemoryConditionalStore):
+        def __init__(self):
+            super().__init__()
+            self.fired = False
+
+        def get(self, key):
+            got = super().get(key)
+            if not self.fired and got is not None:
+                self.fired = True
+                cas_publish(self, "v-intruder")  # lands after the get
+            return got
+
+    store = RacingStore()
+    cas_publish(store, "v-0")
+    with pytest.raises(ConcurrentWriteError):
+        # base check passes (v-0 was current at get time); the
+        # conditional put must still refuse
+        cas_publish(store, "v-loser", base_version="v-0")
+    state = CommitState.from_bytes(store.get(COMMIT_KEY)[0])
+    assert state.current == "v-intruder"
+
+
+def test_first_write_create_race_single_winner():
+    class CreateRace(MemoryConditionalStore):
+        def __init__(self):
+            super().__init__()
+            self.fired = False
+
+        def get(self, key):
+            got = super().get(key)
+            if not self.fired and got is None:
+                self.fired = True
+                cas_publish(self, "v-first")  # another first-writer lands
+            return got
+
+    store = CreateRace()
+    with pytest.raises(ConcurrentWriteError):
+        cas_publish(store, "v-second", base_version=None)
+    state = CommitState.from_bytes(store.get(COMMIT_KEY)[0])
+    assert state.current == "v-first"
+
+
+def test_lock_free_multi_writer_hammer():
+    """8 threads x 10 publishes, NO table lock anywhere — only the
+    store's conditional-put (its internal mutex stands in for S3/GCS
+    server-side atomicity). Every publish must eventually land via the
+    read-current/recompute/retry loop; the final log is consistent."""
+    store = MemoryConditionalStore()
+    cas_publish(store, "v-seed")
+    landed = []
+    landed_lock = threading.Lock()
+
+    def writer(tid: int):
+        for i in range(10):
+            name = f"v-t{tid}i{i}"
+            while True:
+                got = store.get(COMMIT_KEY)
+                base = CommitState.from_bytes(got[0]).current
+                try:
+                    cas_publish(store, name, base_version=base, retain=100)
+                    break
+                except ConcurrentWriteError:
+                    continue
+            with landed_lock:
+                landed.append(name)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(landed) == 80
+    state = CommitState.from_bytes(store.get(COMMIT_KEY)[0])
+    # every landed publish is in the (untruncated, retain=100) log,
+    # exactly once, in a consistent order ending at the current pointer
+    assert len(state.versions) == 81  # seed + 80
+    assert len(set(state.versions)) == 81
+    assert state.current == state.versions[-1]
+    assert set(landed) == set(state.versions) - {"v-seed"}
+
+
+def test_crash_before_put_leaves_state_untouched():
+    store = MemoryConditionalStore()
+    cas_publish(store, "v-0")
+    before = store.get(COMMIT_KEY)
+    # a crashed writer = one that read state and never called put_if;
+    # there is nothing to clean up and nothing to break
+    assert store.get(COMMIT_KEY) == before
+
+
+def _script(store) -> list:
+    """A fixed interleave script returning observable outcomes — run
+    against both backends to prove behavioral equivalence."""
+    out = []
+    cas_publish(store, "v-0001", base_version=None, retain=2, n_buckets=8)
+    cas_publish(store, "v-0002", base_version="v-0001", retain=2)
+    try:
+        cas_publish(store, "v-0003", base_version="v-0001", retain=2)
+        out.append("stale-accepted")
+    except ConcurrentWriteError:
+        out.append("stale-rejected")
+    res = cas_publish(store, "v-0003", base_version="v-0002", retain=2)
+    out.append(tuple(res.kept))
+    state = CommitState.from_bytes(store.get(COMMIT_KEY)[0])
+    out.append((state.current, tuple(state.versions), state.n_buckets))
+    return out
+
+
+def test_file_and_memory_backends_are_equivalent(tmp_path):
+    """The SAME publish script produces the SAME observable commit
+    states over the in-memory conditional-put store and over the
+    file-layout adapter (lock-emulated conditional-put) — the property
+    that makes the backend swappable."""
+    mem = _script(MemoryConditionalStore())
+    target = str(tmp_path / "file_t")
+    os.makedirs(target)
+    fil = _script(incremental._FileCommitStore(target))
+    assert mem == fil
+    # and the file adapter actually decomposed to the on-disk layout
+    assert incremental._current_version(target) == "v-0003"
+    assert incremental._version_history(target) == ["v-0002", "v-0003"]
+    assert incremental._stored_buckets(target) == 8
+
+
+def test_file_store_etag_tracks_composed_state(tmp_path):
+    target = str(tmp_path / "etag_t")
+    os.makedirs(target)
+    store = incremental._FileCommitStore(target)
+    assert store.get(COMMIT_KEY) is None
+    cas_publish(store, "v-0001", base_version=None)
+    data1, etag1 = store.get(COMMIT_KEY)
+    # stale etag refuses
+    cas_publish(store, "v-0002", base_version="v-0001")
+    with pytest.raises(PreconditionFailed):
+        store.put_if(COMMIT_KEY, data1, if_match=etag1)
+    # an out-of-band file touch (e.g. legacy tooling) changes the etag
+    data2, etag2 = store.get(COMMIT_KEY)
+    assert etag2 != etag1

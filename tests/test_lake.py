@@ -1194,7 +1194,9 @@ def test_commit_lock_churn_across_processes(tmp_path):
                     os.utime(lock_path, (old, old))
                 except FileExistsError:
                     pass
-            with inc._commit_lock(target, timeout=30.0):
+            # generous timeout: this host may be running a parallel
+            # Spark bench; a slow acquisition is not a protocol bug
+            with inc._commit_lock(target, timeout=120.0):
                 with open(counter) as f:
                     n = int(f.read().strip())
                 time.sleep(0.002)
@@ -1212,7 +1214,7 @@ def test_commit_lock_churn_across_processes(tmp_path):
         for _ in range(4)
     ]
     for p in procs:
-        out, err = p.communicate(timeout=120)
+        out, err = p.communicate(timeout=300)
         assert p.returncode == 0, err.decode()
         assert out.decode().strip() == "OK"
     with open(counter) as f:
