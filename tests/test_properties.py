@@ -291,3 +291,138 @@ def test_arrow_tf_kernel_tolerates_duplicate_doc_ids():
         (r.doc_id, r.token, r.tf, r.dl) for r in out.itertuples(index=False)
     }
     assert rows == {(7, "a", 2, 3), (7, "b", 1, 3), (7, "c", 1, 1), (8, "a", 1, 1)}
+
+
+@given(
+    st.integers(min_value=1, max_value=11),
+    st.integers(min_value=1, max_value=9),
+    st.sampled_from([3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_webp_roundtrip_property(w, h, channels, seed):
+    """VP8L is lossless: ANY image round-trips encode→decode bit-exactly,
+    and the encoder is deterministic."""
+    import numpy as np
+
+    from ad_data_lake_spark.llm import webp_codec as WC
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h, w, channels)).astype(np.uint8).tobytes()
+    data = WC.encode_webp(px, w, h, channels)
+    assert WC.encode_webp(px, w, h, channels) == data
+    W, H, C, out = WC.decode_webp(data)
+    assert (W, H, C, out) == (w, h, channels, px)
+    assert WC.parse_webp_dims(data) == (w, h)
+
+
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.integers(min_value=0, max_value=255),
+    st.data(),
+)
+@settings(max_examples=80, deadline=None)
+def test_webp_corruption_never_escapes_valueerror(seed, flip_to, data_st):
+    """The batch-safety contract as a property: flip ONE byte anywhere
+    in a valid WebP stream and decode either succeeds (benign byte —
+    e.g. RIFF size padding) or raises ValueError. Any OTHER exception
+    (KeyError, IndexError, struct.error, MemoryError, infinite loop)
+    would kill a whole Arrow batch in resize_assets."""
+    import numpy as np
+
+    from ad_data_lake_spark.llm import webp_codec as WC
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8).tobytes()
+    good = bytearray(WC.encode_webp(px, 7, 5, 3))
+    pos = data_st.draw(st.integers(min_value=0, max_value=len(good) - 1))
+    good[pos] = flip_to
+    try:
+        W, H, C, out = WC.decode_webp(bytes(good))
+        assert 1 <= W <= 16384 and 1 <= H <= 16384 and C in (3, 4)
+        assert len(out) == W * H * C
+    except ValueError:
+        pass  # the contract: ValueError or a well-formed result, nothing else
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_lock_token_parse_never_raises(raw):
+    """Arbitrary lock-file content parses to a (host, pid) pair without
+    raising — garbage is treated as a foreign holder (never pid-broken)."""
+    from ad_data_lake_spark.incremental import _parse_lock_token
+
+    host, pid = _parse_lock_token(raw)
+    assert isinstance(host, str) and isinstance(pid, int)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("publish"), st.booleans()),  # stale_base?
+            st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=4)),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=60, deadline=None)
+def test_commit_protocol_invariants_under_random_schedules(ops, retain):
+    """Any sequence of publishes (some deliberately stale-based) and
+    vacuums preserves the commit-state invariants: versions unique,
+    current is the log's last entry, log length bounded by the largest
+    retention used, and a stale-based publish NEVER lands."""
+    from ad_data_lake_spark.commit_protocol import (
+        COMMIT_KEY,
+        CommitState,
+        ConcurrentWriteError,
+        MemoryConditionalStore,
+        PreconditionFailed,
+        cas_publish,
+    )
+
+    store = MemoryConditionalStore()
+    current = None
+    seq = 0
+    max_retain = retain
+    for op in ops:
+        if op[0] == "publish":
+            stale = op[1] and current is not None
+            base = "v-stale-base" if stale else current
+            name = f"v-{seq:04d}"
+            try:
+                cas_publish(store, name, base_version=base, retain=retain)
+                assert not stale, "stale-based publish landed"
+                current = name
+                seq += 1
+            except ConcurrentWriteError:
+                assert stale, "fresh-based publish was rejected"
+        else:
+            got = store.get(COMMIT_KEY)
+            if got is None:
+                continue
+            state = CommitState.from_bytes(got[0])
+            keep = state.published()[-op[1]:]
+            if state.current is not None and state.current not in keep:
+                keep = keep + [state.current]
+            try:
+                store.put_if(
+                    COMMIT_KEY,
+                    CommitState(
+                        tuple(keep), state.current, state.n_buckets
+                    ).to_bytes(),
+                    if_match=got[1],
+                )
+            except PreconditionFailed:
+                pass
+            max_retain = max(max_retain, op[1])
+        got = store.get(COMMIT_KEY)
+        if got is not None:
+            state = CommitState.from_bytes(got[0])
+            assert len(set(state.versions)) == len(state.versions)
+            assert state.current == (
+                state.versions[-1] if state.versions else None
+            )
+            assert len(state.versions) <= max(max_retain, retain) + 1
+            assert state.current == current
