@@ -826,7 +826,9 @@ def streaming_rare_token_scrub(spark, sf_dir: str) -> DataFrame:
     docs = plant_rare_handles(load_table(spark, "documents", sf_dir))
     vset = scrub_vocab_set(docs)
     src = os.path.join(scratch_dir(spark, "scrub-src", sf_dir), "docs")
-    docs.write.mode("overwrite").parquet(src)
+    # multi-file stream-source fixture (see lake_queries._stream_src_write):
+    # per-batch parallelism is per-file for a file source
+    docs.repartition(16).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(docs.schema).parquet(src)
     out = stream.mapInPandas(scrub_batches_fn(vset), SCRUB_SCHEMA)
     return run_available_now(

@@ -185,6 +185,19 @@ def backfill_partition_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _stream_src_write(df: DataFrame, src: str, n_files: int = 16) -> None:
+    """Write a stream-source fixture as MULTIPLE parquet files. A real
+    stream source lands many files (one per upstream writer task per
+    trigger); the single-file write these fixtures used to do is the
+    one-partition trap in stream form — every micro-batch ran 1-2
+    tasks regardless of cores, which billed compute-bound rows (the
+    sanitize chain) at 1/16th of the machine. File-source parallelism
+    is per-file, so n_files bounds per-batch parallelism exactly the
+    way upstream writer parallelism does in production."""
+    df.repartition(n_files).write.mode("overwrite").parquet(src)
+
+
 def streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T4: Structured Streaming daily insights with late/duplicate
     handling.
@@ -198,7 +211,7 @@ def streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events_slim(spark, sf_dir)
     src = os.path.join(_scratch(spark, "stream-src", sf_dir), "events")
     dup = events.where(F.col("event_id") % 10 == 0)
-    events.unionByName(dup).write.mode("overwrite").parquet(src)
+    _stream_src_write(events.unionByName(dup), src)
     stream = streaming_daily_insights(spark, src, events.schema)
     return run_available_now(
         stream, f"stream_daily_{uuid.uuid4().hex[:8]}", shuffle_partitions=8
@@ -216,7 +229,7 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events_slim(spark, sf_dir)
     src = os.path.join(_scratch(spark, "slide-src", sf_dir), "events")
     dup = events.where(F.col("event_id") % 10 == 0)
-    events.unionByName(dup).write.mode("overwrite").parquet(src)
+    _stream_src_write(events.unionByName(dup), src)
     stream = streaming_sliding_insights(spark, src, events.schema)
     return run_available_now(
         stream, f"stream_slide_{uuid.uuid4().hex[:8]}", shuffle_partitions=8
@@ -236,7 +249,7 @@ def streaming_sessionize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _events_slim(spark, sf_dir).select("event_id", "user_id", "ts", "value")
     src = os.path.join(_scratch(spark, "sess-src", sf_dir), "events")
-    events.write.mode("overwrite").parquet(src)
+    _stream_src_write(events, src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     return run_available_now(
         streaming_sessionize(stream),
@@ -257,7 +270,7 @@ def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
     )
     src = os.path.join(_scratch(spark, "enrich-src", sf_dir), "events")
-    events.write.mode("overwrite").parquet(src)
+    _stream_src_write(events, src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     enriched = stream.join(F.broadcast(customer), "user_id").select(
         "event_id", "user_id", "ts", "event_type", "value", "c_name", "c_mktsegment"
@@ -314,7 +327,7 @@ def streaming_frequency_cap_drain(spark: SparkSession, sf_dir: str) -> DataFrame
 
     events = _events_slim(spark, sf_dir).select("event_id", "user_id", "ts")
     src = os.path.join(_scratch(spark, "cap-src", sf_dir), "events")
-    events.write.mode("overwrite").parquet(src)
+    _stream_src_write(events, src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     return run_available_now(
         streaming_frequency_cap(stream),
@@ -516,7 +529,7 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _events_slim(spark, sf_dir)
     src = os.path.join(_scratch(spark, "attr-src", sf_dir), "events")
-    events.write.mode("overwrite").parquet(src)
+    _stream_src_write(events, src)
     stream = streaming_attribution_join(spark, src, events.schema)
     return run_available_now(
         stream,
@@ -584,7 +597,7 @@ def streaming_json_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", dynamic_json_payload(events).alias("payload")
     )
     src = os.path.join(_scratch(spark, "json-sanitize-src", sf_dir), "payloads")
-    payloads.write.mode("overwrite").parquet(src)
+    _stream_src_write(payloads, src)
     stream = spark.readStream.schema(payloads.schema).parquet(src)
     out = stream.withColumn("sanitized", sanitize_json_fragment(F.col("payload")))
     return run_available_now(
