@@ -44,8 +44,10 @@ CAS-checks ``_CURRENT`` against that base before flipping the pointer.
 A writer that lost the race gets ``ConcurrentWriteError`` and re-runs
 its merge off the new current (automatic, ``MERGE_MAX_ATTEMPTS``), so
 both merges land and neither is silently discarded. The lock is a
-host-local ``O_CREAT|O_EXCL`` file (valid here because this layout
-targets a host-local filesystem); on an object store the same CAS is
+host-local kernel lock (``fcntl.flock`` on a persistent per-table
+file — crashed holders release automatically, so no break path
+exists; valid here because this layout targets a host-local
+filesystem); on an object store the same CAS is
 the store's conditional-put on the log object. GC distinguishes
 logged directories (safe to remove immediately — log appends happen
 only inside the critical section) from never-logged ones, which might
@@ -63,6 +65,7 @@ the old full-rewrite + directory-swap path, kept as a fallback.
 
 from __future__ import annotations
 
+import fcntl
 import hashlib
 import json
 import os
@@ -100,16 +103,15 @@ _NB = "_BUCKETS"
 _LOG = "_VERSIONS"
 _SCHEMA_FILE = "_SCHEMA.json"
 _LOCK = "_COMMIT.lock"
-# Optimistic-concurrency knobs. Commits (log append + pointer flip) are
-# a few file writes — milliseconds — so a lock older than this belongs
-# to a dead writer and is broken. The orphan grace window protects a
-# CONCURRENT writer's not-yet-published version directory (written
-# before it reaches the commit lock) from being GC'd as a crashed
-# merge's leftover: never-logged v-* dirs are only removed once older
-# than the grace window. Logged-but-unpointed tails carry no such risk
-# (the log is only appended inside the commit critical section, so a
-# logged orphan's writer is dead by construction) and GC immediately.
-LOCK_STALE_SECONDS = 60.0
+# Optimistic-concurrency knobs. The commit lock is kernel-owned
+# (flock), so crashed holders release automatically and no staleness
+# knob exists. The orphan grace window protects a CONCURRENT writer's
+# not-yet-published version directory (written before it reaches the
+# commit lock) from being GC'd as a crashed merge's leftover:
+# never-logged v-* dirs are only removed once older than the grace
+# window. Logged-but-unpointed tails carry no such risk (the log is
+# only appended inside the commit critical section, so a logged
+# orphan's writer is dead by construction) and GC immediately.
 ORPHAN_GRACE_SECONDS = 600.0
 MERGE_MAX_ATTEMPTS = 5
 _UNSET = object()
@@ -120,20 +122,10 @@ _UNSET = object()
 # table and an object-store table raise the SAME class.
 
 
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True
-    return True
-
-
 def _parse_lock_token(raw: str) -> tuple[str, int]:
     """(host, pid) from a ``host:pid:uuid`` lock token; ('', 0) for
-    anything unparseable (treated as a foreign holder: never
-    pid-broken, only age-broken)."""
+    anything unparseable. Diagnostic only — the flock-based lock never
+    makes control-flow decisions from file content."""
     parts = raw.split(":")
     if len(parts) != 3:
         return "", 0
@@ -146,89 +138,76 @@ def _parse_lock_token(raw: str) -> tuple[str, int]:
 @contextmanager
 def _commit_lock(target_path: str, timeout: float = 30.0):
     """Host-local mutual exclusion for the commit critical section
-    (CAS check + log append + pointer flip), via O_CREAT|O_EXCL —
-    atomic on POSIX, and it serializes threads of one process and
-    processes of one host alike. On an object-store lake this whole
-    primitive is replaced by the store's conditional-put
-    (If-None-Match) on the log object, exactly as Delta's commit
-    protocol does — the CAS semantics are identical (Delta has no
-    break path at all; breaking below exists only because a local
-    filesystem lock outlives a crashed process, which a lease-based
-    store primitive never does).
+    (CAS check + log append + pointer flip), via ``fcntl.flock`` on a
+    persistent per-table lock file.
 
-    Each lock is stamped with a unique ``host:pid:uuid`` token.
-    Staleness:
+    The kernel owns the lock, which is what makes this correct with NO
+    break path at all (Delta's commit protocol has none either):
 
-    - a SAME-host holder whose pid is dead is broken immediately;
-    - any holder older than ``LOCK_STALE_SECONDS`` is broken (the
-      critical section is a few metadata writes — directory GC runs
-      OUTSIDE it — so nothing healthy holds this for a minute);
-    - a FOREIGN-host holder is never pid-broken: pid liveness is
-      meaningless across hosts on a shared filesystem, so only the
-      age rule applies (mtime comparisons assume loosely-synced
-      clocks, the same assumption NFS lockfiles make).
+    - **crash safety**: a holder's death closes its fd and the kernel
+      releases the lock — there is no such thing as a stale lock, so
+      there is no staleness judgment, and no judgment means no
+      judge-then-break TOCTOU. (The previous O_EXCL-file design broke
+      'stale' locks by path operations; a path rename/unlink cannot be
+      conditioned on WHICH lock is present, so under churn a breaker
+      could claim a FRESH holder's lock — caught by the 4-process churn
+      test losing a counter increment, the classic lost update.)
+    - **threads and processes alike**: each acquisition opens its own
+      file description, and flock serializes per description, so two
+      threads of one process exclude each other exactly like two
+      processes do.
+    - **host-local by design**: this adapter targets a host-local
+      filesystem (module docstring); flock's cross-host behavior on
+      network filesystems is mount-dependent, which is one more reason
+      a multi-host lake should hand ``cas_publish`` an object-store
+      ``ConditionalStore`` (server-side conditional-put, no locks
+      anywhere) instead of sharing this directory.
 
-    Breaking is an atomic ``os.rename`` of the observed lock to a
-    breaker-owned unique name — exactly one breaker's rename succeeds,
-    so two waiters can never both judge a lock stale and between them
-    unlink a THIRD writer's fresh lock (the unlink-break TOCTOU).
-    Release verifies the token before unlinking, so a holder whose
-    lock was age-broken mid-commit cannot remove its successor's lock.
-    The one residual window — a holder judged stale releasing in the
-    nanoseconds between a breaker's stat and its rename — requires a
-    DEAD-or-60s-silent holder to act at that instant, i.e. the false
-    positive the age bound already rules out for healthy commits."""
+    The lock FILE persists (release closes the fd but never unlinks),
+    so every acquirer locks the same inode; the post-acquire inode
+    check below defends against out-of-band deletion of the lock file
+    (if the path was replaced while we waited, locking the orphaned
+    old inode excludes nobody — reopen and retry). The holder token
+    written into the file is diagnostic only — it names the current
+    holder in timeout errors; no control flow reads it."""
     lock_path = os.path.join(target_path, _LOCK)
     token = f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex}"
     deadline = time.monotonic() + timeout
     while True:
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        acquired = False
         try:
-            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{token}\n".encode())
-            os.close(fd)
-            break
-        except FileExistsError:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except (BlockingIOError, PermissionError):
+                    if time.monotonic() > deadline:
+                        try:
+                            with open(lock_path) as f:
+                                held = f.read().strip()
+                        except OSError:
+                            held = "?"
+                        raise TimeoutError(
+                            f"{target_path}: commit lock held by {held!r} "
+                            f"for longer than {timeout}s"
+                        )
+                    time.sleep(0.02)
             try:
-                st = os.stat(lock_path)
-                with open(lock_path) as f:
-                    held = f.read().strip()
-            except OSError:
-                continue  # holder mid-write or just released
-            host, pid = _parse_lock_token(held)
-            dead = (
-                host == socket.gethostname() and pid > 0 and not _pid_alive(pid)
-            )
-            aged = time.time() - st.st_mtime > LOCK_STALE_SECONDS
-            if dead or aged:
-                broke = f"{lock_path}.broken-{uuid.uuid4().hex}"
-                try:
-                    os.rename(lock_path, broke)
-                except FileNotFoundError:
-                    continue  # another breaker won, or holder released
-                try:
-                    os.unlink(broke)
-                except FileNotFoundError:
-                    pass
-                continue
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"{target_path}: commit lock held by {held!r} "
-                    f"for longer than {timeout}s"
-                )
-            time.sleep(0.02)
+                acquired = os.stat(lock_path).st_ino == os.fstat(fd).st_ino
+            except FileNotFoundError:
+                acquired = False  # path replaced/unlinked while we waited
+        finally:
+            if not acquired:
+                os.close(fd)
+        if acquired:
+            break
     try:
+        os.ftruncate(fd, 0)
+        os.write(fd, f"{token}\n".encode())
         yield
     finally:
-        try:
-            with open(lock_path) as f:
-                held = f.read().strip()
-        except OSError:
-            held = None  # broken away while we held it — nothing to release
-        if held == token:
-            try:
-                os.unlink(lock_path)
-            except FileNotFoundError:
-                pass
+        os.close(fd)  # closes the description -> kernel releases the lock
 
 
 def buckets_for_bytes(
@@ -399,8 +378,8 @@ def _doomed_versions(target_path: str, keep: set[str], logged: set[str]) -> list
     only ever appends NEW version names), and concurrent removers of
     the same dir are idempotent (``ignore_errors``). Keeping rmtree
     out of the critical section keeps commits at a few milliseconds,
-    so the ``LOCK_STALE_SECONDS`` age bound can never break a healthy
-    holder mid-commit no matter how large the superseded versions."""
+    so a publish never stalls waiters behind a large directory
+    removal, no matter how big the superseded versions are."""
     doomed = []
     now = time.time()
     for d in os.listdir(target_path):
@@ -528,8 +507,8 @@ def _publish(
     as a readable 'prior' ahead of the version it never superseded.
     The ``rmtree`` of doomed versions runs AFTER the commit — it is
     the only unbounded-cost step, and keeping it out of the critical
-    section keeps commits at a few metadata writes (so the stale-lock
-    age bound never fires on a healthy holder)."""
+    section keeps commits at a few metadata writes (so waiters are
+    never starved behind a large GC)."""
     result = cas_publish(
         _FileCommitStore(target_path),
         new_version,

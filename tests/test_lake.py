@@ -1025,7 +1025,8 @@ def test_threaded_concurrent_merges_both_land(spark, events, tmp_path):
     # by the losing attempt (it reclaims its own dir on CAS failure)
     vdirs = [d for d in os.listdir(target) if d.startswith("v-")]
     assert len(vdirs) <= incremental.RETAIN_VERSIONS
-    assert not os.path.exists(os.path.join(target, incremental._LOCK))
+    # the flock file persists by design (every acquirer locks one inode)
+    assert os.path.exists(os.path.join(target, incremental._LOCK))
 
 
 def test_orphan_gc_is_age_gated_for_unlogged_dirs(spark, events, tmp_path):
@@ -1054,107 +1055,113 @@ def test_orphan_gc_is_age_gated_for_unlogged_dirs(spark, events, tmp_path):
     assert not os.path.isdir(fresh), "expired orphan survived GC"
 
 
-def test_commit_lock_breaks_dead_holder_and_respects_live(tmp_path):
-    """The commit lock's liveness rules, no Spark needed: (a) a lock
-    held by a DEAD pid is broken and acquired; (b) a lock freshly held
-    by a LIVE pid (this process) blocks until timeout; (c) the lock
-    releases on context exit."""
+def test_commit_lock_crashed_holder_releases_automatically(tmp_path):
+    """The commit lock is kernel-owned (flock): a holder that DIES
+    releases automatically — there is no stale-lock state and no break
+    path to race. A subprocess takes the lock and exits while 'mid
+    commit'; acquisition here must succeed immediately after the child
+    dies, with the persistent lock file left in place."""
+    import subprocess
+    import sys
+    import textwrap
+
     target = str(tmp_path / "lock_t")
     os.makedirs(target)
     lock_path = os.path.join(target, incremental._LOCK)
 
-    # (a) dead holder: spawn-and-reap a child so its pid is free
-    import subprocess
-
-    child = subprocess.Popen(["true"])
-    child.wait()
-    host = socket.gethostname()
-    with open(lock_path, "w") as f:
-        f.write(f"{host}:{child.pid}:deadbeef\n")
-    with incremental._commit_lock(target, timeout=5.0):
-        with open(lock_path) as f:
-            _h, pid = incremental._parse_lock_token(f.read().strip())
-            assert pid == os.getpid()
-    assert not os.path.exists(lock_path)  # (c) released
-
-    # (b) live holder: acquisition must time out, not break the lock
-    live_token = f"{host}:{os.getpid()}:cafebabe"
-    with open(lock_path, "w") as f:
-        f.write(f"{live_token}\n")
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            textwrap.dedent(
+                f"""
+                import sys
+                sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+                from ad_data_lake_spark import incremental as inc
+                lock = inc._commit_lock({target!r}, timeout=5.0)
+                lock.__enter__()
+                print("HELD", flush=True)
+                sys.stdin.readline()  # never comes: parent closes stdin
+                """
+            ),
+        ],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+    )
+    assert child.stdout.readline().strip() == b"HELD"
+    # child holds the kernel lock: acquisition must time out
     with pytest.raises(TimeoutError):
         with incremental._commit_lock(target, timeout=0.3):
             pass
-    with open(lock_path) as f:
-        assert f.read().strip() == live_token  # still held
-    os.unlink(lock_path)
+    child.kill()  # crash mid-commit: fd closes, kernel releases
+    child.wait()
+    with incremental._commit_lock(target, timeout=5.0):
+        pass  # acquired without any break logic
+    assert os.path.exists(lock_path)  # the lock FILE persists by design
 
 
-def test_commit_lock_never_pid_breaks_foreign_host(tmp_path):
-    """A lock whose token names ANOTHER host must not be broken by pid
-    liveness — the pid namespace is host-local, so a foreign holder's
-    pid being 'dead' here is meaningless (a cross-host writer on a
-    shared filesystem would have its live lock stolen). Only the age
-    rule may break it; a fresh foreign lock therefore times waiters
-    out. An AGED foreign lock is still reclaimed (the age bound is the
-    only cross-host-valid staleness signal)."""
-    target = str(tmp_path / "foreign_t")
+def test_commit_lock_content_is_diagnostic_only(tmp_path):
+    """Lock-file CONTENT makes no control-flow decisions: scribbling a
+    dead-pid token, a foreign-host token, or garbage into the file
+    neither steals a held lock nor blocks a free one."""
+    import threading
+
+    target = str(tmp_path / "content_t")
     os.makedirs(target)
     lock_path = os.path.join(target, incremental._LOCK)
 
-    # dead pid, fresh mtime, foreign host: must NOT be broken
-    import subprocess
-
-    child = subprocess.Popen(["true"])
-    child.wait()
-    foreign = f"not-{socket.gethostname()}:{child.pid}:feedface"
+    # free lock + scary content: acquisition just works
     with open(lock_path, "w") as f:
-        f.write(f"{foreign}\n")
+        f.write("otherhost:99999:feedface\n")
+    with incremental._commit_lock(target, timeout=2.0):
+        pass
+
+    # held lock + scribbled content: waiter still times out
+    entered = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with incremental._commit_lock(target, timeout=5.0):
+            entered.set()
+            release.wait(10.0)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert entered.wait(5.0)
+    with open(lock_path, "w") as f:
+        f.write("not:a:holder\n")  # content lies; the kernel does not
     with pytest.raises(TimeoutError):
         with incremental._commit_lock(target, timeout=0.3):
             pass
-    with open(lock_path) as f:
-        assert f.read().strip() == foreign, "foreign live-age lock was broken"
-
-    # same foreign lock, aged past the stale bound: age rule applies
-    old = time.time() - incremental.LOCK_STALE_SECONDS - 5
-    os.utime(lock_path, (old, old))
-    with incremental._commit_lock(target, timeout=5.0):
-        with open(lock_path) as f:
-            _h, pid = incremental._parse_lock_token(f.read().strip())
-            assert pid == os.getpid()
-    assert not os.path.exists(lock_path)
+    release.set()
+    t.join()
 
 
-def test_commit_lock_release_is_ownership_verified(tmp_path):
-    """A holder whose lock was age-broken mid-commit must NOT unlink
-    its successor's lock on exit (the finally-unlink race the r9
-    verdict flagged): simulate the break by replacing the lock file
-    with a different token while the context is open — exit must leave
-    the successor's lock in place."""
-    target = str(tmp_path / "own_t")
+def test_commit_lock_file_persists_and_inode_is_stable(tmp_path):
+    """Release closes the fd but never unlinks the lock file, so every
+    acquirer locks the SAME inode — the property that keeps flock
+    exclusion sound (two writers flocking different inodes at one path
+    would not exclude each other). Nothing in the system removes the
+    file; this pins that."""
+    target = str(tmp_path / "inode_t")
     os.makedirs(target)
     lock_path = os.path.join(target, incremental._LOCK)
-    successor = f"{socket.gethostname()}:{os.getpid()}:5ucce550r"
-    with incremental._commit_lock(target, timeout=5.0):
-        os.unlink(lock_path)  # breaker renamed it away...
-        with open(lock_path, "w") as f:
-            f.write(f"{successor}\n")  # ...and a new writer acquired
-    with open(lock_path) as f:
-        assert f.read().strip() == successor, (
-            "release unlinked a lock it did not own"
-        )
-    os.unlink(lock_path)
+    with incremental._commit_lock(target, timeout=2.0):
+        ino1 = os.stat(lock_path).st_ino
+    assert os.path.exists(lock_path)
+    with incremental._commit_lock(target, timeout=2.0):
+        ino2 = os.stat(lock_path).st_ino
+    assert ino1 == ino2
 
 
 def test_commit_lock_churn_across_processes(tmp_path):
-    """Lock-churn stress (the r9 verdict's 'done' bar): N processes ×
-    M critical sections against one table, with stale locks INJECTED
-    between rounds (dead-pid tokens and aged mtimes) so the rename
-    break path runs under real contention. Mutual exclusion is
-    checked by construction: each critical section reads a shared
-    counter file, sleeps, and writes counter+1 — any double-entry
-    loses an increment, so the final counter equals N*M only if no
-    two writers ever overlapped."""
+    """Lock-churn stress: N processes x M critical sections against one
+    table, with concurrent lock-file content scribbles (content is
+    diagnostic only — the kernel lock must be unaffected). Mutual
+    exclusion is checked by construction: each critical section reads a
+    shared counter file, sleeps, and writes counter+1 — any
+    double-entry loses an increment, so the final counter equals N*M
+    only if no two writers ever overlapped."""
     import subprocess
     import sys
     import textwrap
@@ -1165,8 +1172,6 @@ def test_commit_lock_churn_across_processes(tmp_path):
     with open(counter, "w") as f:
         f.write("0")
 
-    dead = subprocess.Popen(["true"])
-    dead.wait()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = textwrap.dedent(
         f"""
@@ -1176,23 +1181,13 @@ def test_commit_lock_churn_across_processes(tmp_path):
         target = sys.argv[1]
         counter = os.path.join(target, "COUNTER")
         lock_path = os.path.join(target, inc._LOCK)
-        import socket
         for i in range(8):
-            # inject a stale lock some of the time: dead-pid token or
-            # an aged foreign token (both must be broken, exactly once)
             if i % 3 == 0:
+                # scribble misleading content; must not affect exclusion
                 try:
-                    with open(lock_path, "x") as f:
-                        f.write(socket.gethostname() + ":{dead.pid}:5tale\\n")
-                except FileExistsError:
-                    pass
-            elif i % 3 == 1:
-                try:
-                    with open(lock_path, "x") as f:
-                        f.write("otherhost:1:5tale\\n")
-                    old = time.time() - inc.LOCK_STALE_SECONDS - 5
-                    os.utime(lock_path, (old, old))
-                except FileExistsError:
+                    with open(lock_path, "w") as f:
+                        f.write("otherhost:1:5cribble\\n")
+                except OSError:
                     pass
             # generous timeout: this host may be running a parallel
             # Spark bench; a slow acquisition is not a protocol bug
@@ -1219,7 +1214,6 @@ def test_commit_lock_churn_across_processes(tmp_path):
         assert out.decode().strip() == "OK"
     with open(counter) as f:
         assert int(f.read().strip()) == 4 * 8, "double-entry lost an increment"
-    assert not os.path.exists(os.path.join(target, incremental._LOCK))
 
 
 def test_publish_cas_across_processes(tmp_path):
@@ -1278,7 +1272,8 @@ def test_publish_cas_across_processes(tmp_path):
     history = incremental._published_history(target, current)
     assert history[-1] == current
     assert len(history) == min(20 + 1, incremental.RETAIN_VERSIONS)
-    assert not os.path.exists(os.path.join(target, incremental._LOCK))
+    # the flock file persists by design (every acquirer locks one inode)
+    assert os.path.exists(os.path.join(target, incremental._LOCK))
     # every retained version's directory exists (nothing GC'd wrongly)
     for v in history:
         assert os.path.isdir(os.path.join(target, v)), v
