@@ -174,7 +174,18 @@ def _commit_lock(target_path: str, timeout: float = 30.0):
     token = f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex}"
     deadline = time.monotonic() + timeout
     while True:
-        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        # world-writable lock file: it persists across writers, and a
+        # table shared by several OS users must let each open it for
+        # writing (flock itself ignores open mode; write access is
+        # only for the diagnostic holder stamp). If another user's
+        # umask already made it unwritable to us, fall back to a
+        # read-only description — locking still works, stamping skips.
+        can_stamp = True
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o666)
+        except PermissionError:
+            fd = os.open(lock_path, os.O_RDONLY)
+            can_stamp = False
         acquired = False
         try:
             while True:
@@ -188,8 +199,10 @@ def _commit_lock(target_path: str, timeout: float = 30.0):
                                 held = f.read().strip()
                         except OSError:
                             held = "?"
+                        host, pid = _parse_lock_token(held)
+                        who = f"{host} pid {pid}" if pid else held
                         raise TimeoutError(
-                            f"{target_path}: commit lock held by {held!r} "
+                            f"{target_path}: commit lock held by {who!r} "
                             f"for longer than {timeout}s"
                         )
                     time.sleep(0.02)
@@ -203,8 +216,13 @@ def _commit_lock(target_path: str, timeout: float = 30.0):
         if acquired:
             break
     try:
-        os.ftruncate(fd, 0)
-        os.write(fd, f"{token}\n".encode())
+        if can_stamp:
+            try:
+                os.fchmod(fd, 0o666)  # undo a restrictive creation umask
+            except OSError:
+                pass  # not the owner: someone else already created it
+            os.ftruncate(fd, 0)
+            os.write(fd, f"{token}\n".encode())
         yield
     finally:
         os.close(fd)  # closes the description -> kernel releases the lock
@@ -370,16 +388,17 @@ def _doomed_versions(target_path: str, keep: set[str], logged: set[str]) -> list
       once older than ``ORPHAN_GRACE_SECONDS`` (a commit follows its
       write within seconds; ten minutes is a dead writer).
 
-    Selection runs UNDER the commit lock (it reads the log/pointer
-    state a concurrent publish mutates); the actual ``rmtree`` runs
-    AFTER release — see :func:`_remove_versions`. Deleting outside
-    the lock is safe because the pointer has already flipped, a doomed
-    dir can never re-enter any later publish's retention set (the log
-    only ever appends NEW version names), and concurrent removers of
-    the same dir are idempotent (``ignore_errors``). Keeping rmtree
-    out of the critical section keeps commits at a few milliseconds,
-    so a publish never stalls waiters behind a large directory
-    removal, no matter how big the superseded versions are."""
+    Selection uses the kept/logged sets the commit itself returned (a
+    consistent snapshot of the log/pointer state at commit time); the
+    actual ``rmtree`` runs after the lock is released and re-checks
+    the LIVE log first — see :func:`_remove_versions`. Deleting
+    outside the lock is safe because the pointer has already flipped,
+    a doomed dir can never re-enter any later publish's retention set
+    (the log only ever appends NEW version names), and concurrent
+    removers of the same dir are idempotent (``ignore_errors``).
+    Keeping rmtree out of the critical section keeps commits at a few
+    milliseconds, so a publish never stalls waiters behind a large
+    directory removal, no matter how big the superseded versions are."""
     doomed = []
     now = time.time()
     for d in os.listdir(target_path):
@@ -398,10 +417,27 @@ def _doomed_versions(target_path: str, keep: set[str], logged: set[str]) -> list
 
 def _remove_versions(target_path: str, doomed: list[str]) -> list[str]:
     """rmtree the doomed version dirs — call AFTER the commit lock is
-    released (see :func:`_doomed_versions` for why that is safe)."""
+    released (see :func:`_doomed_versions` for why that is safe).
+
+    The live log/pointer is re-read HERE, at removal time, and anything
+    it names is spared: the doomed list was selected from a snapshot,
+    and a publish can land between selection and removal. Without this
+    recheck, a remover stalled past the orphan grace window could
+    delete a directory that a concurrent writer published as CURRENT
+    in the meantime (version names are never reused — the log only
+    ever appends fresh uuid-suffixed names — so a spared name can
+    never become doomed-but-live again)."""
+    live = set(_version_history(target_path))
+    current = _current_version(target_path)
+    if current is not None:
+        live.add(current)
+    removed = []
     for d in doomed:
+        if d in live:
+            continue
         shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
-    return doomed
+        removed.append(d)
+    return removed
 
 
 class _FileCommitStore:

@@ -131,7 +131,10 @@ def lake_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = {"fired": False}
 
     def hooked(target_path, new_version, *args, **kwargs):
-        if not state["fired"]:
+        # fire ONLY for this query's table: the hook patches a module
+        # global, and another registry row publishing to its own table
+        # concurrently must pass through untouched
+        if not state["fired"] and target_path == target:
             state["fired"] = True
             incremental._publish = orig_publish
             incremental.merge_upsert(

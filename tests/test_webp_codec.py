@@ -83,11 +83,17 @@ def test_error_contract():
         WC.encode_webp(b"\x00" * 5, 2, 2, 3)  # wrong buffer size
 
 
-def test_distance_map_matches_spec_table():
-    """The generated close-pixel map must reproduce the spec's
-    published table (leading 56 entries hand-copied from the WebP
-    Lossless Bitstream Specification's distance-mapping section)."""
-    spec = [
+def test_distance_map_matches_libwebp_table():
+    """The generated close-pixel map must reproduce libwebp's actual
+    table — ALL 120 entries, recovered empirically against
+    libwebp.so.7 (for each candidate offset, an image whose only
+    repeat distance is that offset was encoded and the emitted 2D
+    code recorded, cross-checked at two image widths). The leading
+    entries also match the spec's published listing. The original
+    9x17-window guess diverged from code 97 on — caught only by the
+    libwebp cross-validation, never by roundtrip tests (the literal
+    encoder emits no 2D codes), which is why this pin is full-length."""
+    libwebp = [
         (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
         (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
         (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
@@ -95,10 +101,126 @@ def test_distance_map_matches_spec_table():
         (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
         (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
         (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+        (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+        (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+        (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+        (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+        (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+        (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+        (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+        (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
     ]
-    assert WC._DIST_MAP[: len(spec)] == spec
-    assert len(WC._DIST_MAP) == 120
-    assert len(set(WC._DIST_MAP)) == 120
+    assert len(libwebp) == 120
+    assert WC._DIST_MAP == libwebp
+
+
+def _libwebp():
+    """ctypes bindings for the system libwebp, or None when absent —
+    the cross-validation tests skip without it."""
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        return None
+    lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGB.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.WebPDecodeRGB.restype = ctypes.POINTER(ctypes.c_ubyte)
+    lib.WebPDecodeRGB.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    return lib
+
+
+def test_decode_matches_libwebp_bit_exactly():
+    """Ground truth: REAL libwebp-encoded lossless streams — which use
+    backward references, color cache, meta-prefix groups, and
+    transforms the literal-only encoder never emits — must decode
+    bit-exactly to what libwebp itself decodes. Content classes chosen
+    to push different encoder paths: noise (literals), gradients
+    (predictor + color transform), blocky smooth noise (predictors),
+    small palettes (color indexing + bundling), repeated rows (long
+    LZ77), and short-period repeats with literal injections (the 2D
+    distance codes, incl. the 97..120 tail that exposed the original
+    distance-map bug)."""
+    import ctypes
+
+    lib = _libwebp()
+    if lib is None:
+        pytest.skip("libwebp.so.7 not available on this host")
+
+    def enc(px: bytes, w: int, h: int) -> bytes:
+        out = ctypes.c_void_p()
+        n = lib.WebPEncodeLosslessRGB(px, w, h, w * 3, ctypes.byref(out))
+        assert n > 0
+        data = ctypes.string_at(out, n)
+        lib.WebPFree(out)
+        return data
+
+    def dec(data: bytes) -> tuple[int, int, bytes]:
+        w, h = ctypes.c_int(), ctypes.c_int()
+        p = lib.WebPDecodeRGB(data, len(data), ctypes.byref(w), ctypes.byref(h))
+        assert p
+        px = ctypes.string_at(p, w.value * h.value * 3)
+        lib.WebPFree(p)
+        return w.value, h.value, px
+
+    rng = np.random.RandomState(0)
+    images = []
+    for i in range(15):
+        w, h = int(rng.randint(1, 70)), int(rng.randint(1, 70))
+        kind = i % 5
+        if kind == 0:
+            img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        elif kind == 1:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], -1
+            ).astype(np.uint8)
+        elif kind == 2:
+            base = rng.randint(0, 256, (max(1, h // 4) + 1, max(1, w // 4) + 1, 3))
+            img = np.kron(base, np.ones((4, 4, 1)))[:h, :w].astype(np.uint8)
+            img = (img + rng.randint(-3, 4, img.shape)).clip(0, 255).astype(np.uint8)
+        elif kind == 3:
+            pal = rng.randint(0, 256, (int(rng.randint(2, 12)), 3))
+            img = pal[rng.randint(0, len(pal), (h, w))].astype(np.uint8)
+        else:
+            row = rng.randint(0, 256, (1, w, 3))
+            img = np.repeat(row, h, 0).astype(np.uint8)
+        images.append(img)
+    # short-period repeats at tail 2D offsets, literal injections so
+    # the encoder emits MANY backrefs at exactly those distances
+    for dx, dy in ((8, 0), (4, 7), (-7, 5), (8, 7), (6, 6)):
+        W, H = 50, 60
+        d = dx + dy * W
+        px = np.zeros((W * H, 3), np.uint8)
+        px[:d] = rng.randint(0, 256, (d, 3))
+        for i in range(d, W * H):
+            if rng.random() < 0.02:
+                px[i] = rng.randint(0, 256, 3)
+            else:
+                px[i] = px[i - d]
+        images.append(px.reshape(H, W, 3))
+
+    for img in images:
+        h, w = img.shape[:2]
+        data = enc(img.tobytes(), w, h)
+        W, H, ref = dec(data)
+        assert (W, H) == (w, h)
+        mw, mh, mc, mine = WC.decode_webp(data)
+        assert (mw, mh) == (w, h)
+        if mc == 4:
+            mine = bytes(b for j, b in enumerate(mine) if j % 4 != 3)
+        assert mine == ref, f"decode mismatch vs libwebp on {w}x{h}"
 
 
 def _decode(vp8l_bits: _BitWriter):
