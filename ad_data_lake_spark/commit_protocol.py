@@ -128,9 +128,16 @@ class CommitState:
     def published(self) -> list[str]:
         """The log truncated at the current pointer (a tail past the
         pointer is a crashed writer's orphan, never a readable
-        prior)."""
+        prior). A log with NO pointer at all is the FIRST commit
+        crashed between its log write and its pointer write — nothing
+        was ever readable, so nothing is a prior: the whole log is
+        orphan tail and the next publish starts the history fresh
+        (its ``PublishResult.logged`` still names the tail, so the
+        orphan directory GCs immediately)."""
+        if self.current is None:
+            return []
         vs = list(self.versions)
-        if self.current is not None and self.current in vs:
+        if self.current in vs:
             vs = vs[: vs.index(self.current) + 1]
         return vs
 

@@ -48,7 +48,17 @@ host-local kernel lock (``fcntl.flock`` on a persistent per-table
 file — crashed holders release automatically, so no break path
 exists; valid here because this layout targets a host-local
 filesystem); on an object store the same CAS is
-the store's conditional-put on the log object. GC distinguishes
+the store's conditional-put on the log object. Two conscious
+trade-offs of the flock design: (1) the lock file is world-writable
+(0o666) so a table shared across OS users works — which also means
+any local user can hold the lock and stall that table's commits (a
+local DoS, acceptable on single-tenant hosts; multi-tenant
+deployments should use a ``ConditionalStore`` backend, where no lock
+exists to hold); (2) exclusion assumes nothing unlinks/replaces the
+lock file — no code in this release does, but mixed-version
+deployments (an old release's unlink-on-release) or out-of-band
+tooling can, so the commit re-verifies the held inode at publish
+time and fails retryably rather than writing without exclusion. GC distinguishes
 logged directories (safe to remove immediately — log appends happen
 only inside the critical section) from never-logged ones, which might
 be a concurrent writer's merge awaiting publish and are only reclaimed
@@ -135,11 +145,44 @@ def _parse_lock_token(raw: str) -> tuple[str, int]:
         return "", 0
 
 
+class _HeldLock:
+    """Handle yielded by :func:`_commit_lock`: carries the held fd so
+    critical-section code can re-verify, at commit time, that the path
+    still names the inode it locked. The design invariant is that
+    nothing ever unlinks or replaces the lock file — but that invariant
+    is held by THIS release's code, not by the kernel: a process still
+    running an older release (whose release path unlinked the lock) or
+    out-of-band tooling can replace the file mid-hold, after the
+    acquisition-time inode check passed, and the next acquirer would
+    then lock a fresh inode and run concurrently. ``verify`` turns that
+    silent exclusion loss into a retryable precondition failure."""
+
+    def __init__(self, fd: int, lock_path: str):
+        self._fd = fd
+        self._lock_path = lock_path
+
+    def verify(self) -> None:
+        try:
+            ok = os.stat(self._lock_path).st_ino == os.fstat(self._fd).st_ino
+        except FileNotFoundError:
+            ok = False
+        if not ok:
+            raise PreconditionFailed(
+                f"{self._lock_path}: lock file was replaced or unlinked "
+                "while held — exclusion may be lost; abandoning this "
+                "commit attempt (retry re-acquires on the new inode)"
+            )
+
+
 @contextmanager
 def _commit_lock(target_path: str, timeout: float = 30.0):
     """Host-local mutual exclusion for the commit critical section
     (CAS check + log append + pointer flip), via ``fcntl.flock`` on a
-    persistent per-table lock file.
+    persistent per-table lock file. Yields a :class:`_HeldLock` whose
+    ``verify()`` re-checks, at commit time, that the locked inode is
+    still the one the path names (see that class for the mixed-version
+    / out-of-band-tooling hazard it defends against; no code in THIS
+    release ever unlinks the file).
 
     The kernel owns the lock, which is what makes this correct with NO
     break path at all (Delta's commit protocol has none either):
@@ -223,7 +266,7 @@ def _commit_lock(target_path: str, timeout: float = 30.0):
                 pass  # not the owner: someone else already created it
             os.ftruncate(fd, 0)
             os.write(fd, f"{token}\n".encode())
-        yield
+        yield _HeldLock(fd, lock_path)
     finally:
         os.close(fd)  # closes the description -> kernel releases the lock
 
@@ -304,9 +347,14 @@ def _published_history(target_path: str, current: str | None) -> list[str]:
     never-published tail in ``_VERSIONS``; every consumer that reasons
     about "prior versions" (time travel, vacuum, the next publish)
     must ignore that tail — it was never current, so it is not a
-    readable prior, just an orphan directory awaiting GC."""
+    readable prior, just an orphan directory awaiting GC. With NO
+    pointer at all (the FIRST commit crashed inside that window) the
+    entire log is such a tail: nothing was ever readable, so the
+    published history is empty (mirrors ``CommitState.published``)."""
+    if current is None:
+        return []
     history = _version_history(target_path)
-    if current is not None and current in history:
+    if current in history:
         history = history[: history.index(current) + 1]
     return history
 
@@ -419,20 +467,28 @@ def _remove_versions(target_path: str, doomed: list[str]) -> list[str]:
     """rmtree the doomed version dirs — call AFTER the commit lock is
     released (see :func:`_doomed_versions` for why that is safe).
 
-    The live log/pointer is re-read HERE, at removal time, and anything
-    it names is spared: the doomed list was selected from a snapshot,
-    and a publish can land between selection and removal. Without this
-    recheck, a remover stalled past the orphan grace window could
-    delete a directory that a concurrent writer published as CURRENT
-    in the meantime (version names are never reused — the log only
-    ever appends fresh uuid-suffixed names — so a spared name can
-    never become doomed-but-live again)."""
-    live = set(_version_history(target_path))
-    current = _current_version(target_path)
-    if current is not None:
-        live.add(current)
+    The live log/pointer is re-read PER DIRECTORY, immediately before
+    its rmtree, and anything it names is spared: the doomed list was
+    selected from a snapshot, and a publish can land between selection
+    and removal. Without this recheck, a remover stalled past the
+    orphan grace window could delete a directory that a concurrent
+    writer published as CURRENT in the meantime (version names are
+    never reused — the log only ever appends fresh uuid-suffixed
+    names — so a spared name can never become doomed-but-live again).
+    Re-reading per directory (two small file reads each; doomed lists
+    are at most a handful of names) narrows the residual exposure from
+    the full multi-directory removal pass to the instants between one
+    recheck and its own rmtree — a writer stalled past the grace
+    window publishing its never-logged version in exactly that sliver
+    is the one case left, and the grace window (minutes, vs a
+    write-to-publish gap of seconds) is the real defense against it,
+    same as before deletion moved out of the lock."""
     removed = []
     for d in doomed:
+        live = set(_version_history(target_path))
+        current = _current_version(target_path)
+        if current is not None:
+            live.add(current)
         if d in live:
             continue
         shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
@@ -486,12 +542,17 @@ class _FileCommitStore:
         if_none_match: bool = False,
     ) -> str:
         assert key == COMMIT_KEY
-        with _commit_lock(self.target_path):
+        with _commit_lock(self.target_path) as held:
             cur = self._compose()
             if if_none_match and cur is not None:
                 raise PreconditionFailed(f"{self.target_path}: already committed")
             if if_match is not None and (cur is None or cur[1] != if_match):
                 raise PreconditionFailed(f"{self.target_path}: etag mismatch")
+            # commit-time inode re-verify: the acquisition check covers
+            # the WAIT; this covers the HOLD (out-of-band replacement
+            # of the lock file would silently void exclusion — fail the
+            # publish as a retryable precondition instead of writing)
+            held.verify()
             state = CommitState.from_bytes(data)
             if (
                 state.n_buckets is not None

@@ -131,6 +131,47 @@ def test_lock_free_multi_writer_hammer():
     assert set(landed) == set(state.versions) - {"v-seed"}
 
 
+def test_crashed_first_commit_tail_is_not_a_readable_prior():
+    """A writer crashing between the FIRST commit's log write and its
+    pointer write leaves versions=[v1], current=None. That tail was
+    never readable, so published() must be EMPTY — and the next
+    publish must start the history fresh rather than retaining the
+    never-pointed version as a prior (while still naming it in
+    ``logged`` so its directory GCs immediately)."""
+    crashed = CommitState(("v-crashed",), None, None)
+    assert crashed.published() == []
+
+    store = MemoryConditionalStore()
+    store.put_if(COMMIT_KEY, crashed.to_bytes(), if_none_match=True)
+    res = cas_publish(store, "v-real", base_version=None)
+    assert list(res.kept) == ["v-real"]
+    assert "v-crashed" in res.logged  # GC-eligible immediately
+    state = CommitState.from_bytes(store.get(COMMIT_KEY)[0])
+    assert state.current == "v-real"
+    assert state.published() == ["v-real"]
+
+
+def test_crashed_first_commit_interleave_on_file_backend(tmp_path):
+    """The same crashed-first-commit state on the FILE layout: a
+    ``_VERSIONS`` log naming a version with no ``_CURRENT`` pointer.
+    The next ``_publish`` must land as the first readable version,
+    report a depth-1 history, and GC the crashed directory (logged →
+    immediately eligible, no grace wait)."""
+    target = str(tmp_path / "crashfirst_t")
+    os.makedirs(target)
+    incremental._write_atomic(target, incremental._LOG, "v-crashed\n")
+    os.makedirs(os.path.join(target, "v-crashed"))
+    os.makedirs(os.path.join(target, "v-real"))
+
+    assert incremental._published_history(target, None) == []
+    incremental._publish(target, "v-real", base_version=None)
+    current = incremental._current_version(target)
+    assert current == "v-real"
+    assert incremental._published_history(target, current) == ["v-real"]
+    assert not os.path.isdir(os.path.join(target, "v-crashed"))
+    assert os.path.isdir(os.path.join(target, "v-real"))
+
+
 def test_crash_before_put_leaves_state_untouched():
     store = MemoryConditionalStore()
     cas_publish(store, "v-0")

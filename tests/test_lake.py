@@ -1216,6 +1216,73 @@ def test_commit_lock_churn_across_processes(tmp_path):
         assert int(f.read().strip()) == 4 * 8, "double-entry lost an increment"
 
 
+def test_remove_versions_rechecks_liveness_per_directory(tmp_path):
+    """GC re-reads the live log immediately before EACH rmtree, not
+    once up front: a version that becomes live between two removals of
+    the same doomed batch must be spared. Simulated by publishing a
+    doomed name back into the log from inside the first rmtree (the
+    narrowest interleave the per-directory recheck closes)."""
+    import shutil as _shutil
+
+    target = str(tmp_path / "gc_recheck_t")
+    os.makedirs(target)
+    incremental._write_atomic(target, incremental._PTR, "v-live")
+    incremental._write_atomic(target, incremental._LOG, "v-live\n")
+    for d in ("v-live", "v-doom1", "v-doom2"):
+        os.makedirs(os.path.join(target, d))
+
+    real_rmtree = _shutil.rmtree
+    fired = {"done": False}
+
+    def hooked(path, **kwargs):
+        if not fired["done"]:
+            fired["done"] = True
+            # a concurrent publish lands v-doom2 while v-doom1 is
+            # being removed: the per-dir recheck must spare it
+            incremental._write_atomic(
+                target, incremental._LOG, "v-live\nv-doom2\n"
+            )
+            incremental._write_atomic(target, incremental._PTR, "v-doom2")
+        return real_rmtree(path, **kwargs)
+
+    _shutil.rmtree = hooked
+    try:
+        removed = incremental._remove_versions(target, ["v-doom1", "v-doom2"])
+    finally:
+        _shutil.rmtree = real_rmtree
+    assert removed == ["v-doom1"]
+    assert not os.path.isdir(os.path.join(target, "v-doom1"))
+    assert os.path.isdir(os.path.join(target, "v-doom2"))
+
+
+def test_commit_lock_verify_catches_mid_hold_replacement(tmp_path):
+    """The held-lock inode re-verify (commit-time): replacing or
+    unlinking the lock file while the lock is HELD — which only
+    out-of-band tooling or a mixed-version deployment can do — must
+    fail ``verify()`` with a retryable precondition instead of letting
+    the holder write without exclusion. An undisturbed hold passes."""
+    from ad_data_lake_spark.commit_protocol import PreconditionFailed
+
+    target = str(tmp_path / "verify_t")
+    os.makedirs(target)
+    lock_path = os.path.join(target, incremental._LOCK)
+
+    with incremental._commit_lock(target, timeout=2.0) as held:
+        held.verify()  # undisturbed: passes
+        os.unlink(lock_path)
+        with pytest.raises(PreconditionFailed):
+            held.verify()
+        # replaced with a fresh inode (what a foreign acquirer would
+        # lock): still a failure — exclusion is gone either way
+        with open(lock_path, "w") as f:
+            f.write("fresh\n")
+        with pytest.raises(PreconditionFailed):
+            held.verify()
+    # the system self-heals: the next acquisition locks the new inode
+    with incremental._commit_lock(target, timeout=2.0) as held2:
+        held2.verify()
+
+
 def test_publish_cas_across_processes(tmp_path):
     """Cross-PROCESS optimistic concurrency, pure file ops (no Spark):
     N subprocesses each publish M versions against one table using the

@@ -83,6 +83,38 @@ def test_error_contract():
         WC.encode_webp(b"\x00" * 5, 2, 2, 3)  # wrong buffer size
 
 
+def test_decompression_bomb_budget():
+    """VP8L single-symbol (zero-bit) prefix codes let a <100-byte
+    stream legally declare tens of megapixels — minutes of pure-Python
+    per-pixel work from a trivial input. The decoder bounds declared
+    pixels by input size (1 MP unconditional + 1024 px/byte, capped at
+    the 64M format bound) and must refuse AT THE HEADER, before any
+    transform or code-table parse."""
+    # tiny payload declaring 4096x4096 (16.7M px — under the old flat
+    # 64M cap, far over this payload's ~1M budget)
+    bw = _BitWriter()
+    _header(bw, 4096, 4096)
+    data = _wrap_vp8l(bw.finish())
+    with pytest.raises(ValueError, match="decompression budget"):
+        WC.decode_webp(data)
+
+    # same declared dims with a payload large enough to be plausible
+    # (16.7M px / 1024 px-per-byte ≈ 16 KiB) must PASS the budget gate
+    # and fail later, on the truncated bitstream — proving the fuse is
+    # input-size-scaled, not a flat lower cap
+    bw2 = _BitWriter()
+    _header(bw2, 4096, 4096)
+    vp8l = bw2.finish() + b"\x00" * (17 << 10)
+    with pytest.raises(ValueError) as exc:
+        WC.decode_webp(_wrap_vp8l(vp8l))
+    assert "decompression budget" not in str(exc.value)
+
+    # a small image still decodes untouched (floor pixels are free)
+    px = b"\x10" * (12 * 9 * 3)
+    w, h, c, out = WC.decode_webp(WC.encode_webp(px, 12, 9, 3))
+    assert (w, h, c, out) == (12, 9, 3, px)
+
+
 def test_distance_map_matches_libwebp_table():
     """The generated close-pixel map must reproduce libwebp's actual
     table — ALL 120 entries, recovered empirically against
