@@ -567,6 +567,20 @@ class _FileCommitStore:
             return hashlib.sha256(data).hexdigest()
 
 
+def _commit_store(target_path: str):
+    """The commit arbiter for this table: the sqlite-backed store when
+    the table carries its marker database (``_commit.sqlite``, planted
+    at table creation — see ``sqlite_store.SqliteTableCommitStore``),
+    else the flock-emulated file store. Per-table and layout-bound:
+    the marker travels with the directory, so every writer on every
+    process picks the same arbiter with no configuration to drift."""
+    from ad_data_lake_spark import sqlite_store
+
+    if os.path.exists(os.path.join(target_path, sqlite_store.TABLE_COMMIT_DB)):
+        return sqlite_store.SqliteTableCommitStore(target_path)
+    return _FileCommitStore(target_path)
+
+
 def _publish(
     target_path: str,
     new_version: str,
@@ -607,7 +621,7 @@ def _publish(
     section keeps commits at a few metadata writes (so waiters are
     never starved behind a large GC)."""
     result = cas_publish(
-        _FileCommitStore(target_path),
+        _commit_store(target_path),
         new_version,
         base_version=base_version,
         retain=retain,
@@ -669,8 +683,18 @@ def _apply_bucketed_once(
             return deduped
         return deduped.where(~F.col(delete_col)).drop(delete_col)
 
+    from ad_data_lake_spark.sqlite_store import TABLE_COMMIT_DB
+
     prev_version = _current_version(target_path)
-    if prev_version is None and os.path.isdir(target_path) and os.listdir(target_path):
+    has_foreign_content = prev_version is None and os.path.isdir(target_path) and any(
+        # commit metadata (the lock file, a pre-planted sqlite arbiter
+        # and its journal) is NOT legacy data — a fresh versioned table
+        # whose arbiter was planted before its first merge must take
+        # the versioned path below, not this fallback
+        not (d == _LOCK or d.startswith(TABLE_COMMIT_DB))
+        for d in os.listdir(target_path)
+    )
+    if has_foreign_content:
         # legacy unbucketed parquet directory: full-rewrite fallback.
         # SINGLE-WRITER ONLY — the directory swap below has no CAS;
         # concurrent writers are supported only on the versioned layout
@@ -907,7 +931,7 @@ def vacuum(target_path: str, retain: int = 1) -> list[str]:
     Never-logged version directories — possibly a concurrent writer's
     merge awaiting publish — are only removed past the orphan grace
     window; logged tails GC immediately."""
-    store = _FileCommitStore(target_path)
+    store = _commit_store(target_path)
     for _ in range(MERGE_MAX_ATTEMPTS):
         got = store.get(COMMIT_KEY)
         if got is None:

@@ -115,8 +115,36 @@ def lake_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     The injection point is the module's ``_publish`` seam — B's merge
     runs between A's compute and A's publish, the narrowest window the
     protocol must survive."""
+    return _concurrent_writers_run(spark, sf_dir, "concurrent")
+
+
+def lake_concurrent_writers_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20 twin on the NON-FLOCK commit arbiter: the identical
+    lost-update interleave as ``lake_concurrent_writers``, but the
+    table's commits are arbitered by the sqlite-backed
+    :class:`~ad_data_lake_spark.sqlite_store.SqliteTableCommitStore`
+    (a real transactional conditional-put — sqlite's write lock is the
+    CAS, no flock anywhere), planted as the table's marker database
+    before the first merge. Same oracle, same expected final state and
+    publish depth — proving the publish path is genuinely
+    store-agnostic: swapping the backend changes the durability story,
+    not one observable byte of the protocol's behavior."""
+
+    def plant(target: str) -> None:
+        from ad_data_lake_spark.sqlite_store import SqliteTableCommitStore
+
+        SqliteTableCommitStore(target)  # marker db routes commits to sqlite
+
+    return _concurrent_writers_run(spark, sf_dir, "concurrent_sqlite", plant)
+
+
+def _concurrent_writers_run(
+    spark: SparkSession, sf_dir: str, scratch_name: str, plant=None
+) -> DataFrame:
     events = _events_slim(spark, sf_dir).select("event_id", "ts", "user_id", "value")
-    target = os.path.join(_scratch(spark, "concurrent", sf_dir), "events")
+    target = os.path.join(_scratch(spark, scratch_name, sf_dir), "events")
+    if plant is not None:
+        plant(target)
     incremental.merge_upsert(spark, target, events, "event_id", "ts", "value")
 
     def upd(parity: int, bump: int) -> DataFrame:

@@ -1155,6 +1155,21 @@ _register(
 )
 
 _register(
+    "lake_concurrent_writers_sqlite",
+    QuerySpec(
+        lake_queries.lake_concurrent_writers_sqlite,
+        """
+        SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id,
+               round(value + CASE WHEN event_id % 2 = 0
+                                  THEN 100 ELSE 200 END, 2) AS value,
+               CAST(3 AS INT) AS publish_depth
+        FROM events
+        """,
+        ("write", "merge", "concurrency"),
+    ),
+)
+
+_register(
     "backfill_partition_replace",
     QuerySpec(
         lake_queries.backfill_partition_replace,
@@ -1946,71 +1961,22 @@ _register(
 # re-verifies the complement each round.
 # ---------------------------------------------------------------------------
 
-# Round 9 window (50 slots). Rotation onto the stale cohorts per the r8
-# verdict: slots 1-32 are ALL rows last driver-checked in r05 (the cohort
-# that would age out of the two-round union), slots 33-50 are the oldest
-# 18 ORACLED r06-checked rows (exact_substring_dedup leads -- it is
-# also the r8 perf watch item; rows-only dedup_minhash_lsh_xx is bumped
-# to slot 51 so it never occupies an oracle-check slot, per the
-# test_driver_priority_tuple_invariants contract); the remaining 26
-# r06 rows lead round 10,
-# then r07- and r08-checked rows follow oldest-first. This round's
-# implementation changes (CAS publish on the versioned lake, PageRank
-# per-iteration checkpoint, PNG-codec error-class widening, the
-# _pack_words dim guard) are all semantics-preserving, pytest-pinned,
-# and touch rows checked green in r08 -- still green in the r08/r09
-# union even though they sit past slot 50 here.
+# Round 11 window (50 slots), rotated per the r10 verdict's #1 ask:
+# slot 1 is the NEW row (lake_concurrent_writers_sqlite — the sqlite
+# commit-arbiter twin), slots 2-24 are the 23 REMAINING r07-cohort
+# rows (embed_topk_ivf_sq8..weighted_sample — the oldest names not
+# driver-green in the r9∪r10 union), slots 25-50 are the first 26
+# r08-cohort rows oldest-first (agg_percentiles..lang_id). The rest of
+# the r08/r09 cohorts follow, and the 50 rows the driver just checked
+# green in r10 sit at the very end (freshest record). This round's
+# implementation changes (crashed-first-commit published() fix, GC
+# per-dir liveness recheck, held-lock inode verify, the _commit_store
+# backend dispatch) are semantics-preserving on every committed path,
+# pytest-pinned (test_commit_protocol/test_lake), and exercised by the
+# r10-green merge family rows — still green in the r10∪r11 union even
+# though they sit past slot 50 here.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "dedup_minhash_lsh_xx",
-    "embedding_drift",
-    "funnel_conversion",
-    "gopher_rules",
-    "ivf_index_incremental",
-    "linear_attribution",
-    "luhn_scan",
-    "metric_anomalies",
-    "minhash_index_incremental",
-    "neardup_clusters",
-    "ngram_jaccard_pairs",
-    "pack_sequences",
-    "reach_sketch_rollup",
-    "scd2_history",
-    "semantic_dedup",
-    "snapshot_diff",
-    "sort_by_name",
-    "spend_pacing",
-    "streaming_attribution_join",
-    "streaming_dim_enrich",
-    "streaming_frequency_cap",
-    "streaming_sessionize",
-    "streaming_sliding_insights",
-    "temperature_mixture",
-    "union_pages",
-    "zorder_roundtrip",
-    "merge_upsert_idempotent",
-    "cdc_apply",
-    "time_travel_read",
-    "time_travel_depth",
-    "merge_schema_evolution",
-    "lake_concurrent_writers",
-    "filter_agreement",
-    "lang_quality_calibration",
-    "asof_attribution",
-    "backfill_partition_replace",
-    "bigram_lm_score",
-    "bpe_encode_ids",
-    "bpe_encode_stats",
-    "bpe_pair_counts",
-    "bpe_train_merges",
-    "bpe_vocab_incremental",
-    "bucketed_join_colocated",
-    "cms_grid_incremental",
-    "cms_heavy_hitters",
-    "compaction_roundtrip",
-    "contrastive_triplets",
-    "dedup_keep_best",
-    "embed_topk_bruteforce",
-    "embed_topk_int8",
+    "lake_concurrent_writers_sqlite",
     "embed_topk_ivf_sq8",
     "fim_transform",
     "flight_window_rollup",
@@ -2129,6 +2095,56 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embed_neardup_pairs",
     "embed_topk_ivf",
     "embed_topk_lsh",
+    "dedup_minhash_lsh_xx",
+    "embedding_drift",
+    "funnel_conversion",
+    "gopher_rules",
+    "ivf_index_incremental",
+    "linear_attribution",
+    "luhn_scan",
+    "metric_anomalies",
+    "minhash_index_incremental",
+    "neardup_clusters",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
+    "reach_sketch_rollup",
+    "scd2_history",
+    "semantic_dedup",
+    "snapshot_diff",
+    "sort_by_name",
+    "spend_pacing",
+    "streaming_attribution_join",
+    "streaming_dim_enrich",
+    "streaming_frequency_cap",
+    "streaming_sessionize",
+    "streaming_sliding_insights",
+    "temperature_mixture",
+    "union_pages",
+    "zorder_roundtrip",
+    "merge_upsert_idempotent",
+    "cdc_apply",
+    "time_travel_read",
+    "time_travel_depth",
+    "merge_schema_evolution",
+    "lake_concurrent_writers",
+    "filter_agreement",
+    "lang_quality_calibration",
+    "asof_attribution",
+    "backfill_partition_replace",
+    "bigram_lm_score",
+    "bpe_encode_ids",
+    "bpe_encode_stats",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "bpe_vocab_incremental",
+    "bucketed_join_colocated",
+    "cms_grid_incremental",
+    "cms_heavy_hitters",
+    "compaction_roundtrip",
+    "contrastive_triplets",
+    "dedup_keep_best",
+    "embed_topk_bruteforce",
+    "embed_topk_int8",
 )
 
 

@@ -199,20 +199,120 @@ def _script(store) -> list:
     return out
 
 
-def test_file_and_memory_backends_are_equivalent(tmp_path):
+def test_all_backends_are_equivalent(tmp_path):
     """The SAME publish script produces the SAME observable commit
-    states over the in-memory conditional-put store and over the
-    file-layout adapter (lock-emulated conditional-put) — the property
-    that makes the backend swappable."""
+    states over the in-memory conditional-put store, the file-layout
+    adapter (lock-emulated conditional-put), the generic sqlite store
+    (transactional conditional-put), and the sqlite-arbitered table
+    store — the property that makes the backend swappable."""
+    from ad_data_lake_spark.sqlite_store import (
+        SqliteConditionalStore,
+        SqliteTableCommitStore,
+    )
+
     mem = _script(MemoryConditionalStore())
     target = str(tmp_path / "file_t")
     os.makedirs(target)
     fil = _script(incremental._FileCommitStore(target))
-    assert mem == fil
-    # and the file adapter actually decomposed to the on-disk layout
-    assert incremental._current_version(target) == "v-0003"
-    assert incremental._version_history(target) == ["v-0002", "v-0003"]
-    assert incremental._stored_buckets(target) == 8
+    sql = _script(SqliteConditionalStore(str(tmp_path / "kv.sqlite")))
+    starget = str(tmp_path / "sqlite_t")
+    stab = _script(SqliteTableCommitStore(starget))
+    assert mem == fil == sql == stab
+    # and both table adapters actually decomposed to the on-disk layout
+    for t in (target, starget):
+        assert incremental._current_version(t) == "v-0003"
+        assert incremental._version_history(t) == ["v-0002", "v-0003"]
+        assert incremental._stored_buckets(t) == 8
+
+
+def test_sqlite_store_multi_writer_hammer(tmp_path):
+    """The lock-free hammer (8 threads x 10 publishes, retry loop, no
+    table lock) against the REAL transactional backend: sqlite's write
+    lock is the only serialization. Every publish lands exactly once."""
+    import threading
+
+    from ad_data_lake_spark.sqlite_store import SqliteConditionalStore
+
+    store = SqliteConditionalStore(str(tmp_path / "hammer.sqlite"))
+    cas_publish(store, "v-seed")
+    landed = []
+    landed_lock = threading.Lock()
+
+    def writer(tid: int):
+        for i in range(10):
+            name = f"v-t{tid}i{i}"
+            while True:
+                got = store.get(COMMIT_KEY)
+                base = CommitState.from_bytes(got[0]).current
+                try:
+                    cas_publish(store, name, base_version=base, retain=100)
+                    break
+                except ConcurrentWriteError:
+                    continue
+            with landed_lock:
+                landed.append(name)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    state = CommitState.from_bytes(store.get(COMMIT_KEY)[0])
+    assert len(landed) == 80
+    assert len(state.versions) == 81
+    assert len(set(state.versions)) == 81
+    assert state.current == state.versions[-1]
+    assert set(landed) == set(state.versions) - {"v-seed"}
+
+
+def test_sqlite_writer_killed_mid_transaction_rolls_back(tmp_path):
+    """A writer SIGKILLed while holding sqlite's write lock (inside
+    BEGIN IMMEDIATE, before COMMIT) must leave no trace: sqlite's
+    journal rolls the transaction back on the next open, the write
+    lock dies with the process, and a subsequent publish proceeds from
+    the pre-crash state — the database's crash recovery plays the role
+    the kernel plays for flock, with no break path in either design."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from ad_data_lake_spark.sqlite_store import SqliteConditionalStore
+
+    db = str(tmp_path / "crash.sqlite")
+    store = SqliteConditionalStore(db)
+    cas_publish(store, "v-seed")
+    before = store.get(COMMIT_KEY)
+
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            textwrap.dedent(
+                f"""
+                import sqlite3, sys
+                con = sqlite3.connect({db!r}, isolation_level=None)
+                con.execute("BEGIN IMMEDIATE")
+                con.execute(
+                    "UPDATE objects SET data = X'00', gen = 999 "
+                    "WHERE key = 'commit'"
+                )
+                print("HOLDING", flush=True)
+                sys.stdin.readline()  # never comes: killed mid-hold
+                """
+            ),
+        ],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+    )
+    assert child.stdout.readline().strip() == b"HOLDING"
+    child.kill()  # dies holding the RESERVED lock, uncommitted write pending
+    child.wait()
+
+    # state must be exactly the pre-crash state (rollback, not the 999)
+    assert store.get(COMMIT_KEY) == before
+    # and the table is writable again immediately (lock died with fd)
+    res = cas_publish(store, "v-after", base_version="v-seed")
+    assert list(res.kept) == ["v-seed", "v-after"]
 
 
 def test_file_store_etag_tracks_composed_state(tmp_path):

@@ -83,6 +83,48 @@ def test_merge_upsert_is_idempotent_and_last_wins(spark, events, tmp_path):
     assert _table_hash(incremental.read_merged(spark, path)) == h1
 
 
+def test_sqlite_arbitered_table_full_merge_surface(spark, events, tmp_path):
+    """A table whose commits are arbitered by the sqlite store (marker
+    planted at creation) must carry the WHOLE versioned-lake surface
+    unchanged: idempotent last-wins MERGE, pointer-resolving reads,
+    time travel, vacuum — readers and GC only ever see the decomposed
+    files, publishes only ever go through sqlite's conditional-put,
+    and the flock file is never created."""
+    from ad_data_lake_spark.sqlite_store import SqliteTableCommitStore
+
+    path = str(tmp_path / "sqlite_silver")
+    SqliteTableCommitStore(path)  # plant the arbiter before first merge
+    base = events.select("event_id", "ts", "user_id", "event_type", "value")
+    incremental.merge_upsert(spark, path, base, "event_id", "ts", "value")
+    h0 = _table_hash(incremental.read_merged(spark, path))
+
+    updates = (
+        base.orderBy("event_id").limit(100)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+        .withColumn("value", F.lit(9999.0))
+    )
+    incremental.merge_upsert(spark, path, updates, "event_id", "ts", "value")
+    merged = incremental.read_merged(spark, path)
+    assert merged.count() == base.count()
+    assert merged.where(F.col("value") == 9999.0).count() == 100
+    h1 = _table_hash(merged)
+    assert h1 != h0
+    # idempotency on the sqlite arbiter
+    incremental.merge_upsert(spark, path, updates, "event_id", "ts", "value")
+    assert _table_hash(incremental.read_merged(spark, path)) == h1
+    # time travel still resolves through the decomposed log
+    assert _table_hash(incremental.read_previous(spark, path)) == h1
+    assert (
+        _table_hash(incremental.read_version(spark, path, steps_back=2)) == h0
+    )
+    # vacuum runs through the same sqlite CAS
+    removed = incremental.vacuum(path, retain=1)
+    assert removed  # the older versions were reclaimed
+    assert _table_hash(incremental.read_merged(spark, path)) == h1
+    # no flock file was ever needed
+    assert not os.path.exists(os.path.join(path, incremental._LOCK))
+
+
 def test_merge_rewrites_only_touched_buckets(spark, events, tmp_path):
     """Bucket-scoped MERGE contract: a merge touching ONE key rewrites
     only that key's bucket; every other bucket's files carry over into
@@ -1283,23 +1325,33 @@ def test_commit_lock_verify_catches_mid_hold_replacement(tmp_path):
         held2.verify()
 
 
-def test_publish_cas_across_processes(tmp_path):
-    """Cross-PROCESS optimistic concurrency, pure file ops (no Spark):
-    N subprocesses each publish M versions against one table using the
-    retry-on-ConcurrentWriteError loop a merge performs. The lock file
-    is O_CREAT|O_EXCL so it serializes processes exactly like threads;
-    afterwards the log must contain the last max(1, retain) commits of
+@pytest.mark.parametrize("backend", ["flock", "sqlite"])
+def test_publish_cas_across_processes(tmp_path, backend):
+    """Cross-PROCESS optimistic concurrency, pure file/db ops (no
+    Spark): N subprocesses each publish M versions against one table
+    using the retry-on-ConcurrentWriteError loop a merge performs.
+    Parameterized over BOTH commit arbiters — the flock-emulated file
+    store and the sqlite transactional store (workers call the same
+    ``_publish``; the table's marker database routes the backend, so
+    the only difference between runs is what provides the CAS).
+    Afterwards the log must contain the last max(1, retain) commits of
     the N*M total with a consistent pointer — and every process must
     have succeeded (no lost publishes, no deadlock)."""
     import subprocess
     import sys
     import textwrap
 
-    target = str(tmp_path / "xproc_t")
+    target = str(tmp_path / f"xproc_{backend}_t")
     os.makedirs(target)
-    incremental._write_atomic(target, incremental._PTR, "v-seed0000")
-    incremental._write_atomic(target, incremental._LOG, "v-seed0000\n")
     os.makedirs(os.path.join(target, "v-seed0000"))
+    if backend == "sqlite":
+        from ad_data_lake_spark.sqlite_store import SqliteTableCommitStore
+
+        SqliteTableCommitStore(target)  # plant the arbiter marker
+        incremental._publish(target, "v-seed0000", base_version=None)
+    else:
+        incremental._write_atomic(target, incremental._PTR, "v-seed0000")
+        incremental._write_atomic(target, incremental._LOG, "v-seed0000\n")
 
     worker = textwrap.dedent(
         """
@@ -1339,8 +1391,21 @@ def test_publish_cas_across_processes(tmp_path):
     history = incremental._published_history(target, current)
     assert history[-1] == current
     assert len(history) == min(20 + 1, incremental.RETAIN_VERSIONS)
-    # the flock file persists by design (every acquirer locks one inode)
-    assert os.path.exists(os.path.join(target, incremental._LOCK))
+    if backend == "flock":
+        # the flock file persists by design (every acquirer locks one inode)
+        assert os.path.exists(os.path.join(target, incremental._LOCK))
+    else:
+        # the sqlite arbiter never creates the flock file at all, and
+        # its canonical state agrees with the decomposed files
+        assert not os.path.exists(os.path.join(target, incremental._LOCK))
+        from ad_data_lake_spark.commit_protocol import COMMIT_KEY, CommitState
+        from ad_data_lake_spark.sqlite_store import SqliteTableCommitStore
+
+        state = CommitState.from_bytes(
+            SqliteTableCommitStore(target).get(COMMIT_KEY)[0]
+        )
+        assert state.current == current
+        assert list(state.versions) == history
     # every retained version's directory exists (nothing GC'd wrongly)
     for v in history:
         assert os.path.isdir(os.path.join(target, v)), v
