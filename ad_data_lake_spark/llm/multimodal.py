@@ -11,9 +11,10 @@ re-encode; ``jpeg_codec`` — Huffman entropy decode, dequantize, IDCT;
 ``gif_codec`` — LZW decode over the color table; ``bmp_codec`` —
 BGR(A) row unpack; ``webp_codec`` — VP8L prefix-code + transform
 decode), all exercised in CI, covering every format the reference
-uploader accepts; Pillow, when importable, takes over the same call
-sites and adds lossy-WebP (VP8) — the one remaining guarded variant.
-Non-decodable payloads
+uploader accepts. WebP payloads prefer the system libwebp via ctypes
+(``webp_ffi``) when present — native-speed decode of lossy VP8 AND
+lossless VP8L, which this host has — with Pillow, when importable,
+taking over every call site ahead of both. Non-decodable payloads
 (audio/video, unrecognized bytes) fall back to the deterministic
 md5-derived stand-ins so the Arrow plumbing — the binary column, the
 metadata struct, the mapInPandas batch shape, the output schema, the
@@ -100,20 +101,32 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
 
 
 def decode_asset_bytes(payload: bytes, mime: str):
-    """Decode an image payload — Pillow when importable (any image
-    format Pillow knows), else the vendored pure-stdlib codecs (PNG:
-    8-bit RGB/RGBA; JPEG: baseline sequential 4:4:4/grayscale; GIF;
-    BMP; lossless WebP/VP8L), so the REAL decode branch runs in CI for
-    ALL FIVE of the reference uploader's accepted formats (reference
-    pages/2_Creative_Uploader.py:25 lists jpg/jpeg/png/gif/bmp/webp).
-    Returns a Pillow image or a ``(width, height, channels, pixels)``
-    tuple respectively. Audio/video decode would gate on soundfile/av
-    the same way and currently raises ``NotImplementedError``."""
+    """Decode an image payload. Dispatch order (pytest-pinned in
+    test_llm_pipeline): **Pillow** when importable (any format it
+    knows) → **libwebp via ctypes** for WebP payloads (``webp_ffi`` —
+    the production path: native-speed decode of BOTH lossy VP8 and
+    lossless VP8L; the reference uploader accepts .webp, reference
+    pages/2_Creative_Uploader.py:25) → the **vendored pure-stdlib
+    codecs** (PNG: 8-bit RGB/RGBA; JPEG: baseline sequential
+    4:4:4/grayscale; GIF; BMP; lossless WebP/VP8L), so the REAL decode
+    branch runs in CI for ALL FIVE accepted formats even on a host
+    with no media libraries at all. Returns a Pillow image or a
+    ``(width, height, channels, pixels)`` tuple respectively.
+    Audio/video decode would gate on soundfile/av the same way and
+    currently raises ``NotImplementedError``."""
     if mime.startswith("image/"):
         if HAVE_IMAGE_DECODER:
             import io
 
             return Image.open(io.BytesIO(payload))
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from ad_data_lake_spark.llm import webp_ffi
+
+            if webp_ffi.available():
+                # native path: a corrupt payload raises ValueError here
+                # and must NOT fall through (the vendored codec would
+                # just re-derive the same refusal, slower)
+                return webp_ffi.decode_webp(payload)
         from ad_data_lake_spark.llm import (
             bmp_codec,
             gif_codec,
@@ -134,10 +147,11 @@ def decode_asset_bytes(payload: bytes, mime: str):
             except ValueError:
                 continue  # not this format: try the next vendored codec
     raise NotImplementedError(
-        "no decoder for this payload in this container (PNG/baseline-"
-        "JPEG/GIF/BMP/lossless-WebP decode via the vendored codecs; "
-        "lossy WebP and audio/video need Pillow/soundfile/av); use "
-        "fake_features() (deterministic stand-in)"
+        "no decoder for this payload in this container (WebP decodes "
+        "natively via libwebp-ctypes when present; PNG/baseline-JPEG/"
+        "GIF/BMP/lossless-WebP via the vendored codecs; lossy WebP "
+        "without libwebp and audio/video need Pillow/soundfile/av); "
+        "use fake_features() (deterministic stand-in)"
     )
 
 

@@ -592,6 +592,113 @@ def test_resize_assets_real_decode_webp_in_ci(spark):
     assert row2.resized_md5 == stand_in2
 
 
+def test_webp_decode_dispatch_order_is_pinned(monkeypatch):
+    """Decode dispatch for WebP payloads is Pillow → libwebp-ctypes →
+    vendored VP8L codec. Pinned by sentinel: with libwebp available
+    (this host has it) decode_asset_bytes must route a WebP payload
+    through webp_ffi; with it unavailable the vendored codec serves the
+    same payload; and both return the SAME (w, h, channels, pixels) for
+    a lossless stream — the property that makes the fallback chain
+    transparent."""
+    import numpy as np
+
+    from ad_data_lake_spark.llm import webp_codec as WC
+    from ad_data_lake_spark.llm import webp_ffi
+
+    if MM.HAVE_IMAGE_DECODER:
+        pytest.skip("Pillow present: it owns the whole dispatch by design")
+    if not webp_ffi.available():
+        pytest.skip("no system libwebp on this host")
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (9, 14, 3)).astype(np.uint8)
+    webp = WC.encode_webp(img.tobytes(), 14, 9, 3)
+
+    calls = {"ffi": 0}
+    real = webp_ffi.decode_webp
+
+    def spy(data):
+        calls["ffi"] += 1
+        return real(data)
+
+    monkeypatch.setattr(webp_ffi, "decode_webp", spy)
+    via_ffi = MM.decode_asset_bytes(webp, "image/webp")
+    assert calls["ffi"] == 1  # the native path served it
+
+    monkeypatch.setattr(webp_ffi, "available", lambda: False)
+    via_vendored = MM.decode_asset_bytes(webp, "image/webp")
+    assert calls["ffi"] == 1  # gate respected: vendored served it
+    assert via_ffi == via_vendored  # bit-identical across the chain
+
+
+def test_resize_assets_real_decode_lossy_vp8_in_ci(spark):
+    """The r10 verdict's ask #3 close-out: a LOSSY (VP8) WebP payload —
+    the variant the vendored codec refuses and in-the-wild .webp mostly
+    is — must real-decode in CI through the libwebp-ctypes production
+    path: real header dims, resized_md5 = the actual decode →
+    NN-resize → PNG re-encode (≠ the stand-in), and the decoded pixels
+    must approximate the source (lossy: mean error small, not exact)."""
+    import ctypes
+    import hashlib
+
+    import numpy as np
+
+    from ad_data_lake_spark.llm import webp_ffi
+
+    if MM.HAVE_IMAGE_DECODER:
+        pytest.skip("Pillow present: it owns the whole dispatch by design")
+    if not webp_ffi.available():
+        pytest.skip("no system libwebp on this host")
+
+    lib = ctypes.CDLL("libwebp.so.7")
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    # smooth gradient: lossy-compresses with low error
+    yy, xx = np.mgrid[0:120, 0:200]
+    img = np.stack(
+        [(xx * 5 // 4) % 256, (yy * 2) % 256, ((xx + yy) // 2) % 256], -1
+    ).astype(np.uint8)
+    out = ctypes.c_void_p()
+    n = lib.WebPEncodeRGB(img.tobytes(), 200, 120, 200 * 3, 90.0, ctypes.byref(out))
+    assert n > 0
+    lossy = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+
+    # the vendored codec refuses this payload; the production path must not
+    from ad_data_lake_spark.llm import webp_codec as WC
+
+    with pytest.raises(ValueError):
+        WC.decode_webp(lossy)
+    w, h, ch, px = MM.decode_asset_bytes(lossy, "image/webp")
+    assert (w, h, ch) == (200, 120, 3)
+    err = np.abs(
+        np.frombuffer(px, np.uint8).astype(np.int16)
+        - img.reshape(-1).astype(np.int16)
+    ).mean()
+    assert err < 8.0, f"lossy decode drifted too far from source ({err})"
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(lossy), ("image/webp", "a.webp", len(lossy)))],
+        "doc_id long, payload binary, meta struct<mime:string,filename:string,n_bytes:long>",
+    )
+    row = MM.resize_assets(assets, real_decode=True).collect()[0]
+    assert (row.src_w, row.src_h) == (200, 120)
+    assert row.resized_md5 == hashlib.md5(
+        MM.resize_image_bytes(lossy, MM.RESIZE_MAX_DIM)
+    ).hexdigest()
+    stand_in = hashlib.md5(
+        f"{hashlib.md5(lossy).hexdigest()}:{row.out_w}x{row.out_h}".encode()
+    ).hexdigest()
+    assert row.resized_md5 != stand_in
+
+
 def test_gif_bmp_codecs_roundtrip_and_error_contract():
     """Vendored GIF/BMP codecs: BMP roundtrips RGB and RGBA
     byte-exactly (bottom-up, 4-byte row padding); GIF roundtrips
