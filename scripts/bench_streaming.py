@@ -15,9 +15,18 @@ the rows actually fed to the stream source (events fact = 100k at
 sf0.1; the two planted-duplicate pipelines feed 110k; the corpus rows
 feed the duplicated documents corpus, counted at runtime).
 
-Usage: python scripts/bench_streaming.py [sf_dir]
+Usage: python scripts/bench_streaming.py [sf_dir] [--rep N]
 Prints a markdown table + one JSON line; paste the table into
 BASELINE.md.
+
+``--rep N`` (VERDICT r10 ask #5) builds a STREAM-scale fixture at
+``<repo>/.scale_fixture/stream_sf{0.1*N}``: events and documents
+replicated N× with disjoint id/user spaces (each replica's users are
+new users in the same time span — so watermark windows stay put while
+per-key STATE grows N×, exactly the dimension a bigger deployment
+stresses), every other table symlinked. The bench then runs against
+that fixture, showing micro-batch overhead amortizing and state stores
+staying bounded as the stream scales.
 """
 
 from __future__ import annotations
@@ -26,12 +35,17 @@ import json
 import os
 import sys
 import time
+from functools import reduce
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.1"
+REP = 1
+if "--rep" in sys.argv:
+    REP = int(sys.argv[sys.argv.index("--rep") + 1])
 
 # name -> how to count the rows the pipeline streams (evaluated once)
 _EVENTS = "events"
@@ -67,12 +81,68 @@ def _input_rows(spark) -> dict[str, int]:
     }
 
 
+def _build_stream_fixture(spark, base: str, rep: int) -> str:
+    """Replicate events+documents rep× into a stream-scale fixture
+    (disjoint id/user spaces per replica; same time span), symlink the
+    rest. Idempotent via a _DONE marker."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from ad_data_lake_spark.sources.tables import TABLE_NAMES, load_table
+
+    tag = os.path.basename(base.rstrip("/")).removeprefix("sf")
+    out = str(REPO / ".scale_fixture" / f"stream_sf{round(float(tag) * rep, 2)}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    OFF = 100_000_000  # far above any fixture id space
+
+    ev = load_table(spark, "events", base)
+    ev_reps = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * OFF)).withColumn(
+            "user_id", F.col("user_id") + F.lit(i * OFF)
+        )
+        for i in range(rep)
+    ]
+    # many output files: file-source parallelism is per-file (the r10
+    # one-file lesson); 32 files ≈ an upstream writer's per-trigger fan
+    reduce(DataFrame.unionByName, ev_reps).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "events.parquet"))
+
+    docs = load_table(spark, "documents", base)
+    doc_reps = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * OFF)).withColumn(
+            "text", F.concat(F.col("text"), F.lit(f" r{i}"))
+        )
+        for i in range(rep)
+    ]
+    reduce(DataFrame.unionByName, doc_reps).repartition(16).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "documents.parquet"))
+
+    for t in TABLE_NAMES:
+        if t in ("events", "documents"):
+            continue
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(base, f"{t}.parquet"), dst)
+    with open(marker, "w") as f:
+        f.write(f"rep={rep} base={base}\n")
+    return out
+
+
 def main() -> None:
+    global SF_DIR
     from ad_data_lake_spark.queries import REGISTRY
     from ad_data_lake_spark.session import get_spark
 
     spark = get_spark("bench-streaming")
     spark.sparkContext.setLogLevel("ERROR")
+    if REP > 1:
+        SF_DIR = _build_stream_fixture(spark, SF_DIR, REP)
+        print(f"stream fixture: {SF_DIR}", file=sys.stderr, flush=True)
     counts = _input_rows(spark)
 
     def mat(df):
@@ -90,7 +160,11 @@ def main() -> None:
         walls[name] = best
         print(f"{name:32s} {best:7.2f}s", file=sys.stderr, flush=True)
 
-    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+    sf = (
+        os.path.basename(SF_DIR.rstrip("/"))
+        .removeprefix("stream_sf")
+        .removeprefix("sf")
+    )
     print(f"\n| Streaming row | Input rows (sf{sf}) | Wall (s) | rows/s |")
     print("|---|---|---|---|")
     rates = {}

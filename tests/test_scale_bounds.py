@@ -53,3 +53,74 @@ def test_ngram_scaled_mod_sf10_bound(spark):
     bound 60 s — the linear-slope pin BASELINE.md cites."""
     wall = _wall_ngram_scaled(spark, _fixture("10.0"), mod=5000)
     assert wall < 60.0, f"ngram scaled-mod sf10 regressed: {wall:.1f}s"
+
+
+# ---------------------------------------------------------------------------
+# Streaming-tier drain-rate floors (VERDICT r10 ask #4). The r10 drain
+# table (BASELINE.md) measured 40-92k events/s for the event streams at
+# sf0.1; nothing enforced it, so the next one-file-fixture-class defect
+# (every micro-batch running 1-2 tasks — the r10 bug, which billed the
+# sanitize chain at 10k rows/s instead of 42k) would again need a manual
+# bench read to notice. Floors are ~40% of the r10 measured rates:
+# generous for shared-host jitter, but a lost-parallelism regression
+# (a 4x+ hit on the compute-bound rows) fails loudly. Wall = the WHOLE
+# registry callable (fixture write + availableNow drain + read-back),
+# identical to scripts/bench_streaming.py.
+# ---------------------------------------------------------------------------
+
+SF01 = "/root/testdata/sf0.1"
+
+# row name -> (input-rows source, floor in rows/s; r10 measured in comment)
+_STREAM_FLOORS = {
+    "streaming_daily_insights": ("events+dups", 24000),  # r10: 60175
+    "streaming_sliding_insights": ("events+dups", 25000),  # r10: 63547
+    "streaming_sessionize": ("events", 32000),  # r10: 81672
+    "streaming_dim_enrich": ("events", 36000),  # r10: 92184
+    "streaming_frequency_cap": ("events", 22000),  # r10: 57081
+    "streaming_attribution_join": ("events", 16000),  # r10: 40595
+    "streaming_json_sanitize": ("events", 17000),  # r10: 42386 (10k when broken)
+    "streaming_corpus_ingest": ("dup_corpus", 1000),  # r10: 2713
+    "streaming_rare_token_scrub": ("documents", 1700),  # r10: 4241
+}
+
+
+@pytest.fixture(scope="module")
+def _stream_input_rows(spark):
+    if not os.path.isdir(SF01):
+        pytest.skip("sf0.1 fixture not present on this host")
+    from ad_data_lake_spark.llm.corpus import dup_corpus
+    from ad_data_lake_spark.sources.tables import load_table
+
+    n_events = load_table(spark, "events", SF01).count()
+    n_docs = load_table(spark, "documents", SF01).count()
+    n_dup = dup_corpus(load_table(spark, "documents", SF01)).count()
+    return {
+        "events": n_events,
+        "events+dups": n_events + n_events // 10,
+        "dup_corpus": n_dup,
+        "documents": n_docs,
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_STREAM_FLOORS))
+def test_streaming_drain_rate_floor(spark, _stream_input_rows, name):
+    from ad_data_lake_spark.queries import REGISTRY
+
+    src, floor = _STREAM_FLOORS[name]
+    n = _stream_input_rows[src]
+
+    def run():
+        REGISTRY[name].fn(spark, SF01).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    run()  # warm (plans compile, fixture dirs allocate)
+    t0 = time.perf_counter()
+    run()
+    wall = time.perf_counter() - t0
+    rate = n / wall
+    assert rate >= floor, (
+        f"{name}: {rate:.0f} rows/s < floor {floor} "
+        f"({n} rows in {wall:.2f}s) — drain-rate regression "
+        "(lost per-batch parallelism? see BASELINE.md streaming table)"
+    )
