@@ -56,32 +56,95 @@ def test_ngram_scaled_mod_sf10_bound(spark):
 
 
 # ---------------------------------------------------------------------------
-# Streaming-tier drain-rate floors (VERDICT r10 ask #4). The r10 drain
-# table (BASELINE.md) measured 40-92k events/s for the event streams at
-# sf0.1; nothing enforced it, so the next one-file-fixture-class defect
-# (every micro-batch running 1-2 tasks — the r10 bug, which billed the
-# sanitize chain at 10k rows/s instead of 42k) would again need a manual
-# bench read to notice. Floors are ~40% of the r10 measured rates:
-# generous for shared-host jitter, but a lost-parallelism regression
-# (a 4x+ hit on the compute-bound rows) fails loudly. Wall = the WHOLE
-# registry callable (fixture write + availableNow drain + read-back),
-# identical to scripts/bench_streaming.py.
+# Streaming-tier drain-rate floors (VERDICT r10 ask #4). The drain table
+# (BASELINE.md) measured 40-92k events/s for the event streams at sf0.1
+# on the r10 host; nothing enforced it, so the next one-file-fixture
+# defect (every micro-batch running 1-2 tasks — the r10 bug, which
+# billed the sanitize chain at 10k rows/s instead of 42k) would again
+# need a manual bench read to notice. Absolute rows/s floors proved
+# HOST-FRAGILE in r11: the round-11 host runs the same code at ~55-70%
+# of the r10 rates (a plain CPU-speed delta, verified clean-machine),
+# so floors pinned as 40%-of-r10 sat within noise of an honest run.
+# Two changes keep the guard while de-flaking it:
+#   1. floors re-based at ~40% of the SLOWER (r11) host's clean rates
+#      (r10 + r11 measured rates in comments);
+#   2. a once-per-module Spark probe job scales floors DOWN when the
+#      current host is slower than the r11 reference (never up), so
+#      the defect class — a 4x+ lost-parallelism hit relative to the
+#      same host's capability — still fails loudly on any machine.
+# Wall = the WHOLE registry callable (fixture write + availableNow
+# drain + read-back), identical to scripts/bench_streaming.py.
 # ---------------------------------------------------------------------------
 
 SF01 = "/root/testdata/sf0.1"
 
-# row name -> (input-rows source, floor in rows/s; r10 measured in comment)
+# Reference wall for the host-speed probe on the r11 bench host
+# (min-of-3 after warm: 0.94-1.33 s observed; 1.0 s pinned).
+_PROBE_REF_SEC = 1.0
+
+# row name -> (input-rows source, floor in rows/s at reference host
+# speed; measured clean rates in comments: r10 host / r11 host). Floors
+# sit at ~30% of the r11-host clean rates: the r10 defect class ran at
+# ~24% of clean (42386 -> 10000), so it still fails, while the r11
+# VM's observed honest-run wobble (±35% across back-to-back idle runs)
+# does not. The deterministic root-cause guard is
+# test_stream_source_file_fanout below — THIS test is the timing
+# backstop, not the primary detector.
 _STREAM_FLOORS = {
-    "streaming_daily_insights": ("events+dups", 24000),  # r10: 60175
-    "streaming_sliding_insights": ("events+dups", 25000),  # r10: 63547
-    "streaming_sessionize": ("events", 32000),  # r10: 81672
-    "streaming_dim_enrich": ("events", 36000),  # r10: 92184
-    "streaming_frequency_cap": ("events", 22000),  # r10: 57081
-    "streaming_attribution_join": ("events", 16000),  # r10: 40595
-    "streaming_json_sanitize": ("events", 17000),  # r10: 42386 (10k when broken)
-    "streaming_corpus_ingest": ("dup_corpus", 1000),  # r10: 2713
-    "streaming_rare_token_scrub": ("documents", 1700),  # r10: 4241
+    "streaming_daily_insights": ("events+dups", 11000),  # 60175 / 36723
+    "streaming_sliding_insights": ("events+dups", 12000),  # 63547 / 39497
+    "streaming_sessionize": ("events", 18000),  # 81672 / 60122
+    "streaming_dim_enrich": ("events", 24000),  # 92184 / 79545
+    "streaming_frequency_cap": ("events", 13500),  # 57081 / 45665
+    "streaming_attribution_join": ("events", 9000),  # 40595 / 29360
+    "streaming_json_sanitize": ("events", 8000),  # 42386 / 27221 (10k broken on r10 host)
+    "streaming_corpus_ingest": ("dup_corpus", 800),  # 2713 / 2726
+    "streaming_rare_token_scrub": ("documents", 1200),  # 4241 / 4087
 }
+
+
+def test_stream_source_file_fanout(spark, tmp_path):
+    """Deterministic pin of the r10 parallelism defect's root cause:
+    stream-source fixtures MUST be written as many parquet files,
+    because a file-source micro-batch parallelizes per FILE — one file
+    means 1-2 tasks per batch regardless of cluster size (the bug that
+    billed the sanitize chain at 10k rows/s instead of 42k). Timing
+    floors above catch unknown regressions; this catches the known one
+    without a stopwatch."""
+    from ad_data_lake_spark.operators.lake_queries import _stream_src_write
+
+    src = str(tmp_path / "stream_src")
+    _stream_src_write(spark.range(10_000).selectExpr("id", "id * 2 AS v"), src)
+    n_parts = len(
+        [f for f in os.listdir(src) if f.startswith("part-") and f.endswith(".parquet")]
+    )
+    assert n_parts >= 8, (
+        f"stream source fixture written as {n_parts} files — micro-batch "
+        "parallelism collapses (r10 defect class); expected >= 8"
+    )
+
+
+@pytest.fixture(scope="module")
+def _host_speed_scale(spark):
+    """min(1, probe_ref / probe_now): 1.0 on a host at least as fast
+    as the r11 reference; proportionally below 1 on slower hardware.
+    The probe is a fixed CPU+shuffle Spark job (min-of-3 after warm),
+    so drain rate and probe degrade together under a slower host while
+    a lost-parallelism bug degrades only the drain rate."""
+
+    def probe() -> float:
+        df = (
+            spark.range(0, 200_000_000, 1, 32)
+            .groupBy((F.col("id") % 997).alias("k"))
+            .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+        )
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    probe()  # warm: codegen + JIT
+    wall = min(probe() for _ in range(3))
+    return min(1.0, _PROBE_REF_SEC / wall)
 
 
 @pytest.fixture(scope="module")
@@ -103,10 +166,13 @@ def _stream_input_rows(spark):
 
 
 @pytest.mark.parametrize("name", sorted(_STREAM_FLOORS))
-def test_streaming_drain_rate_floor(spark, _stream_input_rows, name):
+def test_streaming_drain_rate_floor(
+    spark, _stream_input_rows, _host_speed_scale, name
+):
     from ad_data_lake_spark.queries import REGISTRY
 
-    src, floor = _STREAM_FLOORS[name]
+    src, base_floor = _STREAM_FLOORS[name]
+    floor = base_floor * _host_speed_scale
     n = _stream_input_rows[src]
 
     def run():
@@ -115,12 +181,17 @@ def test_streaming_drain_rate_floor(spark, _stream_input_rows, name):
         ).save()
 
     run()  # warm (plans compile, fixture dirs allocate)
-    t0 = time.perf_counter()
-    run()
-    wall = time.perf_counter() - t0
-    rate = n / wall
+    rate = 0.0
+    for _ in range(2):  # best-of-2: one GC pause must not fail the floor
+        t0 = time.perf_counter()
+        run()
+        wall = time.perf_counter() - t0
+        rate = max(rate, n / wall)
+        if rate >= floor:
+            break
     assert rate >= floor, (
-        f"{name}: {rate:.0f} rows/s < floor {floor} "
-        f"({n} rows in {wall:.2f}s) — drain-rate regression "
-        "(lost per-batch parallelism? see BASELINE.md streaming table)"
+        f"{name}: {rate:.0f} rows/s < floor {floor:.0f} "
+        f"(host scale {_host_speed_scale:.2f}, {n} rows in {wall:.2f}s) — "
+        "drain-rate regression (lost per-batch parallelism? see "
+        "BASELINE.md streaming table)"
     )
