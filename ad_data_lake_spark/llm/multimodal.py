@@ -14,11 +14,18 @@ decode), all exercised in CI, covering every format the reference
 uploader accepts. WebP payloads prefer the system libwebp via ctypes
 (``webp_ffi``) when present — native-speed decode of lossy VP8 AND
 lossless VP8L, which this host has — with Pillow, when importable,
-taking over every call site ahead of both. Non-decodable payloads
-(audio/video, unrecognized bytes) fall back to the deterministic
-md5-derived stand-ins so the Arrow plumbing — the binary column, the
-metadata struct, the mapInPandas batch shape, the output schema, the
-partitioning — is identical whichever branch runs.
+taking over every call site ahead of both. Audio and video are real
+too (round 11): WAV decodes via the vendored ``wav_codec``
+(PCM8/16/float32 + linear resample), AVI video frames extract via the
+vendored ``avi_codec`` (uncompressed DIB + MJPEG through
+``jpeg_codec``), and MP4 headers parse via ``mp4_meta`` — each with
+its own oracle-gated registry row (``audio_wav_features``,
+``video_frame_stats``) that value-checks the REAL decode roundtrip
+against DuckDB. Only codec-stack formats (mp3/aac, h264/h265) fall
+back to the deterministic md5-derived stand-ins, so the Arrow
+plumbing — the binary column, the metadata struct, the mapInPandas
+batch shape, the output schema, the partitioning — is identical
+whichever branch runs.
 
 Scale notes (100 TB):
 - payloads travel as Arrow binary batches; the Python worker sees
@@ -112,8 +119,10 @@ def decode_asset_bytes(payload: bytes, mime: str):
     branch runs in CI for ALL FIVE accepted formats even on a host
     with no media libraries at all. Returns a Pillow image or a
     ``(width, height, channels, pixels)`` tuple respectively.
-    Audio/video decode would gate on soundfile/av the same way and
-    currently raises ``NotImplementedError``."""
+    Audio payloads decode via ``decode_audio_bytes`` (vendored WAV
+    codec), video frames via ``decode_video_frames`` (vendored AVI
+    codec); only codec-stack formats (mp3/aac, h264) still raise
+    ``NotImplementedError``."""
     if mime.startswith("image/"):
         if HAVE_IMAGE_DECODER:
             import io
@@ -350,11 +359,63 @@ def multimodal_resize(documents: DataFrame) -> DataFrame:
 
 def sample_frame_indices(n_frames: Column, k: int = 3) -> Column:
     """Video frame-sampling plan: k evenly spaced frame indices out of
-    ``n_frames`` — metadata-only, stays JVM-side; the (stubbed) decoder
-    would fetch exactly these frames."""
+    ``n_frames`` — metadata-only, stays JVM-side; ``decode_video_frames``
+    fetches exactly these frames."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: (i * (n_frames - 1) / (k - 1)).cast("long"),
+    )
+
+
+def sampled_indices(n_frames: int, k: int = 3) -> list[int]:
+    """Python twin of ``sample_frame_indices`` (same double-divide +
+    floor-to-long arithmetic; equivalence pytest-pinned) for use inside
+    Arrow batch kernels."""
+    if k <= 1:
+        return [0]
+    return [int(i * (n_frames - 1) / (k - 1)) for i in range(k)]
+
+
+def decode_audio_bytes(payload: bytes):
+    """Decode an audio payload → (sample_rate, channels, int16 samples
+    (n_frames, channels)). WAV (PCM8/PCM16/float32) decodes for REAL
+    via the vendored ``wav_codec`` — no media library needed; formats
+    that genuinely need a native codec stack (mp3/aac/opus) raise
+    NotImplementedError and the caller falls back to the deterministic
+    stand-in, the same contract images had before their codecs were
+    vendored."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from ad_data_lake_spark.llm import wav_codec
+
+        return wav_codec.decode_wav(payload)
+    raise NotImplementedError(
+        "no audio decoder for this payload (WAV decodes via the vendored "
+        "wav_codec; mp3/aac/opus need soundfile); use fake_features()"
+    )
+
+
+def decode_video_frames(payload: bytes, k: int = 3):
+    """Sample-then-decode for a video payload: k evenly spaced frames
+    (``sampled_indices`` — the same plan ``sample_frame_indices``
+    declares JVM-side), decoded to RGB. AVI containers decode for REAL
+    via the vendored ``avi_codec`` (uncompressed DIB and MJPEG — the
+    latter one vendored ``jpeg_codec`` call per frame); MP4 payloads
+    carry codec streams (h264/h265/av1) that genuinely need a native
+    stack — ``mp4_meta.parse_mp4_meta`` still reads their duration/
+    track/dims headers for real, but pixel decode raises
+    NotImplementedError. Returns ((w, h, n_frames, fps, fourcc),
+    [frame_idx...], [RGB arrays...])."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from ad_data_lake_spark.llm import avi_codec
+
+        meta = avi_codec.parse_avi_meta(payload)
+        idx = sampled_indices(meta[2], k)
+        _meta, frames = avi_codec.decode_avi_frames(payload, idx)
+        return meta, sorted(set(idx)), frames
+    raise NotImplementedError(
+        "no video frame decoder for this payload (AVI DIB/MJPEG decodes "
+        "via the vendored avi_codec; mp4 pixel decode needs PyAV — its "
+        "METADATA parses via mp4_meta.parse_mp4_meta)"
     )
 
 
@@ -362,3 +423,163 @@ def multimodal_features(documents: DataFrame) -> DataFrame:
     """The registered end-to-end query: documents → asset table →
     mapInPandas feature extraction."""
     return extract_features(to_asset_table(documents))
+
+
+# ---------------------------------------------------------------------------
+# Real-decode audio/video registry rows. Both synthesize the container
+# bytes DETERMINISTICALLY from each document's characters, run the real
+# vendored decode path, and emit features of the DECODED samples/pixels
+# — so the DuckDB oracle (which recomputes the same features straight
+# from the char codes, never seeing a container) value-checks the
+# encode → parse → decode roundtrip itself. A decoder that mis-reads
+# the header, drops samples, mis-orders rows/channels, or extracts the
+# wrong frame produces a hash mismatch at the driver gate.
+# ---------------------------------------------------------------------------
+
+AUDIO_SR = 16_000
+AUDIO_MAX_SAMPLES = 256
+VIDEO_W = VIDEO_H = 4  # row stride 4*3=12 bytes: already word-aligned
+VIDEO_N_FRAMES = 8
+VIDEO_SAMPLE_K = 3
+_FRAME_PX = VIDEO_W * VIDEO_H * 3
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples bigint, sample_rate bigint, duration_ms bigint, "
+    "peak bigint, zcr bigint, rms double"
+)
+
+
+def audio_wav_features(documents: DataFrame) -> DataFrame:
+    """REAL WAV decode, oracle-gated: per document, synthesize int16
+    PCM samples from the first ``AUDIO_MAX_SAMPLES`` characters
+    (``s_i = (ord(c_i)*997 + 131i) mod 65536 - 32768``), encode a real
+    RIFF/WAVE payload, decode it back through ``wav_codec``, and
+    compute the standard audio-curation features — duration, peak,
+    zero-crossing rate, RMS energy — from the DECODED samples (the
+    997 multiplier folds char codes across the int16 sign boundary so
+    ZCR is non-degenerate). The
+    oracle computes identical features from the char codes directly,
+    so a hash match proves the PCM roundtrip bit-exactly (int16 PCM is
+    lossless). Scale shape: one Arrow pass, bounded per-payload work,
+    zero shuffle — identical to ``extract_features``."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ad_data_lake_spark.llm import wav_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["t"]):
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                idx = np.arange(len(codes), dtype=np.int64)
+                synth = ((codes * 997 + idx * 131) % 65536 - 32768).astype(np.int16)
+                wav = wav_codec.encode_wav(synth, sample_rate=AUDIO_SR)
+                sr, n_ch, dec = wav_codec.decode_wav(wav)  # REAL decode
+                s = dec[:, 0].astype(np.int64)
+                n = len(s)
+                neg = s < 0
+                zcr = int(np.count_nonzero(neg[1:] != neg[:-1]))
+                rms = round(float(np.sqrt(float(np.sum(s * s)) / n)), 6)
+                rows.append(
+                    (
+                        int(doc_id),
+                        n,
+                        sr,
+                        n * 1000 // sr,
+                        int(np.max(np.abs(s))),
+                        zcr,
+                        rms,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "sample_rate",
+                    "duration_ms",
+                    "peak",
+                    "zcr",
+                    "rms",
+                ],
+            )
+
+    src = documents.where(F.length("text") >= 1).select(
+        "doc_id", F.substring("text", 1, AUDIO_MAX_SAMPLES).alias("t")
+    )
+    return src.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+VIDEO_STATS_SCHEMA = (
+    "doc_id bigint, n_frames bigint, frame_rank bigint, frame_idx bigint, "
+    "px_sum bigint, px_wsum bigint, mean_px double"
+)
+
+
+def video_frame_stats(documents: DataFrame) -> DataFrame:
+    """REAL AVI frame extraction, oracle-gated: per document, build an
+    8-frame 4x4 RGB video from the document's characters (pixel ``g``
+    of the flattened RGB stream is ``(ord(c_{g mod len})*31 + g) mod
+    256``), encode a real uncompressed-DIB AVI container, then run the
+    production sample-then-decode path (``decode_video_frames`` —
+    header parse, ``sample_frame_indices`` plan, movi walk, BGR
+    bottom-up → RGB top-down unpack) and emit per-sampled-frame pixel
+    stats. ``px_wsum`` (Σ position·value over the decoded RGB stream)
+    is ORDER-SENSITIVE, so a decoder that flips rows, swaps channels,
+    or fetches the wrong frame hash-mismatches at the driver gate even
+    when the plain sum survives. Oracle: the same stats straight from
+    char codes. Scale shape: one Arrow pass, zero shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ad_data_lake_spark.llm import avi_codec
+
+        n_px = _FRAME_PX * VIDEO_N_FRAMES
+        q = np.arange(_FRAME_PX, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                g = np.arange(n_px, dtype=np.int64)
+                vals = ((codes[g % len(codes)] * 31 + g) % 256).astype(np.uint8)
+                frames = [
+                    vals[f * _FRAME_PX : (f + 1) * _FRAME_PX].reshape(
+                        VIDEO_H, VIDEO_W, 3
+                    )
+                    for f in range(VIDEO_N_FRAMES)
+                ]
+                avi = avi_codec.encode_avi_dib(frames, fps=10)
+                meta, idx, decoded = decode_video_frames(avi, VIDEO_SAMPLE_K)
+                for rank, (fi, fr) in enumerate(zip(idx, decoded), start=1):
+                    flat = fr.reshape(-1).astype(np.int64)
+                    px_sum = int(flat.sum())
+                    rows.append(
+                        (
+                            int(doc_id),
+                            meta[2],
+                            rank,
+                            fi,
+                            px_sum,
+                            int(np.sum(q * flat)),
+                            round(px_sum / float(_FRAME_PX), 6),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "frame_rank",
+                    "frame_idx",
+                    "px_sum",
+                    "px_wsum",
+                    "mean_px",
+                ],
+            )
+
+    src = documents.where(F.length("text") >= 1).select("doc_id", "text")
+    return src.mapInPandas(run, schema=VIDEO_STATS_SCHEMA)

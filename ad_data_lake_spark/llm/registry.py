@@ -521,6 +521,78 @@ _add(
     ("llm", "multimodal", "pandas-udf"),
 )
 
+# Real-decode audio/video rows (r11): Spark synthesizes the container
+# bytes from each document's characters, runs the ACTUAL vendored
+# decode path (wav_codec / avi_codec), and emits features of the
+# decoded samples/pixels; the oracle recomputes the same features
+# straight from char codes — a hash match proves the encode → parse →
+# decode roundtrip itself (see the operator docstrings for what each
+# column pins). Constants interpolated from multimodal.py so the two
+# sides cannot drift.
+
+_AUDIO_ORACLE = f"""
+    WITH c AS (
+        SELECT doc_id, substr(text, 1, {MM.AUDIO_MAX_SAMPLES}) AS t
+        FROM documents WHERE length(text) >= 1),
+    s AS (
+        SELECT doc_id, i,
+               ((unicode(substr(t, CAST(i AS INT) + 1, 1)) * 997 + i * 131)
+                % 65536) - 32768 AS v
+        FROM c, unnest(range(0, length(t))) AS u(i)),
+    l AS (
+        SELECT doc_id, i, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM s)
+    SELECT doc_id,
+           count(*) AS n_samples,
+           CAST({MM.AUDIO_SR} AS BIGINT) AS sample_rate,
+           count(*) * 1000 // {MM.AUDIO_SR} AS duration_ms,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+           round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 6) AS rms
+    FROM l GROUP BY doc_id
+"""
+
+_add(
+    "audio_wav_features",
+    _doc_q(MM.audio_wav_features),
+    _AUDIO_ORACLE,
+    ("llm", "multimodal", "audio", "real-decode", "pandas-udf"),
+)
+
+_VID_IDX = MM.sampled_indices(MM.VIDEO_N_FRAMES, MM.VIDEO_SAMPLE_K)
+_VID_PX = MM.VIDEO_W * MM.VIDEO_H * 3
+
+_VIDEO_ORACLE = f"""
+    WITH c AS (
+        SELECT doc_id, text, length(text) AS L
+        FROM documents WHERE length(text) >= 1),
+    fr AS (SELECT unnest({_VID_IDX}) AS frame_idx,
+                  unnest({list(range(1, len(_VID_IDX) + 1))}) AS frame_rank),
+    px AS (
+        SELECT doc_id, frame_idx, frame_rank, p,
+               (unicode(substr(text,
+                    CAST((frame_idx * {_VID_PX} + p) % L AS INT) + 1, 1)) * 31
+                + frame_idx * {_VID_PX} + p) % 256 AS v
+        FROM c, fr, unnest(range(0, {_VID_PX})) AS u(p))
+    SELECT doc_id,
+           CAST({MM.VIDEO_N_FRAMES} AS BIGINT) AS n_frames,
+           CAST(frame_rank AS BIGINT) AS frame_rank,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum(p * v) AS BIGINT) AS px_wsum,
+           round(CAST(sum(v) AS DOUBLE) / {_VID_PX}.0, 6) AS mean_px
+    FROM px GROUP BY doc_id, frame_rank, frame_idx
+"""
+
+_add(
+    "video_frame_stats",
+    _doc_q(MM.video_frame_stats),
+    _VIDEO_ORACLE,
+    ("llm", "multimodal", "video", "real-decode", "pandas-udf"),
+)
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search (llm/similarity.py)
 # ---------------------------------------------------------------------------

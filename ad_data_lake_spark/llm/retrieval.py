@@ -17,13 +17,13 @@ Scale shape (the part that must survive 100 TB):
   0.9 s vs 2.0-2.4 s at sf1; the regex split is the hot loop, and the
   JVM form also evaluates it twice — once for ``size``, once for the
   explode — because CollapseProject inlines the array alias).
-- The posting table is materialized ONCE (``localCheckpoint``, the
-  bigram/boilerplate carrier pattern) and feeds all three consumers:
-  document frequency (vocab-bounded aggregate → broadcast), average
-  document length (doc-keyed aggregate that collapses fully map-side
-  because documents are partition-local), and the scoring join. At
-  100 TB the checkpoint is one postings write — the same bytes a tf
-  exchange would move — paid once instead of per consumer.
+- The posting table feeds exactly ONE consumer (r11 job-count sweep —
+  it used to checkpoint for three): document frequency rides the
+  scoring pipeline as a window over the semi-joined postings, and the
+  corpus stats (n_docs, avgdl) come from one documents-scan aggregate,
+  so the Arrow tf pass streams straight into the scoring join with no
+  materialization. (``postings_index_incremental`` persists postings
+  durably when an index is actually wanted.)
 - The QUERY side is tiny by construction (a handful of query strings,
   bounded distinct tokens) and BROADCASTS into the posting scan — the
   corpus-sized tf table never shuffles for the match; only the matched
@@ -111,12 +111,11 @@ def _tf_partials(batches: Iterator) -> Iterator:
 
 def term_frequencies(documents: DataFrame) -> DataFrame:
     """The (doc_id, token, tf, dl) posting table, computed in one
-    shuffle-free Arrow pass (see ``_tf_partials``) and materialized
-    once for its consumers."""
-    return (
-        spread(documents.select("doc_id", "text"))
-        .mapInPandas(_tf_partials, _TF_SCHEMA)
-        .localCheckpoint(eager=False)
+    shuffle-free Arrow pass (see ``_tf_partials``). Consumed once per
+    plan — callers that fan out over it should persist it themselves
+    (``postings_index_incremental`` writes it durably)."""
+    return spread(documents.select("doc_id", "text")).mapInPandas(
+        _tf_partials, _TF_SCHEMA
     )
 
 
@@ -138,22 +137,32 @@ def bm25_retrieve(
             F.explode(F.array_distinct(words(F.col("text")))).alias("token"),
         )
     )
-    # df is needed ONLY for query terms: the semi filter makes both the
-    # aggregate and the broadcast QUERY-vocabulary-bounded by
-    # construction — a full-corpus df table is Heaps-law unbounded at
-    # 100 TB and must never be a forced broadcast
-    dfreq = (
-        tf.join(F.broadcast(qtoks.select("token").distinct()), "token", "left_semi")
-        .groupBy("token")
-        .agg(F.count("*").alias("df"))
+    # Corpus stats in ONE documents-scan aggregate (r11 job-count
+    # sweep: was three upstream jobs — an n_docs count, a two-stage
+    # per-doc dl rollup off the postings, and their broadcast builds).
+    # avg(size(words(text))) over non-null texts IS avg(dl): a doc's
+    # dl is its total token count, and null-text docs produce no
+    # postings (the JVM split(NULL) contract), so both averages range
+    # over exactly the docs-with-postings set.
+    stats = documents.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(
+            F.when(F.col("text").isNotNull(), F.size(words(F.col("text"))))
+        ).alias("avgdl"),
     )
-    n_docs = documents.agg(F.count("*").alias("n_docs"))
-    # documents are partition-local in tf, so this per-doc aggregate
-    # collapses fully map-side: the exchange carries ~n_docs rows
-    avgdl = (
-        tf.groupBy("doc_id")
-        .agg(F.first("dl").alias("doc_len"))
-        .agg(F.avg("doc_len").alias("avgdl"))
+    # df is needed ONLY for query terms: the semi filter keeps the
+    # matched posting set QUERY-vocabulary-bounded by construction — a
+    # full-corpus df table is Heaps-law unbounded at 100 TB and must
+    # never be a forced broadcast. Counting it as a window over the
+    # semi-joined postings (r11) folds what was a separate aggregate +
+    # broadcast-build into the scoring job: the token exchange it adds
+    # carries only query-vocab postings. (The semi and inner builds
+    # stay two broadcasts — column pruning gives them different
+    # outputs, so the exchanges cannot unify — but both are bounded by
+    # the query batch.) Left-semi against the non-distinct qtoks is
+    # exact: semi joins never duplicate the left side.
+    tf_q = tf.join(F.broadcast(qtoks), "token", "left_semi").withColumn(
+        "df", F.count("*").over(Window.partitionBy("token"))
     )
 
     idf = F.log(
@@ -164,11 +173,9 @@ def bm25_retrieve(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     scored = (
-        tf.join(F.broadcast(qtoks), "token")
+        tf_q.join(F.broadcast(qtoks), "token")
         .where(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(
             F.round(F.sum(idf * norm_tf), 4).alias("score"),

@@ -1962,12 +1962,14 @@ _register(
 # ---------------------------------------------------------------------------
 
 # Round 11 window (50 slots), rotated per the r10 verdict's #1 ask:
-# slot 1 is the NEW row (lake_concurrent_writers_sqlite — the sqlite
-# commit-arbiter twin), slots 2-24 are the 23 REMAINING r07-cohort
-# rows (embed_topk_ivf_sq8..weighted_sample — the oldest names not
-# driver-green in the r9∪r10 union), slots 25-50 are the first 26
-# r08-cohort rows oldest-first (agg_percentiles..lang_id). The rest of
-# the r08/r09 cohorts follow, and the 50 rows the driver just checked
+# slots 1-3 are the NEW rows (lake_concurrent_writers_sqlite — the
+# sqlite commit-arbiter twin; audio_wav_features / video_frame_stats —
+# the real-decode audio/video rows, new code needing the freshest
+# driver record), slots 4-26 are the 23 REMAINING r07-cohort rows
+# (embed_topk_ivf_sq8..weighted_sample — the oldest names not
+# driver-green in the r9∪r10 union), the rest of the window the first
+# r08-cohort rows oldest-first (agg_percentiles..). The remaining
+# r08/r09 cohorts follow, and the 50 rows the driver just checked
 # green in r10 sit at the very end (freshest record). This round's
 # implementation changes (crashed-first-commit published() fix, GC
 # per-dir liveness recheck, held-lock inode verify, the _commit_store
@@ -1977,6 +1979,8 @@ _register(
 # though they sit past slot 50 here.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "lake_concurrent_writers_sqlite",
+    "audio_wav_features",
+    "video_frame_stats",
     "embed_topk_ivf_sq8",
     "fim_transform",
     "flight_window_rollup",

@@ -1,0 +1,392 @@
+"""Vendored audio/video codec tests: WAV (wav_codec), AVI
+(avi_codec), MP4 metadata (mp4_meta), and their multimodal dispatch.
+
+Strategy mirrors the image-codec suites: (1) INDEPENDENT byte-level
+fixtures decoded against hand-computed expectations (so an encode bug
+cannot mask a matching decode bug), (2) encode→decode roundtrips incl.
+property-style randomized payloads, (3) the ValueError contract for
+corrupt/exotic payloads (a bad record must never kill an Arrow batch),
+(4) dispatch order + the Python/JVM frame-sampling twin equivalence.
+The oracle-gated registry rows (audio_wav_features /
+video_frame_stats) are covered by tests/test_oracle_parity.py like
+every other row.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ad_data_lake_spark.llm import avi_codec, mp4_meta, wav_codec
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_mono():
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32768, size=777, dtype=np.int16)
+    sr, ch, out = wav_codec.decode_wav(wav_codec.encode_wav(s, 22_050))
+    assert (sr, ch) == (22_050, 1)
+    np.testing.assert_array_equal(out[:, 0], s)
+
+
+def test_wav_roundtrip_stereo():
+    rng = np.random.default_rng(8)
+    s = rng.integers(-32768, 32768, size=(300, 2), dtype=np.int16)
+    sr, ch, out = wav_codec.decode_wav(wav_codec.encode_wav(s, 44_100))
+    assert (sr, ch) == (44_100, 2)
+    np.testing.assert_array_equal(out, s)
+
+
+def test_wav_parse_meta():
+    s = np.zeros((123, 2), dtype=np.int16)
+    meta = wav_codec.parse_wav_meta(wav_codec.encode_wav(s, 8_000))
+    assert meta == (8_000, 2, 16, 123)
+
+
+def _wav_manual(fmt_tag: int, n_ch: int, sr: int, bits: int, data: bytes) -> bytes:
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, n_ch, sr, sr * n_ch * bits // 8, n_ch * bits // 8, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_pcm8_widens_exactly():
+    # independent fixture: PCM8 is unsigned; 128 is silence
+    data = bytes([0, 128, 255, 64])
+    sr, ch, out = wav_codec.decode_wav(_wav_manual(1, 1, 8_000, 8, data))
+    np.testing.assert_array_equal(
+        out[:, 0], np.array([(0 - 128) * 256, 0, 127 * 256, (64 - 128) * 256])
+    )
+
+
+def test_wav_float32_scales_and_clips():
+    f = np.array([0.0, 1.0, -1.0, 0.5, 2.0, -2.0], dtype="<f4")
+    sr, ch, out = wav_codec.decode_wav(_wav_manual(3, 1, 16_000, 32, f.tobytes()))
+    np.testing.assert_array_equal(
+        out[:, 0], np.array([0, 32767, -32767, 16384, 32767, -32767], dtype=np.int16)
+    )
+
+
+def test_wav_extensible_wrapper():
+    # WAVE_FORMAT_EXTENSIBLE (0xFFFE): real format tag lives in the GUID
+    samples = np.arange(-5, 5, dtype=np.int16)
+    ext = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 16_000, 32_000, 2, 16)
+        + struct.pack("<HHI", 22, 16, 0)  # cbSize, valid bits, channel mask
+        + struct.pack("<H", 1) + b"\x00" * 14  # GUID: real tag (PCM) in first 2 bytes
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(ext)) + ext
+        + b"data" + struct.pack("<I", 20) + samples.astype("<i2").tobytes()
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    sr, ch, out = wav_codec.decode_wav(payload)
+    np.testing.assert_array_equal(out[:, 0], samples)
+
+
+def test_wav_skips_unknown_chunks_word_aligned():
+    # a 3-byte LIST chunk (odd size → 1 pad byte) before data
+    samples = np.array([1, -2, 3], dtype=np.int16)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16_000, 32_000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        + b"data" + struct.pack("<I", 6) + samples.astype("<i2").tobytes()
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    sr, ch, out = wav_codec.decode_wav(payload)
+    np.testing.assert_array_equal(out[:, 0], samples)
+
+
+@pytest.mark.parametrize(
+    "mutant",
+    [
+        b"RIFX" + b"\x00" * 40,  # bad signature
+        b"RIFF" + struct.pack("<I", 4) + b"WAVE",  # no chunks at all
+        _wav_manual(2, 1, 16_000, 16, b"\x00" * 8),  # ADPCM fmt tag
+        _wav_manual(1, 1, 16_000, 24, b"\x00" * 9),  # 24-bit packing
+        _wav_manual(1, 0, 16_000, 16, b"\x00" * 8),  # zero channels
+        _wav_manual(1, 1, 0, 16, b"\x00" * 8),  # zero sample rate
+    ],
+)
+def test_wav_corrupt_raises_valueerror(mutant):
+    with pytest.raises(ValueError):
+        wav_codec.decode_wav(mutant)
+
+
+def test_wav_truncated_data_raises():
+    good = wav_codec.encode_wav(np.arange(100, dtype=np.int16), 16_000)
+    with pytest.raises(ValueError):
+        wav_codec.decode_wav(good[:-40])  # declared 200 bytes, fewer present
+
+
+def test_wav_resample_identity_and_length():
+    s = np.arange(-500, 500, dtype=np.int16)
+    assert wav_codec.resample_linear(s, 16_000, 16_000) is s
+    down = wav_codec.resample_linear(s, 16_000, 8_000)
+    assert len(down) == 500
+    up = wav_codec.resample_linear(s, 8_000, 16_000)
+    assert len(up) == 2000
+
+
+def test_wav_resample_matches_numpy_interp():
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, size=400, dtype=np.int16)
+    out = wav_codec.resample_linear(s, 16_000, 11_025)
+    n_out = (400 * 11_025) // 16_000
+    pos = np.arange(n_out) * (16_000 / 11_025)
+    ref = np.rint(np.interp(pos, np.arange(400), s.astype(np.float64)))
+    np.testing.assert_array_equal(out, ref.astype(np.int16))
+
+
+# ---------------------------------------------------------------------------
+# AVI
+# ---------------------------------------------------------------------------
+
+
+def _frames(n: int, h: int = 6, w: int = 5, seed: int = 3) -> list[np.ndarray]:
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def test_avi_roundtrip_all_frames():
+    frames = _frames(4)
+    meta, out = avi_codec.decode_avi_frames(avi_codec.encode_avi_dib(frames, fps=25))
+    assert meta == (5, 6, 4, 25, "DIB")
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_avi_sampled_subset_only():
+    frames = _frames(10, seed=4)
+    data = avi_codec.encode_avi_dib(frames)
+    _meta, out = avi_codec.decode_avi_frames(data, [0, 7, 9])
+    assert len(out) == 3
+    for idx, fr in zip([0, 7, 9], out):
+        np.testing.assert_array_equal(frames[idx], fr)
+
+
+def test_avi_parse_meta_header_only():
+    frames = _frames(3, h=2, w=2)
+    w, h, n, fps, fourcc = avi_codec.parse_avi_meta(
+        avi_codec.encode_avi_dib(frames, fps=12)
+    )
+    assert (w, h, n, fps, fourcc) == (2, 2, 3, 12, "DIB")
+
+
+def test_avi_dib_byte_level_independent_fixture():
+    """Hand-built container: a 1-frame 2x2 DIB with KNOWN bytes, so a
+    matching encode/decode bug pair cannot hide. DIB rows are BGR
+    BOTTOM-UP and padded to 4 bytes (2px * 3 = 6 -> 8)."""
+    # target RGB (top-down):  [[R0 G0 B0, R1 G1 B1], [R2 G2 B2, R3 G3 B3]]
+    # with pixel k = (10k+1, 10k+2, 10k+3)
+    # bottom row first, BGR per pixel, 2 pad bytes per row:
+    row_bottom = bytes([23, 22, 21, 33, 32, 31, 0, 0])  # pixels 2,3
+    row_top = bytes([3, 2, 1, 13, 12, 11, 0, 0])  # pixels 0,1
+    dib = row_bottom + row_top
+
+    avih = struct.pack("<IIIIIIIIIIIIII", 100_000, 0, 0, 0x10, 1, 0, 1, len(dib), 2, 2, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0, 1, 10, 0, 1,
+        len(dib), 0xFFFFFFFF, 0, 0, 0, 2, 2,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(dib), 0, 0, 0, 0)
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + b"\x00" * (len(body) & 1)
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", chunk(b"00db", dib))
+    body = b"AVI " + hdrl + movi
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    _meta, (frame,) = avi_codec.decode_avi_frames(data, [0])
+    expected = np.array(
+        [[[1, 2, 3], [11, 12, 13]], [[21, 22, 23], [31, 32, 33]]], dtype=np.uint8
+    )
+    np.testing.assert_array_equal(frame, expected)
+
+
+def test_avi_mjpeg_frames_decode_via_jpeg_codec():
+    """MJPEG: each movi chunk is a complete baseline JPEG. Build the
+    container by hand (the encoder only writes DIB) and check the
+    extracted frames equal the jpeg_codec decode of each body."""
+    from ad_data_lake_spark.llm import jpeg_codec
+
+    w = h = 16
+    bodies = []
+    for k in range(3):
+        px = ((np.arange(w * h * 3, dtype=np.int64) * (k + 7)) % 256).astype(np.uint8)
+        bodies.append(jpeg_codec.encode_jpeg(px.tobytes(), w, h))
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + b"\x00" * (len(body) & 1)
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<IIIIIIIIIIIIII", 100_000, 0, 0, 0x10, 3, 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0, 0, 0, 0, 1, 10, 0, 3,
+        0, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in bodies))
+    body = b"AVI " + hdrl + movi
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    meta, frames = avi_codec.decode_avi_frames(data, [0, 2])
+    assert meta[4] == "MJPG" and len(frames) == 2
+    for idx, fr in zip([0, 2], frames):
+        jw, jh, ch, px = jpeg_codec.decode_jpeg(bodies[idx])
+        ref = np.frombuffer(px, dtype=np.uint8).reshape(jh, jw, ch)
+        np.testing.assert_array_equal(fr, ref)
+
+
+def test_avi_corrupt_raises_valueerror():
+    frames = _frames(2, h=2, w=2)
+    good = avi_codec.encode_avi_dib(frames)
+    with pytest.raises(ValueError):
+        avi_codec.decode_avi_frames(b"RIFF" + good[4:8] + b"WAVE" + good[12:])
+    with pytest.raises(ValueError):
+        avi_codec.decode_avi_frames(good, [5])  # out of range
+    with pytest.raises(ValueError):
+        avi_codec.decode_avi_frames(good[: len(good) - 10], [1])  # truncated movi
+    xvid = good.replace(b"DIB ", b"XVID")
+    with pytest.raises(ValueError):
+        avi_codec.decode_avi_frames(xvid, [0])  # compressed fourcc
+
+
+# ---------------------------------------------------------------------------
+# MP4 metadata
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_meta_roundtrip():
+    data = mp4_meta.synth_mp4_meta(
+        12.5, timescale=600, tracks=(("vide", "avc1", 1920, 1080), ("soun", "mp4a", 0, 0))
+    )
+    meta = mp4_meta.parse_mp4_meta(data)
+    assert meta["duration_s"] == 12.5
+    assert meta["timescale"] == 600
+    assert meta["n_tracks"] == 2
+    assert meta["tracks"][0] == {
+        "handler": "vide", "codec": "avc1", "width": 1920, "height": 1080,
+    }
+    assert meta["tracks"][1]["codec"] == "mp4a"
+
+
+def test_mp4_corrupt_raises_valueerror():
+    with pytest.raises(ValueError):
+        mp4_meta.parse_mp4_meta(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30)
+    with pytest.raises(ValueError):
+        mp4_meta.parse_mp4_meta(
+            struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+        )  # no moov
+    good = mp4_meta.synth_mp4_meta(1.0)
+    with pytest.raises(ValueError):
+        mp4_meta.parse_mp4_meta(good[: len(good) // 2])  # truncated moov
+
+
+# ---------------------------------------------------------------------------
+# multimodal dispatch + sampling twins
+# ---------------------------------------------------------------------------
+
+
+def test_decode_audio_dispatch():
+    from ad_data_lake_spark.llm import multimodal as MM
+
+    wav = wav_codec.encode_wav(np.arange(10, dtype=np.int16), 16_000)
+    sr, ch, out = MM.decode_audio_bytes(wav)
+    assert (sr, ch, len(out)) == (16_000, 1, 10)
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio_bytes(b"ID3\x04" + b"\x00" * 60)  # mp3
+
+
+def test_decode_video_dispatch():
+    from ad_data_lake_spark.llm import multimodal as MM
+
+    frames = _frames(8, h=2, w=2, seed=9)
+    meta, idx, out = MM.decode_video_frames(avi_codec.encode_avi_dib(frames), k=3)
+    assert idx == [0, 3, 7] and meta[2] == 8 and len(out) == 3
+    np.testing.assert_array_equal(out[1], frames[3])
+    mp4 = mp4_meta.synth_mp4_meta(2.0)
+    with pytest.raises(NotImplementedError):
+        MM.decode_video_frames(mp4)  # pixel decode needs a codec stack
+    assert mp4_meta.parse_mp4_meta(mp4)["duration_s"] == 2.0  # metadata still real
+
+
+def test_sampled_indices_matches_jvm_plan(spark):
+    """The Python twin used inside Arrow kernels must equal the JVM
+    column plan (sample_frame_indices) for every (n, k) shape the
+    pipeline uses."""
+    from pyspark.sql import functions as F
+
+    from ad_data_lake_spark.llm import multimodal as MM
+
+    cases = [(8, 3), (1, 3), (2, 3), (100, 3), (9, 4), (16, 1)]
+    for n, k in cases:
+        if k == 1:
+            assert MM.sampled_indices(n, 1) == [0]
+            continue
+        row = (
+            spark.range(1)
+            .select(MM.sample_frame_indices(F.lit(n), k).alias("idx"))
+            .collect()[0]
+        )
+        assert MM.sampled_indices(n, k) == list(row["idx"]), (n, k)
+
+
+def test_one_byte_corruption_batch_safety():
+    """A flipped byte in an audio/video payload must raise ValueError
+    (or decode to SOMETHING), never escape as a non-ValueError — the
+    contract that lets mapInPandas quarantine bad records per row."""
+    rng = np.random.default_rng(13)
+    wav = bytearray(wav_codec.encode_wav(rng.integers(-99, 99, 64, dtype=np.int16)))
+    avi = bytearray(avi_codec.encode_avi_dib(_frames(2, h=2, w=2, seed=5)))
+    for payload, decode in (
+        (wav, wav_codec.decode_wav),
+        (avi, lambda d: avi_codec.decode_avi_frames(d, [0])),
+    ):
+        for pos in rng.integers(0, len(payload), size=40):
+            mutant = bytearray(payload)
+            mutant[pos] ^= 0xFF
+            try:
+                decode(bytes(mutant))
+            except ValueError:
+                pass  # the allowed failure mode
+
+
+def test_mp4_deep_nesting_exhausts_walk_not_stack():
+    """Crafted deeply-nested wrapper boxes must return cleanly (None
+    codec), never RecursionError — which would escape the ValueError
+    contract and kill an Arrow batch."""
+    inner = struct.pack(">I", 8) + b"free"
+    for _ in range(5_000):
+        inner = struct.pack(">I", len(inner) + 8) + b"wrap" + inner
+    mvhd = struct.pack(">I", 8 + 4 + 96) + b"mvhd" + (
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 1000, 5000) + b"\x00" * 80
+    )
+    trak_mdia = struct.pack(">I", len(inner) + 8) + b"mdia" + inner
+    trak = struct.pack(">I", len(trak_mdia) + 8) + b"trak" + trak_mdia
+    moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    meta = mp4_meta.parse_mp4_meta(ftyp + moov)
+    assert meta["n_tracks"] == 1 and meta["tracks"][0]["codec"] is None

@@ -648,11 +648,13 @@ def test_pagerank_iterations_never_rescan_the_corpus(spark):
 
 
 def test_bm25_single_arrow_tokenize_no_corpus_shuffle(spark):
-    """BM25's posting table is ONE checkpointed Arrow pass (documents
-    are row-atomic, so batch-local counts are globally exact — no tf
-    shuffle exists at all); document frequency, average length, and
-    the scoring join all read the materialized RDD instead of
-    re-tokenizing per consumer. Query and df sides broadcast; the
+    """BM25's posting table is ONE Arrow pass that streams STRAIGHT
+    into the scoring job (r11 — no checkpoint materialization left:
+    document frequency is a window over the semi-joined postings,
+    corpus stats one documents-scan aggregate). Documents are
+    row-atomic so batch-local counts are globally exact — no tf
+    shuffle exists; the only token exchange carries the query-vocab-
+    bounded semi-join survivors. Query and df sides broadcast; the
     corpus never sort-merges, and the only JVM explode left is the
     bounded query side."""
     from ad_data_lake_spark.queries import REGISTRY
@@ -662,7 +664,10 @@ def test_bm25_single_arrow_tokenize_no_corpus_shuffle(spark):
     df.collect()
     full = df._jdf.queryExecution().executedPlan().toString()
     p = full.split("== Initial Plan ==")[0]  # AQE prints the plan twice
-    assert "ExistingRDD" in p, "tf must read the checkpointed postings"
+    assert "MapInPandas" in p, "tf is the one Arrow pass, no materialization"
+    assert "ExistingRDD" not in p, "the r11 sweep removed the checkpoint"
+    # df rides the scoring job as a window keyed on token
+    assert "windowspecdefinition(token" in p
     # only the BOUNDED query side explodes (twice: the scoring probe
     # and the df semi-filter both derive from the doc_id < n_queries
     # scan) — the corpus text never JVM-explodes
