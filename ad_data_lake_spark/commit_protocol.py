@@ -46,6 +46,13 @@ a docstring:
 per-table commit lock as the filesystem's conditional-put emulation —
 so the file-backed table and an object-store table run the SAME
 publish code path, differing only in which store they hand it.
+
+Durable/network backends: ``sqlite_store.SqliteConditionalStore``
+(transactional CAS — one BEGIN IMMEDIATE per put_if) and
+``http_store.HttpConditionalStore`` (the S3 wire shape itself:
+GET/PUT + If-Match/If-None-Match + 412, tested against a reference
+etag server over real sockets). All backends run the identical
+publish script in tests/test_commit_protocol.py.
 """
 
 from __future__ import annotations

@@ -329,3 +329,146 @@ def test_file_store_etag_tracks_composed_state(tmp_path):
     # an out-of-band file touch (e.g. legacy tooling) changes the etag
     data2, etag2 = store.get(COMMIT_KEY)
     assert etag2 != etag1
+
+
+# ---------------------------------------------------------------------------
+# HTTP backend (http_store.py): the same protocol spoken over S3's wire
+# shape — GET/PUT + If-Match/If-None-Match + 412 — against the
+# reference EtagStoreServer (a MinIO stand-in on a real TCP port).
+# ---------------------------------------------------------------------------
+
+
+def test_http_backend_matches_the_equivalence_script():
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpConditionalStore
+
+    with EtagStoreServer() as url:
+        http = _script(HttpConditionalStore(url))
+    assert http == _script(MemoryConditionalStore())
+
+
+def test_http_store_conditional_semantics_raw():
+    """The wire contract itself: create-if-absent wins once, stale
+    If-Match gets 412 -> PreconditionFailed, etags advance per put."""
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpConditionalStore
+
+    with EtagStoreServer() as url:
+        store = HttpConditionalStore(url)
+        assert store.get("k") is None
+        e1 = store.put_if("k", b"a", if_none_match=True)
+        with pytest.raises(PreconditionFailed):
+            store.put_if("k", b"b", if_none_match=True)
+        data, etag = store.get("k")
+        assert (data, etag) == (b"a", e1)
+        e2 = store.put_if("k", b"b", if_match=e1)
+        assert e2 != e1
+        with pytest.raises(PreconditionFailed):
+            store.put_if("k", b"c", if_match=e1)  # stale etag
+        assert store.get("k")[0] == b"b"
+
+
+def test_http_store_multi_writer_hammer():
+    """8 threads x 10 publishes over real sockets, retry loop, no table
+    lock: the server-side mutex is the only serialization. Every
+    publish lands exactly once — the lock-free invariant holds across
+    a network hop."""
+    import threading as th
+
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpConditionalStore
+
+    with EtagStoreServer() as url:
+        store = HttpConditionalStore(url)
+        cas_publish(store, "v-seed")
+        landed = []
+        landed_lock = th.Lock()
+
+        def writer(tid: int):
+            mine = HttpConditionalStore(url)  # own client per thread
+            for i in range(10):
+                name = f"v-t{tid}i{i}"
+                while True:
+                    base = CommitState.from_bytes(mine.get(COMMIT_KEY)[0]).current
+                    try:
+                        cas_publish(mine, name, base_version=base, retain=100)
+                        break
+                    except ConcurrentWriteError:
+                        continue
+                with landed_lock:
+                    landed.append(name)
+
+        threads = [th.Thread(target=writer, args=(t,)) for t in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        state = CommitState.from_bytes(store.get(COMMIT_KEY)[0])
+    assert len(landed) == 80
+    assert len(state.versions) == 81
+    assert len(set(state.versions)) == 81
+    assert state.current == state.versions[-1]
+
+
+def test_http_store_cross_process_churn():
+    """4 writer PROCESSES x 5 publishes each against one server — the
+    multi-host shape for real: every writer is a separate client over
+    TCP, retrying on ConcurrentWriteError; all 20 publishes land."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpConditionalStore
+
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, {repo!r})
+        from ad_data_lake_spark.commit_protocol import (
+            COMMIT_KEY, CommitState, ConcurrentWriteError, cas_publish)
+        from ad_data_lake_spark.http_store import HttpConditionalStore
+        url, wid = sys.argv[1], sys.argv[2]
+        store = HttpConditionalStore(url)
+        for i in range(5):
+            while True:
+                got = store.get(COMMIT_KEY)
+                base = CommitState.from_bytes(got[0]).current if got else None
+                try:
+                    cas_publish(store, f"v-p{{wid}}i{{i}}",
+                                base_version=base, retain=100)
+                    break
+                except ConcurrentWriteError:
+                    continue
+        """
+    ).format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    with EtagStoreServer() as url:
+        procs = [
+            subprocess.Popen([sys.executable, "-c", script, url, str(w)])
+            for w in range(4)
+        ]
+        for p in procs:
+            assert p.wait(timeout=120) == 0
+        store = HttpConditionalStore(url)
+        state = CommitState.from_bytes(store.get(COMMIT_KEY)[0])
+    assert len(state.versions) == 20
+    assert len(set(state.versions)) == 20
+    assert state.current == state.versions[-1]
+
+
+def test_http_client_killed_between_get_and_put_leaves_no_trace():
+    """A client that dies BETWEEN its base read and its put holds
+    nothing server-side (conditional-put stores have no client lock to
+    orphan) — the next writer publishes immediately, and the dead
+    writer's intended version never appears."""
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpConditionalStore
+
+    with EtagStoreServer() as url:
+        store = HttpConditionalStore(url)
+        cas_publish(store, "v-0001")
+        # simulated death: a writer read state... and vanished. No
+        # cleanup, no lock release, no heartbeat. The store is simply
+        # untouched, so the next publish proceeds.
+        _abandoned_base = CommitState.from_bytes(store.get(COMMIT_KEY)[0]).current
+        res = cas_publish(store, "v-0002", base_version="v-0001")
+        state = CommitState.from_bytes(store.get(COMMIT_KEY)[0])
+    assert state.current == "v-0002"
+    assert "v-dead" not in state.versions and len(state.versions) == 2
+    assert res.kept[-1] == "v-0002"
