@@ -363,6 +363,10 @@ def min_label_components(pairs: DataFrame, max_iters: int = CLUSTER_MAX_ITERS) -
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     )
+    # eager ON PURPOSE: the first round's count job reads edges through
+    # THREE branches (labels, l1, l2) — materializing up front runs the
+    # upstream candidate pipeline exactly once; lazy would let racing
+    # tasks re-compute it per branch before the cache lands
     edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
@@ -407,7 +411,9 @@ def min_label_components(pairs: DataFrame, max_iters: int = CLUSTER_MAX_ITERS) -
                 (F.col("l2") < F.col("label")).alias("_changed"),
             )
         )
-        both = both.localCheckpoint(eager=True)
+        # lazy + count: the convergence scalar's own action materializes
+        # the round's labels, so each iteration is ONE job, not two
+        both = both.localCheckpoint(eager=False)
         changed = both.where(F.col("_changed")).count()
         labels = both.drop("_changed")
         if changed == 0:
@@ -452,7 +458,9 @@ def star_components(pairs: DataFrame, max_iters: int = 32) -> DataFrame:
         edges.select(F.col("a").alias("doc_id"))
         .unionByName(edges.select(F.col("b").alias("doc_id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: single consumer (the final component join) — its action
+        # materializes this; eager here was one extra job (r11 sweep)
+        .localCheckpoint(eager=False)
     )
 
     def _sig(e: DataFrame) -> tuple:
@@ -496,7 +504,10 @@ def star_components(pairs: DataFrame, max_iters: int = 32) -> DataFrame:
 
     prev_sig = _sig(edges)
     for _ in range(max_iters):
-        edges = _small(_large(edges)).localCheckpoint(eager=True)
+        # lazy + signature: the round's own convergence collect
+        # materializes the new edge set — ONE job per round, not two
+        # (the next round's joins then read the populated cache)
+        edges = _small(_large(edges)).localCheckpoint(eager=False)
         cur_sig = _sig(edges)
         if cur_sig == prev_sig:
             break
