@@ -17,13 +17,14 @@ Scale shape (the part that must survive 100 TB):
   0.9 s vs 2.0-2.4 s at sf1; the regex split is the hot loop, and the
   JVM form also evaluates it twice — once for ``size``, once for the
   explode — because CollapseProject inlines the array alias).
-- The posting table feeds exactly ONE consumer (r11 job-count sweep —
-  it used to checkpoint for three): document frequency rides the
-  scoring pipeline as a window over the semi-joined postings, and the
-  corpus stats (n_docs, avgdl) come from one documents-scan aggregate,
-  so the Arrow tf pass streams straight into the scoring join with no
-  materialization. (``postings_index_incremental`` persists postings
-  durably when an index is actually wanted.)
+- The posting table is materialized ONCE (lazy ``localCheckpoint``)
+  and feeds its two consumers: the query-vocab-bounded document-
+  frequency aggregate (→ broadcast) and the scoring join. The corpus
+  stats (n_docs, avgdl) come from one documents-scan aggregate (r11
+  sweep — this used to be two separate agg+broadcast pipelines, one of
+  them a two-stage per-doc rollup off the postings). At 100 TB the
+  checkpoint is one postings write — the same bytes a tf exchange
+  would move — paid once instead of per consumer.
 - The QUERY side is tiny by construction (a handful of query strings,
   bounded distinct tokens) and BROADCASTS into the posting scan — the
   corpus-sized tf table never shuffles for the match; only the matched
@@ -111,11 +112,16 @@ def _tf_partials(batches: Iterator) -> Iterator:
 
 def term_frequencies(documents: DataFrame) -> DataFrame:
     """The (doc_id, token, tf, dl) posting table, computed in one
-    shuffle-free Arrow pass (see ``_tf_partials``). Consumed once per
-    plan — callers that fan out over it should persist it themselves
-    (``postings_index_incremental`` writes it durably)."""
-    return spread(documents.select("doc_id", "text")).mapInPandas(
-        _tf_partials, _TF_SCHEMA
+    shuffle-free Arrow pass (see ``_tf_partials``) and materialized
+    once (lazy checkpoint) for its two consumers — the query-vocab df
+    aggregate and the scoring join; without it each consumer re-runs
+    the corpus tokenize pass (~0.9 s/pass at sf1). The df broadcast
+    build executes first and populates the cache; the scoring job
+    reads it."""
+    return (
+        spread(documents.select("doc_id", "text"))
+        .mapInPandas(_tf_partials, _TF_SCHEMA)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -150,19 +156,21 @@ def bm25_retrieve(
             F.when(F.col("text").isNotNull(), F.size(words(F.col("text"))))
         ).alias("avgdl"),
     )
-    # df is needed ONLY for query terms: the semi filter keeps the
-    # matched posting set QUERY-vocabulary-bounded by construction — a
-    # full-corpus df table is Heaps-law unbounded at 100 TB and must
-    # never be a forced broadcast. Counting it as a window over the
-    # semi-joined postings (r11) folds what was a separate aggregate +
-    # broadcast-build into the scoring job: the token exchange it adds
-    # carries only query-vocab postings. (The semi and inner builds
-    # stay two broadcasts — column pruning gives them different
-    # outputs, so the exchanges cannot unify — but both are bounded by
-    # the query batch.) Left-semi against the non-distinct qtoks is
-    # exact: semi joins never duplicate the left side.
-    tf_q = tf.join(F.broadcast(qtoks), "token", "left_semi").withColumn(
-        "df", F.count("*").over(Window.partitionBy("token"))
+    # df is needed ONLY for query terms: the semi filter makes both the
+    # aggregate and the broadcast QUERY-vocabulary-bounded by
+    # construction — a full-corpus df table is Heaps-law unbounded at
+    # 100 TB and must never be a forced broadcast. The count is a
+    # map-side-combined AGGREGATE on purpose: the r11 sweep tried a
+    # window over the semi-joined postings (one job cheaper at sf0.1),
+    # but a window partitions by token, and one stop-word in a query
+    # puts that token's ENTIRE posting list in a single partition — a
+    # straggler the aggregate's partial combine is immune to. Left-semi
+    # against the non-distinct qtoks is exact: semi joins never
+    # duplicate the left side.
+    dfreq = (
+        tf.join(F.broadcast(qtoks), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
     )
 
     idf = F.log(
@@ -173,8 +181,9 @@ def bm25_retrieve(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     scored = (
-        tf_q.join(F.broadcast(qtoks), "token")
+        tf.join(F.broadcast(qtoks), "token")
         .where(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(

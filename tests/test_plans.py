@@ -648,15 +648,15 @@ def test_pagerank_iterations_never_rescan_the_corpus(spark):
 
 
 def test_bm25_single_arrow_tokenize_no_corpus_shuffle(spark):
-    """BM25's posting table is ONE Arrow pass that streams STRAIGHT
-    into the scoring job (r11 — no checkpoint materialization left:
-    document frequency is a window over the semi-joined postings,
-    corpus stats one documents-scan aggregate). Documents are
-    row-atomic so batch-local counts are globally exact — no tf
-    shuffle exists; the only token exchange carries the query-vocab-
-    bounded semi-join survivors. Query and df sides broadcast; the
-    corpus never sort-merges, and the only JVM explode left is the
-    bounded query side."""
+    """BM25's posting table is ONE checkpointed Arrow pass (documents
+    are row-atomic, so batch-local counts are globally exact — no tf
+    shuffle exists at all); document frequency is a query-vocab-bounded
+    map-side-combined AGGREGATE (NOT a token window: one stop-word in a
+    query would put that token's entire posting list in a single window
+    partition — the r11 sweep tried and rejected it), corpus stats one
+    documents-scan aggregate. Query and df sides broadcast; the corpus
+    never sort-merges, and the only JVM explode left is the bounded
+    query side."""
     from ad_data_lake_spark.queries import REGISTRY
     from tests.conftest import SF_ORACLE
 
@@ -664,10 +664,9 @@ def test_bm25_single_arrow_tokenize_no_corpus_shuffle(spark):
     df.collect()
     full = df._jdf.queryExecution().executedPlan().toString()
     p = full.split("== Initial Plan ==")[0]  # AQE prints the plan twice
-    assert "MapInPandas" in p, "tf is the one Arrow pass, no materialization"
-    assert "ExistingRDD" not in p, "the r11 sweep removed the checkpoint"
-    # df rides the scoring job as a window keyed on token
-    assert "windowspecdefinition(token" in p
+    assert "ExistingRDD" in p, "tf must read the checkpointed postings"
+    # the stop-word skew hazard: df must NOT be a token-keyed window
+    assert "windowspecdefinition(token" not in p
     # only the BOUNDED query side explodes (twice: the scoring probe
     # and the df semi-filter both derive from the doc_id < n_queries
     # scan) — the corpus text never JVM-explodes
