@@ -425,6 +425,37 @@ def multimodal_features(documents: DataFrame) -> DataFrame:
     return extract_features(to_asset_table(documents))
 
 
+def streaming_multimodal_features(spark, sf_dir: str) -> DataFrame:
+    """The multimodal feature extractor running UNDER Structured
+    Streaming — binary asset payloads arriving as a stream, features
+    extracted in-flight by the SAME Arrow pass the batch operator uses
+    (stateless mapInPandas: the streaming plan is the batch plan per
+    micro-batch, no state store, no watermark). This is the ingest
+    shape a 100 TB media pipeline actually runs — decode/fingerprint
+    on arrival, not in a nightly sweep — and the oracle is the batch
+    feature SQL, so the hash match proves in-flight extraction emits
+    byte-identical output to the batch pass (the same batch-equivalence
+    contract as ``streaming_rare_token_scrub``)."""
+    import os
+    import uuid
+
+    from ad_data_lake_spark.scratch import scratch_dir
+    from ad_data_lake_spark.sources.tables import load_table
+    from ad_data_lake_spark.streaming.incremental import run_available_now
+
+    assets = to_asset_table(load_table(spark, "documents", sf_dir))
+    src = os.path.join(scratch_dir(spark, "mm-stream-src", sf_dir), "assets")
+    # multi-file stream-source fixture (lake_queries._stream_src_write
+    # discipline): per-batch parallelism is per-file for a file source
+    assets.repartition(16).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(assets.schema).parquet(src)
+    return run_available_now(
+        extract_features(stream),
+        f"stream_mm_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Real-decode audio/video registry rows. Both synthesize the container
 # bytes DETERMINISTICALLY from each document's characters, run the real

@@ -507,18 +507,30 @@ _MM_FEATS = ",\n           ".join(
     for i in range(4)
 )
 
-_add(
-    "multimodal_features",
-    _doc_q(MM.multimodal_features),
-    f"""
+_MM_FEATURES_SQL = f"""
     SELECT doc_id,
            length(text) AS byte_len,
            md5(text) AS payload_md5,
            CASE WHEN doc_id % 4 = 2 THEN 'video' ELSE 'image' END AS kind,
            {_MM_FEATS}
     FROM documents
-    """,
+    """
+
+_add(
+    "multimodal_features",
+    _doc_q(MM.multimodal_features),
+    _MM_FEATURES_SQL,
     ("llm", "multimodal", "pandas-udf"),
+)
+
+# the streaming twin drains the SAME Arrow extractor over a file-source
+# stream of asset payloads; identical oracle = the batch-equivalence
+# contract (in-flight extraction ≡ nightly batch, value-hashed)
+_add(
+    "streaming_multimodal_features",
+    MM.streaming_multimodal_features,
+    _MM_FEATURES_SQL,
+    ("llm", "multimodal", "streaming", "write", "pandas-udf"),
 )
 
 # Real-decode audio/video rows (r11): Spark synthesizes the container

@@ -1962,10 +1962,11 @@ _register(
 # ---------------------------------------------------------------------------
 
 # Round 11 window (50 slots), rotated per the r10 verdict's #1 ask:
-# slots 1-3 are the NEW rows (lake_concurrent_writers_sqlite — the
+# slots 1-4 are the NEW rows (lake_concurrent_writers_sqlite — the
 # sqlite commit-arbiter twin; audio_wav_features / video_frame_stats —
-# the real-decode audio/video rows, new code needing the freshest
-# driver record), slots 4-26 are the 23 REMAINING r07-cohort rows
+# the real-decode audio/video rows; streaming_multimodal_features —
+# the in-flight extraction twin; new code needing the freshest
+# driver record), then the 23 REMAINING r07-cohort rows
 # (embed_topk_ivf_sq8..weighted_sample — the oldest names not
 # driver-green in the r9∪r10 union), the rest of the window the first
 # r08-cohort rows oldest-first (agg_percentiles..). The remaining
@@ -1981,6 +1982,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lake_concurrent_writers_sqlite",
     "audio_wav_features",
     "video_frame_stats",
+    "streaming_multimodal_features",
     "embed_topk_ivf_sq8",
     "fim_transform",
     "flight_window_rollup",
