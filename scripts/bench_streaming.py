@@ -63,6 +63,7 @@ STREAM_ROWS: dict[str, str] = {
     "streaming_json_sanitize": _EVENTS,
     "streaming_corpus_ingest": _DUP_CORPUS,
     "streaming_rare_token_scrub": _DOCS,
+    "streaming_multimodal_features": _DOCS,
 }
 
 

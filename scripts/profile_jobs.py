@@ -43,7 +43,12 @@ DEFAULT = [
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
+    if sys.argv[1:] == ["--all"]:
+        from ad_data_lake_spark.queries import REGISTRY as _R
+
+        names = [n for n, s in _R.items() if "write" not in s.tags]
+    else:
+        names = sys.argv[1:] or DEFAULT
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from ad_data_lake_spark.queries import REGISTRY
     from ad_data_lake_spark.session import get_spark

@@ -100,6 +100,7 @@ _STREAM_FLOORS = {
     "streaming_json_sanitize": ("events", 8000),  # 42386 / 27221 (10k broken on r10 host)
     "streaming_corpus_ingest": ("dup_corpus", 800),  # 2713 / 2726
     "streaming_rare_token_scrub": ("documents", 1200),  # 4241 / 4087
+    "streaming_multimodal_features": ("documents", 1200),  # — / 4058 (new r11)
 }
 
 
