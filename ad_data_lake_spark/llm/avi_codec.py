@@ -78,7 +78,7 @@ def encode_avi_dib(
         1_000_000 // fps,  # microseconds per frame
         frame_len * fps,  # max bytes per second
         0,  # padding granularity
-        0x10,  # flags: AVIF_HASINDEX off, AVIF_WASCAPTUREFILE-ish minimal
+        0,  # flags: no AVIF_HASINDEX — this encoder writes no idx1
         n,  # total frames
         0,  # initial frames
         1,  # streams
@@ -132,6 +132,7 @@ def _walk_headers(data: bytes) -> tuple[int, int, int, int, str, int]:
     w = h = n_frames = None
     us_per_frame = 0
     fourcc = None
+    in_vids = False
     movi_at = None
     while pos + 8 <= end:
         tag = data[pos : pos + 4]
@@ -151,8 +152,25 @@ def _walk_headers(data: bytes) -> tuple[int, int, int, int, str, int]:
             w, h = struct.unpack_from("<II", data, body + 32)
         elif tag == b"strh":
             stype, handler = struct.unpack_from("<4s4s", data, body)
-            if stype == b"vids":
+            in_vids = stype == b"vids"
+            if in_vids:
+                # provisional: real writers often leave fccHandler as
+                # NULs for raw video; strf's biCompression (below) is
+                # the authoritative codec field and overrides this
                 fourcc = handler.decode("ascii", "replace").strip("\x00 ").upper()
+        elif tag == b"strf" and in_vids and size >= 20:
+            # BITMAPINFOHEADER.biCompression at body+16: 0 = BI_RGB
+            # (uncompressed DIB), else the codec fourcc bytes (MJPG...)
+            (compression,) = struct.unpack_from("<I", data, body + 16)
+            if compression == 0:
+                fourcc = "DIB"
+            else:
+                fourcc = (
+                    compression.to_bytes(4, "little")
+                    .decode("ascii", "replace")
+                    .strip("\x00 ")
+                    .upper()
+                )
         pos = body + size + (size & 1)
     if movi_at is None:
         # the header descent narrowed `end`; rescan top-level for movi

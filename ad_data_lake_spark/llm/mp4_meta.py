@@ -85,7 +85,11 @@ def _parse_trak(data: bytes, pos: int, end: int) -> dict:
     for btype, body, box_end in _boxes(data, pos, end):
         if btype == b"tkhd":
             version = data[body]
-            off = body + (96 if version == 1 else 84)
+            # ISO 14496-12 tkhd BODY layout (post size+type header):
+            # verflags 4 + times/id/reserved/duration (20 v0 / 32 v1)
+            # + reserved 8 + layer/alt/volume/reserved 8 + matrix 36
+            # = 76 (v0) / 88 (v1), then width/height as 16.16 fixed
+            off = body + (88 if version == 1 else 76)
             if off + 8 <= box_end:
                 w16, h16 = struct.unpack_from(">II", data, off)
                 info["width"], info["height"] = w16 >> 16, h16 >> 16
@@ -145,9 +149,11 @@ def synth_mp4_meta(
     for handler, codec, w, h in tracks:
         tkhd = _box(
             b"tkhd",
-            b"\x00\x00\x00\x07"
-            + struct.pack(">IIII", 0, 0, 1, 0)
-            + b"\x00" * 64
+            b"\x00\x00\x00\x07"  # version 0 + flags
+            # ctime, mtime, track_id, reserved, duration (20 bytes)
+            + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+            # reserved 8 + layer/alternate/volume/reserved 8 + matrix 36
+            + b"\x00" * 52
             + struct.pack(">II", w << 16, h << 16),
         )
         hdlr = _box(

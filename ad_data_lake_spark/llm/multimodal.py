@@ -360,7 +360,10 @@ def multimodal_resize(documents: DataFrame) -> DataFrame:
 def sample_frame_indices(n_frames: Column, k: int = 3) -> Column:
     """Video frame-sampling plan: k evenly spaced frame indices out of
     ``n_frames`` — metadata-only, stays JVM-side; ``decode_video_frames``
-    fetches exactly these frames."""
+    fetches exactly these frames. k=1 means "the first frame" (the
+    even-spacing divide is k-1, which would be 0/NULL)."""
+    if k <= 1:
+        return F.array(F.lit(0).cast("long"))
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: (i * (n_frames - 1) / (k - 1)).cast("long"),
@@ -439,15 +442,17 @@ def streaming_multimodal_features(spark, sf_dir: str) -> DataFrame:
     import os
     import uuid
 
+    from ad_data_lake_spark.operators.lake_queries import _stream_src_write
     from ad_data_lake_spark.scratch import scratch_dir
     from ad_data_lake_spark.sources.tables import load_table
     from ad_data_lake_spark.streaming.incremental import run_available_now
 
     assets = to_asset_table(load_table(spark, "documents", sf_dir))
     src = os.path.join(scratch_dir(spark, "mm-stream-src", sf_dir), "assets")
-    # multi-file stream-source fixture (lake_queries._stream_src_write
-    # discipline): per-batch parallelism is per-file for a file source
-    assets.repartition(16).write.mode("overwrite").parquet(src)
+    # the shared multi-file fixture writer: per-batch parallelism is
+    # per-file for a file source, and test_stream_source_file_fanout
+    # pins the fanout on this ONE helper — do not hand-roll the write
+    _stream_src_write(assets, src)
     stream = spark.readStream.schema(assets.schema).parquet(src)
     return run_available_now(
         extract_features(stream),

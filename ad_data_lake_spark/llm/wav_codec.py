@@ -184,7 +184,10 @@ def resample_linear(
         arr = arr[:, None]
     n_in = arr.shape[0]
     if n_in == 0 or sr_in == sr_out:
-        return samples
+        # fresh int16 copy, never an alias of the caller's buffer —
+        # the identity path must honor the same contract as the rest
+        out = arr[:, 0] if mono else arr
+        return out.copy()
     n_out = max(1, (n_in * sr_out) // sr_in)
     pos = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
     i0 = np.minimum(pos.astype(np.int64), n_in - 1)

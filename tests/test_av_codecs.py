@@ -135,7 +135,15 @@ def test_wav_truncated_data_raises():
 
 def test_wav_resample_identity_and_length():
     s = np.arange(-500, 500, dtype=np.int16)
-    assert wav_codec.resample_linear(s, 16_000, 16_000) is s
+    same = wav_codec.resample_linear(s, 16_000, 16_000)
+    np.testing.assert_array_equal(same, s)
+    assert same is not s and same.dtype == np.int16  # contract: fresh int16
+    same[0] = 7  # mutating the output must not corrupt the source
+    assert s[0] == -500
+    # float input is coerced on the identity path like every other path
+    assert wav_codec.resample_linear(
+        np.array([0.7, -0.2]), 16_000, 16_000
+    ).dtype == np.int16
     down = wav_codec.resample_linear(s, 16_000, 8_000)
     assert len(down) == 500
     up = wav_codec.resample_linear(s, 8_000, 16_000)
@@ -241,12 +249,15 @@ def test_avi_mjpeg_frames_decode_via_jpeg_codec():
     def lst(kind, body):
         return chunk(b"LIST", kind + body)
 
-    avih = struct.pack("<IIIIIIIIIIIIII", 100_000, 0, 0, 0x10, 3, 0, 1, 0, w, h, 0, 0, 0, 0)
+    avih = struct.pack("<IIIIIIIIIIIIII", 100_000, 0, 0, 0, 3, 0, 1, 0, w, h, 0, 0, 0, 0)
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0, 0, 0, 0, 1, 10, 0, 3,
         0, 0xFFFFFFFF, 0, 0, 0, w, h,
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    # real MJPEG writers put the codec in strf.biCompression ('MJPG')
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", 0, 0, 0, 0, 0
+    )
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in bodies))
     body = b"AVI " + hdrl + movi
@@ -269,9 +280,13 @@ def test_avi_corrupt_raises_valueerror():
         avi_codec.decode_avi_frames(good, [5])  # out of range
     with pytest.raises(ValueError):
         avi_codec.decode_avi_frames(good[: len(good) - 10], [1])  # truncated movi
-    xvid = good.replace(b"DIB ", b"XVID")
+    # compressed codec: patch strf.biCompression (the authoritative
+    # field) to a codec fourcc the vendored decoder cannot handle
+    strf_body = good.index(b"strf") + 8
+    xvid = bytearray(good)
+    xvid[strf_body + 16 : strf_body + 20] = b"XVID"
     with pytest.raises(ValueError):
-        avi_codec.decode_avi_frames(xvid, [0])  # compressed fourcc
+        avi_codec.decode_avi_frames(bytes(xvid), [0])
 
 
 # ---------------------------------------------------------------------------
@@ -341,11 +356,8 @@ def test_sampled_indices_matches_jvm_plan(spark):
 
     from ad_data_lake_spark.llm import multimodal as MM
 
-    cases = [(8, 3), (1, 3), (2, 3), (100, 3), (9, 4), (16, 1)]
+    cases = [(8, 3), (1, 3), (2, 3), (100, 3), (9, 4), (16, 1), (1, 1)]
     for n, k in cases:
-        if k == 1:
-            assert MM.sampled_indices(n, 1) == [0]
-            continue
         row = (
             spark.range(1)
             .select(MM.sample_frame_indices(F.lit(n), k).alias("idx"))
@@ -390,3 +402,47 @@ def test_mp4_deep_nesting_exhausts_walk_not_stack():
     ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
     meta = mp4_meta.parse_mp4_meta(ftyp + moov)
     assert meta["n_tracks"] == 1 and meta["tracks"][0]["codec"] is None
+
+
+def test_avi_real_writer_shape_nul_handler_bi_rgb():
+    """ffmpeg-style raw video: strh.fccHandler is four NULs and the
+    authoritative codec lives in strf.biCompression (0 = BI_RGB). The
+    decoder must key on strf, not the handler (r11 review finding)."""
+    frames = _frames(2, h=2, w=2, seed=21)
+    data = bytearray(avi_codec.encode_avi_dib(frames))
+    # blank the handler the way real writers do
+    i = data.index(b"vids") + 4
+    assert data[i : i + 4] == b"DIB "
+    data[i : i + 4] = b"\x00\x00\x00\x00"
+    meta, out = avi_codec.decode_avi_frames(bytes(data))
+    assert meta[4] == "DIB"
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_mp4_tkhd_dims_at_spec_offsets():
+    """Byte-level tkhd fixture laid out EXACTLY per ISO 14496-12
+    (verflags 4, times/id/reserved/duration 20, reserved 8,
+    layer/alternate/volume/reserved 8, matrix 36, then 16.16 width/
+    height at body offsets 76/80) — so a parser reading the wrong
+    offsets (the r11 review finding: +84) cannot pass."""
+    body = (
+        b"\x00\x00\x00\x07"
+        + struct.pack(">IIIII", 0, 0, 1, 0, 600)
+        + b"\x00" * 8  # reserved
+        + b"\x00" * 8  # layer, alternate_group, volume, reserved
+        + b"\x00" * 36  # identity-ish matrix (zeros fine for parse)
+        + struct.pack(">II", 1280 << 16, 720 << 16)
+    )
+    assert len(body) == 84  # the spec's exact v0 tkhd body size
+    tkhd = struct.pack(">I", len(body) + 8) + b"tkhd" + body
+    mvhd = struct.pack(">I", 8 + 4 + 96) + b"mvhd" + (
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 600, 1200) + b"\x00" * 80
+    )
+    trak = struct.pack(">I", len(tkhd) + 8) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    meta = mp4_meta.parse_mp4_meta(ftyp + moov)
+    assert meta["duration_s"] == 2.0
+    assert meta["tracks"][0]["width"] == 1280
+    assert meta["tracks"][0]["height"] == 720
