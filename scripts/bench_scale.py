@@ -137,6 +137,40 @@ def _fetch_with_timeout(con, sql: str, seconds: float) -> None:
 def duckdb_timings(
     sf_dir: str, names: list[str], memlimit: str = "64GB", timeout: float = 180.0
 ) -> dict[str, float | None]:
+    """Run the DuckDB side in a SPAWNED CHILD PROCESS and return its
+    timings. Isolation is a measurement-correctness requirement, found
+    the hard way (r11): tens of seconds of 32-thread DuckDB execution
+    leave the host Python process in a state that slows SUBSEQUENT
+    driver-side Spark work (the k-means collect+numpy rows measured
+    1.6-4× their clean walls when DuckDB had run in-process first —
+    semantic_dedup_ivf 5.2 s clean vs 20.3 s polluted in the 133-row
+    protocol, while a clean session reproduces neither). A child
+    process gives DuckDB its own heap and dies with it."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    q: mp.Queue = ctx.Queue()
+    p = ctx.Process(
+        target=_duckdb_timings_child,
+        args=(sf_dir, names, memlimit, timeout, q),
+    )
+    p.start()
+    out = q.get()  # blocks until the child publishes its dict
+    p.join()
+    return out
+
+
+def _duckdb_timings_child(sf_dir, names, memlimit, timeout, q) -> None:
+    try:
+        q.put(_duckdb_timings_inproc(sf_dir, names, memlimit, timeout))
+    except Exception:  # never leave the parent blocked on the queue
+        q.put({n: None for n in names})
+        raise
+
+
+def _duckdb_timings_inproc(
+    sf_dir: str, names: list[str], memlimit: str = "64GB", timeout: float = 180.0
+) -> dict[str, float | None]:
     """Per-query guarded: a row whose oracle blows up at scale (OOM or
     watchdog timeout on an unrolled-CTE oracle) records None (DNF)
     instead of killing the whole run — the full-registry sf1 run died
