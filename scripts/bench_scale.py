@@ -209,6 +209,22 @@ def _duckdb_timings_inproc(
     return out
 
 
+def _clear_persisted(spark) -> None:
+    """Unpersist every cached/localCheckpointed RDD between queries.
+    Each registry call builds FRESH RDDs (no reuse across calls), so
+    blocks left by the previous query are pure garbage — but the
+    ContextCleaner only reclaims them after the Python py4j refs are
+    GC'd, which lags a tight bench loop by hundreds of queries. Found
+    the hard way (r11): after ~100 queries the accumulated pinned
+    blocks inflate checkpoint-heavy rows 2-3.5× (semantic_dedup_ivf
+    5.2 s clean-session vs 16.2 s late in the 133-row protocol)."""
+    import gc
+
+    gc.collect()  # drop py4j refs first so nothing is resurrected
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+
+
 def spark_timings(sf_dir: str, names: list[str]) -> dict[str, float | None]:
     from ad_data_lake_spark.queries import REGISTRY
     from ad_data_lake_spark.session import get_spark
@@ -228,6 +244,7 @@ def spark_timings(sf_dir: str, names: list[str]) -> dict[str, float | None]:
         except Exception as exc:
             out[name] = None
             _progress(f"spark {name:40s} DNF ({type(exc).__name__})")
+        _clear_persisted(spark)
     for _ in range(2):
         for name in list(ok):
             t0 = time.perf_counter()
@@ -240,10 +257,12 @@ def spark_timings(sf_dir: str, names: list[str]) -> dict[str, float | None]:
                 out[name] = None
                 ok.remove(name)
                 _progress(f"spark {name:40s} DNF-timed ({type(exc).__name__})")
+                _clear_persisted(spark)
                 continue
             el = time.perf_counter() - t0
             prev = out.get(name)
             out[name] = el if prev is None else min(prev, el)
+            _clear_persisted(spark)
     for name in ok:
         _progress(f"spark {name:40s} {out[name]:8.3f}s")
     spark.stop()
