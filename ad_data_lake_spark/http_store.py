@@ -32,12 +32,25 @@ client unchanged.
 
 from __future__ import annotations
 
+import fcntl
 import http.client
+import json
+import os
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import quote, urlsplit
 
-from ad_data_lake_spark.commit_protocol import PreconditionFailed
+from ad_data_lake_spark.commit_protocol import COMMIT_KEY, PreconditionFailed
+
+# marker file inside a table directory; its presence routes that
+# table's commits through :class:`HttpTableCommitStore` (JSON body:
+# {"base_url": ..., "key": ...}). The decompose lock and etag sidecar
+# share the prefix so the versioned layout's foreign-content check can
+# exclude all three with one startswith.
+HTTP_COMMIT_MARKER = "_commit.http"
+_HTTP_LOCK = HTTP_COMMIT_MARKER + ".lock"
+_HTTP_ETAG = HTTP_COMMIT_MARKER + ".etag"
 
 
 class HttpConditionalStore:
@@ -48,6 +61,11 @@ class HttpConditionalStore:
     commit traffic is a handful of small requests per publish, and
     statelessness keeps the client trivially fork-safe for
     multi-process writers."""
+
+    #: bounded GET/re-PUT attempts when a conditional PUT's outcome is
+    #: ambiguous (connection died before the response arrived)
+    recovery_attempts = 5
+    recovery_backoff = 0.05  # seconds, multiplied by the attempt index
 
     def __init__(self, base_url: str, timeout: float = 30.0):
         u = urlsplit(base_url)
@@ -66,17 +84,29 @@ class HttpConditionalStore:
         try:
             con.request(method, self._path(key), body=body, headers=headers or {})
             resp = con.getresponse()
-            return resp.status, resp.read(), dict(resp.getheaders())
+            # HTTP header names are case-insensitive (a real S3/MinIO/
+            # GCS endpoint may reply 'Etag'); normalize to lower-case
+            return (
+                resp.status,
+                resp.read(),
+                {k.lower(): v for k, v in resp.getheaders()},
+            )
         finally:
             con.close()
 
     def get(self, key: str) -> tuple[bytes, str] | None:
+        return self._get_object(key)
+
+    def _get_object(self, key: str) -> tuple[bytes, str] | None:
+        """Raw object read by wire key — shared by ``get`` and the
+        ambiguous-PUT recovery (which must NOT route through a
+        subclass's key-mapping ``get`` override)."""
         status, data, headers = self._request("GET", key)
         if status == 404:
             return None
         if status != 200:
             raise RuntimeError(f"GET {key}: unexpected status {status}")
-        return data, headers["ETag"]
+        return data, headers["etag"]
 
     def put_if(
         self,
@@ -91,12 +121,185 @@ class HttpConditionalStore:
             headers["If-Match"] = if_match
         if if_none_match:
             headers["If-None-Match"] = "*"
+        try:
+            return self._finish_put(key, data, headers)
+        except (OSError, http.client.HTTPException) as exc:
+            if if_match is None and not if_none_match:
+                raise  # unconditioned PUT: no precondition to reason from
+            return self._recover_ambiguous_put(
+                key, data, headers, if_match, if_none_match, exc
+            )
+
+    def _finish_put(self, key: str, data: bytes, headers: dict) -> str:
         status, _body, resp_headers = self._request("PUT", key, data, headers)
         if status == 412:
             raise PreconditionFailed(f"{key}: server precondition failed")
         if status not in (200, 201):
             raise RuntimeError(f"PUT {key}: unexpected status {status}")
-        return resp_headers["ETag"]
+        return resp_headers["etag"]
+
+    def _recover_ambiguous_put(
+        self,
+        key: str,
+        data: bytes,
+        headers: dict,
+        if_match: str | None,
+        if_none_match: bool,
+        cause: Exception,
+    ) -> str:
+        """The ambiguous-outcome rule real conditional writes need: the
+        connection died before the PUT's response, so the server may or
+        may not have committed. Read back and compare:
+
+        - stored bytes == ours → our write landed; the current etag is
+          its etag (CommitStates are unique per writer — each publish
+          names a fresh version — so byte-equality identifies OUR
+          commit, the same idempotency rule S3 multipart-complete
+          retries rely on);
+        - the precondition is GONE (etag moved past ``if_match``, or
+          the key exists under ``if_none_match``) and the bytes are not
+          ours → some other writer committed first; surface the normal
+          :class:`PreconditionFailed` so ``cas_publish`` re-reads and
+          retries exactly as it would for an explicit 412;
+        - the precondition still HOLDS → our PUT provably never
+          landed; re-send it (the retry is unambiguous if it gets a
+          response, and re-enters this rule if the connection dies
+          again).
+
+        Bounded at ``recovery_attempts`` GET/re-PUT rounds; if the
+        server stays unreachable the outcome is genuinely unknown and
+        a RuntimeError surfaces (a publish MUST NOT be reported
+        successful or failed without evidence)."""
+        last_exc: Exception = cause
+        for attempt in range(self.recovery_attempts):
+            if attempt:
+                time.sleep(self.recovery_backoff * attempt)
+            try:
+                cur = self._get_object(key)
+            except (OSError, http.client.HTTPException) as exc:
+                last_exc = exc
+                continue
+            if cur is not None and cur[0] == data:
+                return cur[1]
+            precondition_open = (
+                cur is None
+                if if_none_match
+                else (cur is not None and cur[1] == if_match)
+            )
+            if not precondition_open:
+                raise PreconditionFailed(
+                    f"{key}: lost the race during ambiguous-PUT recovery"
+                ) from cause
+            try:
+                return self._finish_put(key, data, headers)
+            except (OSError, http.client.HTTPException) as exc:
+                last_exc = exc
+        raise RuntimeError(
+            f"PUT {key}: outcome ambiguous after "
+            f"{self.recovery_attempts} recovery attempts"
+        ) from last_exc
+
+
+class HttpTableCommitStore(HttpConditionalStore):
+    """The versioned-lake table layout arbitered by an HTTP
+    conditional-put endpoint — the S3 wire shape end to end. The
+    canonical :class:`~ad_data_lake_spark.commit_protocol.CommitState`
+    lives at one object key on the endpoint; the local
+    ``_CURRENT``/``_VERSIONS``/``_BUCKETS`` files are a READ PROJECTION
+    maintained after each commit, so every reader (``read_merged``,
+    time travel, GC, ``lake_stats``) works unchanged.
+
+    Constructing it with ``base_url`` on a fresh table directory PLANTS
+    the ``_commit.http`` marker (base URL + per-table object key),
+    committing that table to this backend;
+    ``incremental._commit_store`` re-opens it from the marker alone, so
+    every writer on every process picks the same endpoint with no
+    configuration to drift.
+
+    Projection ordering: unlike the sqlite arbiter (which decomposes
+    inside its transaction), HTTP gives no critical section around the
+    local file writes, so the decompose runs under a short LOCAL flock
+    and projects what a fresh ``GET`` returns *inside* the lock — the
+    server is linearizable, so each successive lock holder projects a
+    state at least as new, and the files advance strictly forward.
+    (The flock orders only this host's projection writes; commit
+    CORRECTNESS is arbitered solely by the server's CAS.) Crash window:
+    a writer dying between its winning PUT and the projection leaves
+    the files one commit BEHIND the arbiter — stale but consistent
+    (the mirror image of the sqlite backend's files-ahead window, see
+    sqlite_store.py:28-36), and self-healing: the next writer's
+    projection catches the files up."""
+
+    def __init__(
+        self, target_path: str, base_url: str | None = None, timeout: float = 30.0
+    ):
+        self.target_path = target_path
+        marker = os.path.join(target_path, HTTP_COMMIT_MARKER)
+        if base_url is None:
+            with open(marker) as f:
+                cfg = json.load(f)
+            base_url, key = cfg["base_url"], cfg["key"]
+        else:
+            os.makedirs(target_path, exist_ok=True)
+            # the table path is the object key: unique per table when
+            # many tables share one endpoint/bucket
+            key = target_path
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"base_url": base_url, "key": key}, f)
+            os.replace(tmp, marker)
+        self._table_key = key
+        super().__init__(base_url, timeout)
+
+    def get(self, key: str) -> tuple[bytes, str] | None:
+        assert key == COMMIT_KEY
+        return super().get(self._table_key)
+
+    def put_if(self, key: str, data: bytes, **kwargs) -> str:
+        assert key == COMMIT_KEY
+        etag = super().put_if(self._table_key, data, **kwargs)
+        self._sync_projection()
+        return etag
+
+    def _sync_projection(self) -> None:
+        from ad_data_lake_spark import incremental
+        from ad_data_lake_spark.commit_protocol import CommitState
+
+        lock_path = os.path.join(self.target_path, _HTTP_LOCK)
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            cur = super().get(self._table_key)  # fresh read INSIDE the lock
+            if cur is None:
+                return
+            data, etag = cur
+            try:
+                with open(os.path.join(self.target_path, _HTTP_ETAG)) as f:
+                    if f.read() == etag:
+                        return  # projection already at (or past) this state
+            except FileNotFoundError:
+                pass
+            state = CommitState.from_bytes(data)
+            if (
+                state.n_buckets is not None
+                and incremental._stored_buckets(self.target_path)
+                != state.n_buckets
+            ):
+                incremental._write_atomic(
+                    self.target_path, incremental._NB, str(state.n_buckets)
+                )
+            incremental._write_atomic(
+                self.target_path,
+                incremental._LOG,
+                "\n".join(state.versions) + "\n",
+            )
+            if state.current is not None:
+                incremental._write_atomic(
+                    self.target_path, incremental._PTR, state.current
+                )
+            incremental._write_atomic(self.target_path, _HTTP_ETAG, etag)
+        finally:
+            os.close(fd)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -129,6 +332,15 @@ class _Handler(BaseHTTPRequestHandler):
         if_match = self.headers.get("If-Match")
         if_none_match = self.headers.get("If-None-Match")
         key = self._key()
+        # one-shot fault injection for the ambiguous-PUT tests: drop
+        # the connection without a response, either before the write
+        # ("before_commit": the PUT never landed) or after it
+        # ("after_commit": the PUT landed but the client can't know)
+        fault = getattr(self.server, "fail_next_put", None)
+        if fault == "before_commit":
+            self.server.fail_next_put = None
+            self.close_connection = True
+            return
         with self.server.mutex:
             entry = self.server.objects.get(key)
             if if_none_match == "*" and entry is not None:
@@ -141,6 +353,10 @@ class _Handler(BaseHTTPRequestHandler):
                     return
             gen = (entry[1] if entry is not None else 0) + 1
             self.server.objects[key] = (data, gen)
+        if fault == "after_commit":
+            self.server.fail_next_put = None
+            self.close_connection = True
+            return
         self._respond(200, b"", etag=f'"{gen}"')
 
     def _respond(self, status: int, body: bytes, etag: str | None = None) -> None:
@@ -162,9 +378,18 @@ class EtagStoreServer:
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.objects = {}
         self._httpd.mutex = threading.Lock()
+        self._httpd.fail_next_put = None  # test-only fault injection
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
+
+    def inject_put_fault(self, mode: str) -> None:
+        """Arm a ONE-SHOT connection-drop on the next PUT:
+        ``"before_commit"`` (dropped before the write applies) or
+        ``"after_commit"`` (the write applies, the response is lost) —
+        the two halves of the ambiguous-outcome window."""
+        assert mode in ("before_commit", "after_commit")
+        self._httpd.fail_next_put = mode
 
     @property
     def url(self) -> str:

@@ -571,13 +571,17 @@ def _commit_store(target_path: str):
     """The commit arbiter for this table: the sqlite-backed store when
     the table carries its marker database (``_commit.sqlite``, planted
     at table creation — see ``sqlite_store.SqliteTableCommitStore``),
-    else the flock-emulated file store. Per-table and layout-bound:
-    the marker travels with the directory, so every writer on every
-    process picks the same arbiter with no configuration to drift."""
-    from ad_data_lake_spark import sqlite_store
+    the HTTP/S3-wire store when it carries the ``_commit.http`` marker
+    (see ``http_store.HttpTableCommitStore``), else the flock-emulated
+    file store. Per-table and layout-bound: the marker travels with the
+    directory, so every writer on every process picks the same arbiter
+    with no configuration to drift."""
+    from ad_data_lake_spark import http_store, sqlite_store
 
     if os.path.exists(os.path.join(target_path, sqlite_store.TABLE_COMMIT_DB)):
         return sqlite_store.SqliteTableCommitStore(target_path)
+    if os.path.exists(os.path.join(target_path, http_store.HTTP_COMMIT_MARKER)):
+        return http_store.HttpTableCommitStore(target_path)
     return _FileCommitStore(target_path)
 
 
@@ -683,15 +687,21 @@ def _apply_bucketed_once(
             return deduped
         return deduped.where(~F.col(delete_col)).drop(delete_col)
 
+    from ad_data_lake_spark.http_store import HTTP_COMMIT_MARKER
     from ad_data_lake_spark.sqlite_store import TABLE_COMMIT_DB
 
     prev_version = _current_version(target_path)
     has_foreign_content = prev_version is None and os.path.isdir(target_path) and any(
-        # commit metadata (the lock file, a pre-planted sqlite arbiter
-        # and its journal) is NOT legacy data — a fresh versioned table
-        # whose arbiter was planted before its first merge must take
-        # the versioned path below, not this fallback
-        not (d == _LOCK or d.startswith(TABLE_COMMIT_DB))
+        # commit metadata (the lock file, a pre-planted sqlite or http
+        # arbiter marker and their sidecars) is NOT legacy data — a
+        # fresh versioned table whose arbiter was planted before its
+        # first merge must take the versioned path below, not this
+        # fallback
+        not (
+            d == _LOCK
+            or d.startswith(TABLE_COMMIT_DB)
+            or d.startswith(HTTP_COMMIT_MARKER)
+        )
         for d in os.listdir(target_path)
     )
     if has_foreign_content:

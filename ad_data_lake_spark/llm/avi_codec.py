@@ -116,7 +116,7 @@ def parse_avi_meta(data: bytes) -> tuple[int, int, int, int, str]:
     """Header-only (width, height, n_frames, fps, fourcc) — the video
     analog of ``parse_image_dims``; no frame bytes are touched."""
     try:
-        w, h, n, fps, fourcc, _movi = _walk_headers(data)
+        w, h, n, fps, fourcc, _movi, _stream = _walk_headers(data)
     except ValueError:
         raise
     except (struct.error, IndexError, OverflowError) as exc:
@@ -124,17 +124,31 @@ def parse_avi_meta(data: bytes) -> tuple[int, int, int, int, str]:
     return w, h, n, fps, fourcc
 
 
-def _walk_headers(data: bytes) -> tuple[int, int, int, int, str, int]:
+def _walk_headers(data: bytes) -> tuple[int, int, int, int, str, int, int]:
+    """RIFF header walk → (w, h, n_frames, fps, fourcc, movi_body_pos,
+    video_stream_index). LIST nesting uses an explicit (end, resume)
+    stack so SIBLING lists are all visited — an AVI whose audio strl
+    precedes the video strl must still find the video stream, and the
+    returned stream index maps frame chunks (``01db`` when video is
+    stream 1, not ``00db``) for the decoder."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI (bad RIFF signature)")
     end = min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
     pos = 12
+    stack: list[tuple[int, int]] = []  # (parent end, resume pos)
     w = h = n_frames = None
     us_per_frame = 0
     fourcc = None
     in_vids = False
+    n_streams = 0
+    vid_stream = None
     movi_at = None
-    while pos + 8 <= end:
+    while True:
+        if pos + 8 > end:
+            if not stack:
+                break
+            end, pos = stack.pop()  # list exhausted: resume the parent
+            continue
         tag = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = pos + 8
@@ -143,8 +157,10 @@ def _walk_headers(data: bytes) -> tuple[int, int, int, int, str, int]:
             if kind == b"movi":
                 movi_at = body + 4
                 break  # headers precede movi in every legal AVI
-            pos = body + 4  # descend into hdrl/strl
+            # descend into hdrl/strl; remember where the parent resumes
+            stack.append((end, body + size + (size & 1)))
             end = min(end, body + size)
+            pos = body + 4
             continue
         if tag == b"avih":
             (us_per_frame,) = struct.unpack_from("<I", data, body)
@@ -152,12 +168,14 @@ def _walk_headers(data: bytes) -> tuple[int, int, int, int, str, int]:
             w, h = struct.unpack_from("<II", data, body + 32)
         elif tag == b"strh":
             stype, handler = struct.unpack_from("<4s4s", data, body)
-            in_vids = stype == b"vids"
+            in_vids = stype == b"vids" and vid_stream is None
             if in_vids:
+                vid_stream = n_streams
                 # provisional: real writers often leave fccHandler as
                 # NULs for raw video; strf's biCompression (below) is
                 # the authoritative codec field and overrides this
                 fourcc = handler.decode("ascii", "replace").strip("\x00 ").upper()
+            n_streams += 1
         elif tag == b"strf" and in_vids and size >= 20:
             # BITMAPINFOHEADER.biCompression at body+16: 0 = BI_RGB
             # (uncompressed DIB), else the codec fourcc bytes (MJPG...)
@@ -172,26 +190,16 @@ def _walk_headers(data: bytes) -> tuple[int, int, int, int, str, int]:
                     .upper()
                 )
         pos = body + size + (size & 1)
-    if movi_at is None:
-        # the header descent narrowed `end`; rescan top-level for movi
-        pos, end = 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
-        while pos + 8 <= end:
-            tag = data[pos : pos + 4]
-            (size,) = struct.unpack_from("<I", data, pos + 4)
-            if tag == b"LIST" and data[pos + 8 : pos + 12] == b"movi":
-                movi_at = pos + 12
-                break
-            pos += 8 + size + (size & 1)
     if w is None or n_frames is None or movi_at is None:
         raise ValueError("missing avih header or movi list")
-    if fourcc is None:
+    if fourcc is None or vid_stream is None:
         raise ValueError("no video stream (vids strh) found")
     if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
         raise ValueError(f"bad frame dimensions {w}x{h}")
     if n_frames <= 0 or n_frames > _MAX_FRAMES:
         raise ValueError(f"bad frame count {n_frames}")
     fps = 1_000_000 // us_per_frame if us_per_frame else 0
-    return w, h, n_frames, fps, fourcc, movi_at
+    return w, h, n_frames, fps, fourcc, movi_at, vid_stream
 
 
 def decode_avi_frames(
@@ -211,7 +219,7 @@ def decode_avi_frames(
 def _decode_strict(
     data: bytes, indices: list[int] | None
 ) -> tuple[tuple[int, int, int, int, str], list[np.ndarray]]:
-    w, h, n_frames, fps, fourcc, movi_at = _walk_headers(data)
+    w, h, n_frames, fps, fourcc, movi_at, vid_stream = _walk_headers(data)
     if fourcc not in ("DIB", "MJPG"):
         raise ValueError(f"unsupported video fourcc {fourcc!r} (DIB/MJPG only)")
     want = sorted(set(range(n_frames) if indices is None else indices))
@@ -224,14 +232,17 @@ def _decode_strict(
     frame_no = 0
     wanted = set(want)
     last = want[-1] if want else -1
+    # frame chunk ids carry the STREAM index: '01db' when the video
+    # stream follows an audio stream, not unconditionally '00db'
+    vtags = (b"%02ddb" % vid_stream, b"%02ddc" % vid_stream)
     while pos + 8 <= end and frame_no <= last:
         tag = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = pos + 8
-        if tag in (b"00db", b"00dc"):
+        if tag in vtags:
             if frame_no in wanted:
                 raw = data[body : body + size]
-                if tag == b"00db":
+                if tag.endswith(b"db"):
                     if len(raw) < row_bytes * h:
                         raise ValueError(f"truncated DIB frame {frame_no}")
                     rows = np.frombuffer(raw[: row_bytes * h], dtype=np.uint8)

@@ -1,15 +1,26 @@
-"""ISO-BMFF (MP4) box walker — header-only video metadata, pure
-stdlib. The asset table's mime column carries ``video/mp4``
-(``multimodal.MIMES``); full mp4 DECODE genuinely needs a native
-codec stack (h264/h265/av1), so the vendored scope here is the
-metadata layer every pipeline needs before it ever decodes: duration,
-timescale, track count, per-track handler + codec fourcc, and video
-track dimensions — all stable public ISO 14496-12 header fields, the
-same trade ``parse_image_dims`` makes for stills.
+"""ISO-BMFF (MP4) box walker — video metadata plus REAL pixel decode
+for motion-JPEG tracks, pure stdlib + the vendored ``jpeg_codec``.
+
+Two tiers, matching what a pure-python stack can honestly do:
+
+- **Metadata** (``parse_mp4_meta``): duration, timescale, track count,
+  per-track handler + codec fourcc, video dimensions — stable public
+  ISO 14496-12 header fields, for every codec including h264/h265/av1
+  (whose PIXELS genuinely need a native stack).
+- **Sample-walk pixel decode** (``parse_mp4_samples`` +
+  ``decode_mp4_frames``): the stbl sample tables (stsd/stts/stsc/
+  stsz/stco/co64) resolve every sample's absolute file offset + size,
+  and for ``jpeg`` sample entries (motion-JPEG in MP4 — one complete
+  baseline JPEG per sample, the MP4 twin of AVI's MJPG fourcc) each
+  requested frame decodes for real through the vendored
+  ``jpeg_codec`` — the same machinery ``avi_codec`` uses for MJPG.
+  ``encode_mp4_mjpeg`` is the encoder half, so CI pins the full
+  encode → sample-walk → decode roundtrip byte-exactly.
 
 Error contract matches the other vendored codecs: anything out of
 spec raises ValueError and the multimodal tier falls back to its
-deterministic stand-in.
+deterministic stand-in; codecs that need a native stack raise
+NotImplementedError from the multimodal dispatch.
 """
 
 from __future__ import annotations
@@ -17,6 +28,9 @@ from __future__ import annotations
 import struct
 
 _BOX_HEADER = struct.Struct(">I4s")
+
+_MAX_PIXELS = 64_000_000  # per frame, same fuse as the image codecs
+_MAX_FRAMES = 1_000_000
 
 
 def _boxes(data: bytes, pos: int, end: int):
@@ -127,6 +141,279 @@ def _first_sample_codec(
             if found:
                 return found
     return None
+
+
+def parse_mp4_samples(data: bytes) -> dict:
+    """Sample-table walk for the FIRST video track: {width, height,
+    codec, n_samples, fps, offsets, sizes} where ``offsets[i]`` /
+    ``sizes[i]`` locate sample i's bytes in the file — stsc expanded
+    against stco/co64 per ISO 14496-12 §8.7.4 (a chunk holds
+    ``samples_per_chunk`` back-to-back samples; the entry runs until
+    the next entry's first_chunk). ValueError when the moov tree or
+    any required stbl box is absent/corrupt."""
+    try:
+        return _parse_samples_strict(data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, OverflowError) as exc:
+        raise ValueError(f"corrupt MP4: {exc!r}") from exc
+
+
+def _parse_samples_strict(data: bytes) -> dict:
+    if len(data) < 12 or data[4:8] not in (b"ftyp", b"moov", b"styp"):
+        raise ValueError("not ISO-BMFF (no leading ftyp/moov box)")
+    for btype, body, box_end in _boxes(data, 0, len(data)):
+        if btype == b"moov":
+            for ttype, tbody, tend in _boxes(data, body, box_end):
+                if ttype != b"trak":
+                    continue
+                track = _video_track_samples(data, tbody, tend)
+                if track is not None:
+                    return track
+            raise ValueError("no decodable video track (vide hdlr + stbl)")
+    raise ValueError("no moov box")
+
+
+def _video_track_samples(data: bytes, pos: int, end: int) -> dict | None:
+    width = height = None
+    handler = None
+    timescale = None
+    stbl = None
+    for btype, body, box_end in _boxes(data, pos, end):
+        if btype == b"tkhd":
+            version = data[body]
+            off = body + (88 if version == 1 else 76)
+            if off + 8 <= box_end:
+                w16, h16 = struct.unpack_from(">II", data, off)
+                width, height = w16 >> 16, h16 >> 16
+        elif btype == b"mdia":
+            for mtype, mbody, mend in _boxes(data, body, box_end):
+                if mtype == b"mdhd":
+                    version = data[mbody]
+                    timescale = struct.unpack_from(
+                        ">I", data, mbody + (20 if version == 1 else 12)
+                    )[0]
+                elif mtype == b"hdlr":
+                    handler = data[mbody + 8 : mbody + 12]
+                elif mtype == b"minf":
+                    for ntype, nbody, nend in _boxes(data, mbody, mend):
+                        if ntype == b"stbl":
+                            stbl = (nbody, nend)
+    if handler != b"vide" or stbl is None:
+        return None
+    codec = None
+    sizes: list[int] | None = None
+    chunk_offsets: list[int] | None = None
+    stsc: list[tuple[int, int]] | None = None
+    delta = 0
+    for stype, sbody, send in _boxes(data, *stbl):
+        if stype == b"stsd" and sbody + 16 <= send:
+            codec = data[sbody + 12 : sbody + 16].decode("ascii", "replace")
+        elif stype == b"stsz":
+            fixed, count = struct.unpack_from(">II", data, sbody + 4)
+            if count > _MAX_FRAMES:
+                raise ValueError(f"bad sample count {count}")
+            if fixed:
+                sizes = [fixed] * count
+            else:
+                sizes = list(
+                    struct.unpack_from(f">{count}I", data, sbody + 12)
+                )
+        elif stype in (b"stco", b"co64"):
+            (count,) = struct.unpack_from(">I", data, sbody + 4)
+            fmt = ">%d%s" % (count, "I" if stype == b"stco" else "Q")
+            chunk_offsets = list(struct.unpack_from(fmt, data, sbody + 8))
+        elif stype == b"stsc":
+            (count,) = struct.unpack_from(">I", data, sbody + 4)
+            stsc = [
+                struct.unpack_from(">II", data, sbody + 8 + 12 * i)
+                for i in range(count)
+            ]
+        elif stype == b"stts":
+            (count,) = struct.unpack_from(">I", data, sbody + 4)
+            if count:
+                _n, delta = struct.unpack_from(">II", data, sbody + 8)
+    if codec is None or sizes is None or chunk_offsets is None or stsc is None:
+        raise ValueError("video track missing stsd/stsz/stco/stsc")
+    offsets = _expand_sample_offsets(stsc, chunk_offsets, sizes)
+    if len(offsets) != len(sizes):
+        raise ValueError(
+            f"stsc/stco resolve {len(offsets)} samples, stsz has {len(sizes)}"
+        )
+    fps = timescale // delta if timescale and delta else 0
+    return {
+        "width": width,
+        "height": height,
+        "codec": codec,
+        "n_samples": len(sizes),
+        "fps": fps,
+        "offsets": offsets,
+        "sizes": sizes,
+    }
+
+
+def _expand_sample_offsets(
+    stsc: list[tuple[int, int]],
+    chunk_offsets: list[int],
+    sizes: list[int],
+) -> list[int]:
+    """stsc runs → per-sample absolute offsets (samples are
+    back-to-back within a chunk, chunks are 1-indexed)."""
+    offsets: list[int] = []
+    si = 0
+    n_chunks = len(chunk_offsets)
+    for ei, (first, per_chunk) in enumerate(stsc):
+        last = stsc[ei + 1][0] - 1 if ei + 1 < len(stsc) else n_chunks
+        if first < 1 or last > n_chunks:
+            raise ValueError(f"stsc entry {ei} outside chunk table")
+        for chunk in range(first, last + 1):
+            off = chunk_offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if si >= len(sizes):
+                    return offsets
+                offsets.append(off)
+                off += sizes[si]
+                si += 1
+    return offsets
+
+
+def decode_mp4_frames(
+    data: bytes, indices: list[int] | None = None, info: dict | None = None
+):
+    """((width, height, n_frames, fps, codec), [RGB uint8 (H, W, 3)
+    arrays at ``indices``]) for a motion-JPEG MP4 — each requested
+    sample's bytes located via the stbl walk and decoded through the
+    vendored ``jpeg_codec`` (the MP4 twin of
+    ``avi_codec.decode_avi_frames`` for MJPG). ValueError for corrupt
+    containers; NotImplementedError for codecs that genuinely need a
+    native stack (h264/h265/av1...)."""
+    import numpy as np
+
+    from ad_data_lake_spark.llm import jpeg_codec
+
+    if info is None:
+        info = parse_mp4_samples(data)
+    if info["codec"] not in ("jpeg", "mjpa"):
+        raise NotImplementedError(
+            f"mp4 pixel decode supports motion-JPEG sample entries only "
+            f"(got {info['codec']!r} — h264/h265/av1 need a native stack)"
+        )
+    n = info["n_samples"]
+    if n <= 0:
+        raise ValueError("empty sample table")
+    want = sorted(set(range(n) if indices is None else indices))
+    if want and (want[0] < 0 or want[-1] >= n):
+        raise ValueError(f"frame index out of range 0..{n - 1}: {want}")
+    frames = []
+    for i in want:
+        off, size = info["offsets"][i], info["sizes"][i]
+        if off + size > len(data):
+            raise ValueError(f"sample {i} extends past end of file")
+        jw, jh, ch, px = jpeg_codec.decode_jpeg(bytes(data[off : off + size]))
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(jh, jw, ch)
+        if ch == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        frames.append(arr)
+    meta = (info["width"], info["height"], n, info["fps"], info["codec"])
+    return meta, frames
+
+
+def encode_mp4_mjpeg(frames, fps: int = 10) -> bytes:
+    """Encode RGB uint8 frames (each (H, W, 3)) as a motion-JPEG MP4:
+    one complete baseline JPEG per sample in mdat, a spec-complete
+    stbl (stsd 'jpeg' + stts + stsc + stsz + stco, one sample per
+    chunk so stco IS the per-sample offset table) in moov. mdat
+    precedes moov so sample offsets never depend on moov's size.
+    Byte-deterministic — the encoder half of the decode contract,
+    like ``encode_avi_dib``."""
+    from ad_data_lake_spark.llm import jpeg_codec
+
+    if not frames:
+        raise ValueError("no frames")
+    h, w, ch = frames[0].shape
+    if ch != 3:
+        raise ValueError(f"RGB frames only (got {ch} channels)")
+    if fps <= 0:
+        raise ValueError(f"bad fps {fps}")
+    samples = []
+    for fr in frames:
+        if fr.shape != (h, w, 3):
+            raise ValueError("frames must share one shape")
+        samples.append(jpeg_codec.encode_jpeg(fr.tobytes(), w, h))
+    n = len(samples)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_body = b"".join(samples)
+    # absolute sample offsets: ftyp + mdat header (8), then cumulative
+    offsets = []
+    pos = len(ftyp) + 8
+    for s in samples:
+        offsets.append(pos)
+        pos += len(s)
+    mdat = _box(b"mdat", mdat_body)
+
+    timescale = fps  # one tick per frame: stts delta 1, duration n
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">IIII", 0, 0, timescale, n)
+        + b"\x00" * 80,
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">IIIII", 0, 0, 1, 0, n)
+        + b"\x00" * 52
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _box(
+        b"mdhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">IIII", 0, 0, timescale, n)
+        + b"\x55\xc4\x00\x00",  # language 'und' + pre_defined
+    )
+    hdlr = _box(
+        b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"mjpeg\x00"
+    )
+    vmhd = _box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+    dref = _box(
+        b"dref",
+        b"\x00" * 4
+        + struct.pack(">I", 1)
+        + _box(b"url ", b"\x00\x00\x00\x01"),  # flag 1: self-contained
+    )
+    dinf = _box(b"dinf", dref)
+    # VisualSampleEntry 'jpeg' per ISO 14496-12 §12.1.3
+    entry = _box(
+        b"jpeg",
+        b"\x00" * 6  # reserved
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4  # reserved
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1),  # depth, pre_defined
+    )
+    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+    stts = _box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, 1))
+    stsc = _box(b"stsc", b"\x00" * 4 + struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = _box(
+        b"stsz",
+        b"\x00" * 4
+        + struct.pack(">II", 0, n)
+        + struct.pack(f">{n}I", *(len(s) for s in samples)),
+    )
+    stco = _box(
+        b"stco",
+        b"\x00" * 4 + struct.pack(">I", n) + struct.pack(f">{n}I", *offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
 
 
 def synth_mp4_meta(

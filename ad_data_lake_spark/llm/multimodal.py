@@ -402,23 +402,54 @@ def decode_video_frames(payload: bytes, k: int = 3):
     (``sampled_indices`` — the same plan ``sample_frame_indices``
     declares JVM-side), decoded to RGB. AVI containers decode for REAL
     via the vendored ``avi_codec`` (uncompressed DIB and MJPEG — the
-    latter one vendored ``jpeg_codec`` call per frame); MP4 payloads
-    carry codec streams (h264/h265/av1) that genuinely need a native
-    stack — ``mp4_meta.parse_mp4_meta`` still reads their duration/
-    track/dims headers for real, but pixel decode raises
-    NotImplementedError. Returns ((w, h, n_frames, fps, fourcc),
-    [frame_idx...], [RGB arrays...])."""
-    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        from ad_data_lake_spark.llm import avi_codec
+    latter one vendored ``jpeg_codec`` call per frame); motion-JPEG
+    MP4s decode for real via the ``mp4_meta`` stbl sample walk (each
+    sample a baseline JPEG); MP4s carrying codec streams (h264/h265/
+    av1) genuinely need a native stack — ``mp4_meta.parse_mp4_meta``
+    still reads their duration/track/dims headers for real, but pixel
+    decode raises NotImplementedError. Returns ((w, h, n_frames, fps,
+    fourcc), [frame_idx...], [RGB arrays...]) — the index list is the
+    RAW sampling plan, exactly what ``sample_frame_indices`` emits
+    JVM-side (when ``n_frames < k`` the plan repeats indices; repeats
+    are decoded once but EMITTED per plan entry, so length and ranking
+    always match the JVM twin)."""
+    from ad_data_lake_spark.llm import avi_codec, mp4_meta
 
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         meta = avi_codec.parse_avi_meta(payload)
         idx = sampled_indices(meta[2], k)
-        _meta, frames = avi_codec.decode_avi_frames(payload, idx)
-        return meta, sorted(set(idx)), frames
+        uniq = sorted(set(idx))
+        _meta, frames = avi_codec.decode_avi_frames(payload, uniq)
+        by_idx = dict(zip(uniq, frames))
+        return meta, idx, [by_idx[i] for i in idx]
+    if len(payload) >= 12 and payload[4:8] in (b"ftyp", b"styp"):
+        try:
+            info = mp4_meta.parse_mp4_samples(payload)
+        except ValueError:
+            # no walkable sample tables — if the moov still names a
+            # codec-stack video track (h264/h265/av1...), that is the
+            # "needs a native stack" case, not corruption: keep the
+            # NotImplementedError → stand-in contract for it
+            meta = mp4_meta.parse_mp4_meta(payload)
+            codecs = [
+                t["codec"] for t in meta["tracks"] if t["handler"] == "vide"
+            ]
+            if codecs and codecs[0] not in ("jpeg", "mjpa"):
+                raise NotImplementedError(
+                    f"mp4 pixel decode for codec {codecs[0]!r} needs a "
+                    "native stack (PyAV); metadata parsed for real"
+                ) from None
+            raise
+        idx = sampled_indices(info["n_samples"], k)
+        uniq = sorted(set(idx))
+        meta_t, frames = mp4_meta.decode_mp4_frames(payload, uniq, info=info)
+        by_idx = dict(zip(uniq, frames))
+        return meta_t, idx, [by_idx[i] for i in idx]
     raise NotImplementedError(
-        "no video frame decoder for this payload (AVI DIB/MJPEG decodes "
-        "via the vendored avi_codec; mp4 pixel decode needs PyAV — its "
-        "METADATA parses via mp4_meta.parse_mp4_meta)"
+        "no video frame decoder for this payload (AVI DIB/MJPEG and "
+        "motion-JPEG MP4 decode via the vendored codecs; h264/h265/av1 "
+        "pixels need PyAV — their METADATA parses via "
+        "mp4_meta.parse_mp4_meta)"
     )
 
 
@@ -542,8 +573,17 @@ def audio_wav_features(documents: DataFrame) -> DataFrame:
                 ],
             )
 
-    src = documents.where(F.length("text") >= 1).select(
-        "doc_id", F.substring("text", 1, AUDIO_MAX_SAMPLES).alias("t")
+    from ad_data_lake_spark.sources.tables import spread
+
+    # compute-bound Arrow kernel (a real container codec per row):
+    # fan the narrow scan out to session parallelism — the fixtures
+    # are single-row-group parquet, so an unspread scan would run the
+    # whole codec pass on ONE core (tables.spread is a no-op when the
+    # source already supplies enough splits, e.g. a production lake)
+    src = spread(
+        documents.where(F.length("text") >= 1).select(
+            "doc_id", F.substring("text", 1, AUDIO_MAX_SAMPLES).alias("t")
+        )
     )
     return src.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
@@ -617,5 +657,123 @@ def video_frame_stats(documents: DataFrame) -> DataFrame:
                 ],
             )
 
-    src = documents.where(F.length("text") >= 1).select("doc_id", "text")
+    from ad_data_lake_spark.sources.tables import spread
+
+    # same spread rationale as audio_wav_features: per-row container
+    # encode+decode is compute-bound; never let it serialize onto the
+    # input's split count
+    src = spread(
+        documents.where(F.length("text") >= 1).select("doc_id", "text")
+    )
+    return src.mapInPandas(run, schema=VIDEO_STATS_SCHEMA)
+
+
+VIDEO_MP4_W = VIDEO_MP4_H = 16  # four 8x8 JPEG blocks per frame
+VIDEO_MP4_N_FRAMES = 6
+MP4_BLOCKS = ((0, 0), (0, 1), (1, 0), (1, 1))  # (block_y, block_x), raster
+_MP4_FRAME_PX = VIDEO_MP4_W * VIDEO_MP4_H * 3
+_MP4_BLOCK_PX = 8 * 8 * 3
+
+
+def mp4_block_wsum_weights() -> list[int]:
+    """Per-block Σ(flattened-position) weights over a (16, 16, 3) RGB
+    frame — the closed-form the oracle needs to recompute ``px_wsum``
+    for block-solid frames (Σ g·v over a solid block is v·Σg). One
+    Python source of truth: the registry interpolates THESE numbers
+    into the DuckDB SQL, so the two sides cannot drift."""
+    import numpy as np
+
+    q = np.arange(_MP4_FRAME_PX, dtype=np.int64).reshape(
+        VIDEO_MP4_H, VIDEO_MP4_W, 3
+    )
+    return [
+        int(q[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8, :].sum())
+        for by, bx in MP4_BLOCKS
+    ]
+
+
+def video_frame_stats_mp4(documents: DataFrame) -> DataFrame:
+    """REAL MP4 frame extraction, oracle-gated — the motion-JPEG twin
+    of ``video_frame_stats``: per document, build a 6-frame 16x16 RGB
+    video of four SOLID 8x8 blocks per frame (block ``j = 4f + b`` has
+    gray value ``(ord(c_{j mod len})*37 + 11j) mod 256``), encode a
+    real ISO-BMFF motion-JPEG container (``mp4_meta.encode_mp4_mjpeg``
+    — one baseline JPEG per sample, spec-complete
+    stsd/stts/stsc/stsz/stco), then run the production
+    sample-then-decode path (``decode_video_frames`` → stbl sample
+    walk → per-sample ``jpeg_codec`` decode) and emit per-sampled-frame
+    pixel stats. Solid 8x8 blocks are the one pixel class baseline
+    JPEG round-trips BIT-EXACTLY at the vendored quality (only the DC
+    coefficient is non-zero; its max quantization error of q/2 = 1.5
+    shifts a pixel by at most 1.5/8 < 0.5, so the rounded output is
+    exact — pinned exhaustively for all 256 values in
+    test_av_codecs), which is what lets a SQL oracle recompute the
+    decoded values straight from char codes. ``px_wsum``
+    (Σ position·value) is order-sensitive at block granularity, so a
+    decoder that flips rows/columns of blocks, mis-walks
+    stsc/stsz/stco, or fetches the wrong sample hash-mismatches at the
+    driver gate. Scale shape: one Arrow pass, bounded per-payload
+    work, zero shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ad_data_lake_spark.llm import mp4_meta
+
+        q = np.arange(_MP4_FRAME_PX, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                L = len(codes)
+                frames = []
+                for f in range(VIDEO_MP4_N_FRAMES):
+                    fr = np.zeros(
+                        (VIDEO_MP4_H, VIDEO_MP4_W, 3), dtype=np.uint8
+                    )
+                    for b, (by, bx) in enumerate(MP4_BLOCKS):
+                        j = 4 * f + b
+                        v = int((codes[j % L] * 37 + 11 * j) % 256)
+                        fr[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8, :] = v
+                    frames.append(fr)
+                payload = mp4_meta.encode_mp4_mjpeg(frames, fps=10)
+                meta, idx, decoded = decode_video_frames(
+                    payload, VIDEO_SAMPLE_K
+                )
+                for rank, (fi, fr) in enumerate(zip(idx, decoded), start=1):
+                    flat = fr.reshape(-1).astype(np.int64)
+                    px_sum = int(flat.sum())
+                    rows.append(
+                        (
+                            int(doc_id),
+                            meta[2],
+                            rank,
+                            fi,
+                            px_sum,
+                            int(np.sum(q * flat)),
+                            round(px_sum / float(_MP4_FRAME_PX), 6),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "frame_rank",
+                    "frame_idx",
+                    "px_sum",
+                    "px_wsum",
+                    "mean_px",
+                ],
+            )
+
+    from ad_data_lake_spark.sources.tables import spread
+
+    # same spread rationale as audio_wav_features: per-row container
+    # encode+decode is compute-bound; never let it serialize onto the
+    # input's split count
+    src = spread(
+        documents.where(F.length("text") >= 1).select("doc_id", "text")
+    )
     return src.mapInPandas(run, schema=VIDEO_STATS_SCHEMA)

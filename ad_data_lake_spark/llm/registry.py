@@ -605,6 +605,50 @@ _add(
     ("llm", "multimodal", "video", "real-decode", "pandas-udf"),
 )
 
+# the motion-JPEG MP4 twin (r12): frames are four SOLID 8x8 blocks —
+# the pixel class baseline JPEG round-trips bit-exactly (DC-only; max
+# DC quant error q/2 = 1.5 shifts a pixel < 0.5 — exhaustively pinned
+# in test_av_codecs) — so the oracle recomputes the DECODED pixels
+# from char codes and the hash match proves the whole
+# encode → stbl sample walk → per-sample JPEG decode roundtrip.
+# px_wsum folds per-block Σposition weights from ONE Python source of
+# truth (multimodal.mp4_block_wsum_weights).
+_MP4_IDX = MM.sampled_indices(MM.VIDEO_MP4_N_FRAMES, MM.VIDEO_SAMPLE_K)
+_MP4_WQ = MM.mp4_block_wsum_weights()
+_MP4_FRAME_PX = MM.VIDEO_MP4_W * MM.VIDEO_MP4_H * 3
+
+_VIDEO_MP4_ORACLE = f"""
+    WITH c AS (
+        SELECT doc_id, text, length(text) AS L
+        FROM documents WHERE length(text) >= 1),
+    fr AS (SELECT unnest({_MP4_IDX}) AS frame_idx,
+                  unnest({list(range(1, len(_MP4_IDX) + 1))}) AS frame_rank),
+    bl AS (SELECT unnest([0, 1, 2, 3]) AS b,
+                  unnest({_MP4_WQ}) AS wq),
+    bv AS (
+        SELECT doc_id, frame_idx, frame_rank, wq,
+               (unicode(substr(text,
+                    CAST((frame_idx * 4 + b) % L AS INT) + 1, 1)) * 37
+                + 11 * (frame_idx * 4 + b)) % 256 AS v
+        FROM c, fr, bl)
+    SELECT doc_id,
+           CAST({MM.VIDEO_MP4_N_FRAMES} AS BIGINT) AS n_frames,
+           CAST(frame_rank AS BIGINT) AS frame_rank,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(sum({8 * 8 * 3} * v) AS BIGINT) AS px_sum,
+           CAST(sum(wq * v) AS BIGINT) AS px_wsum,
+           round(CAST(sum({8 * 8 * 3} * v) AS DOUBLE) / {_MP4_FRAME_PX}.0, 6)
+               AS mean_px
+    FROM bv GROUP BY doc_id, frame_rank, frame_idx
+"""
+
+_add(
+    "video_frame_stats_mp4",
+    _doc_q(MM.video_frame_stats_mp4),
+    _VIDEO_MP4_ORACLE,
+    ("llm", "multimodal", "video", "real-decode", "pandas-udf"),
+)
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search (llm/similarity.py)
 # ---------------------------------------------------------------------------

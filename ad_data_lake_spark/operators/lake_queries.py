@@ -138,6 +138,31 @@ def lake_concurrent_writers_sqlite(spark: SparkSession, sf_dir: str) -> DataFram
     return _concurrent_writers_run(spark, sf_dir, "concurrent_sqlite", plant)
 
 
+def lake_concurrent_writers_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20 twin on the HTTP/S3-wire commit arbiter: the identical
+    lost-update interleave as ``lake_concurrent_writers``, but the
+    table's commits CAS through a live TCP endpoint speaking the S3
+    conditional-put contract (``PUT`` + ``If-Match``/``If-None-Match``
+    → 412) via :class:`~ad_data_lake_spark.http_store.
+    HttpTableCommitStore` — marker-planted before the first merge, so
+    every publish (both writers, the CAS reject, the retry) crosses a
+    real socket. Same oracle, same expected final state and publish
+    depth of 3: the third backend through the identical store-agnostic
+    publish path (reference has a single-writer overwrite contract,
+    src/main_extractor.py:358)."""
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpTableCommitStore
+
+    with EtagStoreServer() as url:
+
+        def plant(target: str) -> None:
+            HttpTableCommitStore(target, base_url=url)
+
+        # every publish runs eagerly inside this block; the returned
+        # DataFrame reads only the local file projection, so it stays
+        # valid after the endpoint goes away
+        return _concurrent_writers_run(spark, sf_dir, "concurrent_http", plant)
+
+
 def _concurrent_writers_run(
     spark: SparkSession, sf_dir: str, scratch_name: str, plant=None
 ) -> DataFrame:
@@ -366,6 +391,31 @@ def streaming_frequency_cap_drain(spark: SparkSession, sf_dir: str) -> DataFrame
         output_mode="append",
         shuffle_partitions=8,
     )
+
+
+def streaming_frequency_cap_batchwise_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T14 twin, all-JVM: the foreachBatch frequency cap
+    (``streaming/stateful.py::streaming_frequency_cap_batchwise`` —
+    per-batch window numbering + a versioned per-user offsets table,
+    zero Python in the row path). Same oracle as the stateful-API row,
+    so the driver gate proves both forms reproduce batch semantics;
+    the A/B walls live in BASELINE.md's streaming table."""
+    from ad_data_lake_spark.streaming.stateful import (
+        streaming_frequency_cap_batchwise,
+    )
+
+    events = _events_slim(spark, sf_dir).select("event_id", "user_id", "ts")
+    src = os.path.join(_scratch(spark, "capbw-src", sf_dir), "events")
+    _stream_src_write(events, src)
+    base = _scratch(spark, "capbw", sf_dir)
+    results = os.path.join(base, "results")
+    state = os.path.join(base, "state")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = streaming_frequency_cap_batchwise(stream, results, state)
+    q.awaitTermination()
+    return spark.read.parquet(results).drop("batch")
 
 
 def merge_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1170,6 +1170,21 @@ _register(
 )
 
 _register(
+    "lake_concurrent_writers_http",
+    QuerySpec(
+        lake_queries.lake_concurrent_writers_http,
+        """
+        SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id,
+               round(value + CASE WHEN event_id % 2 = 0
+                                  THEN 100 ELSE 200 END, 2) AS value,
+               CAST(3 AS INT) AS publish_depth
+        FROM events
+        """,
+        ("write", "merge", "concurrency"),
+    ),
+)
+
+_register(
     "backfill_partition_replace",
     QuerySpec(
         lake_queries.backfill_partition_replace,
@@ -1389,6 +1404,20 @@ _register(
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         ("write", "streaming", "stateful", "frequency-cap"),
+    ),
+)
+
+_register(
+    "streaming_frequency_cap_batchwise",
+    QuerySpec(
+        lake_queries.streaming_frequency_cap_batchwise_drain,
+        f"""
+        SELECT event_id, user_id, ts,
+               CAST(row_number() OVER w AS INT) AS impression_no,
+               row_number() OVER w > {_sessions.FREQUENCY_CAP} AS capped
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        ("write", "streaming", "stateful", "frequency-cap", "foreachBatch"),
     ),
 )
 
@@ -1961,74 +1990,21 @@ _register(
 # re-verifies the complement each round.
 # ---------------------------------------------------------------------------
 
-# Round 11 window (50 slots), rotated per the r10 verdict's #1 ask:
-# slots 1-4 are the NEW rows (lake_concurrent_writers_sqlite — the
-# sqlite commit-arbiter twin; audio_wav_features / video_frame_stats —
-# the real-decode audio/video rows; streaming_multimodal_features —
-# the in-flight extraction twin; new code needing the freshest
-# driver record), then the 23 REMAINING r07-cohort rows
-# (embed_topk_ivf_sq8..weighted_sample — the oldest names not
-# driver-green in the r9∪r10 union), the rest of the window the first
-# r08-cohort rows oldest-first (agg_percentiles..). The remaining
-# r08/r09 cohorts follow, and the 50 rows the driver just checked
-# green in r10 sit at the very end (freshest record). This round's
-# implementation changes (crashed-first-commit published() fix, GC
-# per-dir liveness recheck, held-lock inode verify, the _commit_store
-# backend dispatch) are semantics-preserving on every committed path,
-# pytest-pinned (test_commit_protocol/test_lake), and exercised by the
-# r10-green merge family rows — still green in the r10∪r11 union even
-# though they sit past slot 50 here.
+# Round 12 window (50 slots), rotated per the r11 verdict's #1 ask:
+# slots 1-3 are the NEW rows added this round (lake_concurrent_writers_http
+# — the HTTP/S3-wire table commit arbiter; video_frame_stats_mp4 — the
+# MP4 MJPEG real-pixel-decode row; streaming_frequency_cap_batchwise —
+# the all-JVM foreachBatch cap twin), then the first 47 of the 72 rows not
+# driver-green in the r10∪r11 union (oldest-first: hierarchy_flat ..
+# sanitize_nested_struct), so CORRECTNESS_r12 pushes the union to
+# ~150/174. The remaining 24 not-green rows follow immediately after
+# slot 50 (next round's leading block), then the r10-green cohort, and
+# the 50 rows the driver just checked green in r11 sit at the very end
+# (freshest record).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "lake_concurrent_writers_sqlite",
-    "audio_wav_features",
-    "video_frame_stats",
-    "streaming_multimodal_features",
-    "embed_topk_ivf_sq8",
-    "fim_transform",
-    "flight_window_rollup",
-    "frequency_cap",
-    "fuzzy_name_join",
-    "jsonl_corpus_ingest",
-    "mmr_diversify",
-    "nb_quality_score",
-    "neardup_clusters_star",
-    "novelty_profile",
-    "perplexity_buckets",
-    "pmi_collocations",
-    "rag_retrieve",
-    "rare_token_scrub",
-    "semantic_dedup_ivf",
-    "sessionize_events",
-    "sessionize_native",
-    "shard_assign",
-    "skew_salted_agg",
-    "streaming_rare_token_scrub",
-    "token_budget_plan",
-    "url_domain_filter",
-    "weighted_sample",
-    "agg_percentiles",
-    "anti_join_missing",
-    "api_pages_ingest",
-    "bm25_retrieve",
-    "broadcast_dim_join",
-    "chunk_documents",
-    "collect_list_nest",
-    "derived_ratio_metrics",
-    "distinct_ids",
-    "doc_fingerprint",
-    "domain_pagerank",
-    "embed_topk_binary",
-    "filter_time_range",
-    "filter_updated_since",
-    "fn_actid_norm",
-    "fn_boolean_coerce",
-    "fn_budget_exclusion",
-    "fn_clamp_start_time",
-    "fn_numeric_autocast",
-    "fn_parse_datetime",
-    "fn_positive_amount",
-    "fn_spend_cap",
-    "fn_string_collection",
+    "lake_concurrent_writers_http",
+    "video_frame_stats_mp4",
+    "streaming_frequency_cap_batchwise",
     "hierarchy_flat",
     "hybrid_retrieve_rrf",
     "lang_id",
@@ -2151,6 +2127,56 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_keep_best",
     "embed_topk_bruteforce",
     "embed_topk_int8",
+    "lake_concurrent_writers_sqlite",
+    "audio_wav_features",
+    "video_frame_stats",
+    "streaming_multimodal_features",
+    "embed_topk_ivf_sq8",
+    "fim_transform",
+    "flight_window_rollup",
+    "frequency_cap",
+    "fuzzy_name_join",
+    "jsonl_corpus_ingest",
+    "mmr_diversify",
+    "nb_quality_score",
+    "neardup_clusters_star",
+    "novelty_profile",
+    "perplexity_buckets",
+    "pmi_collocations",
+    "rag_retrieve",
+    "rare_token_scrub",
+    "semantic_dedup_ivf",
+    "sessionize_events",
+    "sessionize_native",
+    "shard_assign",
+    "skew_salted_agg",
+    "streaming_rare_token_scrub",
+    "token_budget_plan",
+    "url_domain_filter",
+    "weighted_sample",
+    "agg_percentiles",
+    "anti_join_missing",
+    "api_pages_ingest",
+    "bm25_retrieve",
+    "broadcast_dim_join",
+    "chunk_documents",
+    "collect_list_nest",
+    "derived_ratio_metrics",
+    "distinct_ids",
+    "doc_fingerprint",
+    "domain_pagerank",
+    "embed_topk_binary",
+    "filter_time_range",
+    "filter_updated_since",
+    "fn_actid_norm",
+    "fn_boolean_coerce",
+    "fn_budget_exclusion",
+    "fn_clamp_start_time",
+    "fn_numeric_autocast",
+    "fn_parse_datetime",
+    "fn_positive_amount",
+    "fn_spend_cap",
+    "fn_string_collection",
 )
 
 

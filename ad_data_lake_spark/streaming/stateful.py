@@ -111,3 +111,185 @@ def streaming_sessionize(
         )
         .select("user_id", "session_start", "session_end", "n_events", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batchwise frequency cap (r12): the foreachBatch/JVM alternative to
+# applyInPandasWithState, measured A/B against it (VERDICT r11 ask #6).
+# ---------------------------------------------------------------------------
+
+
+def streaming_frequency_cap_batchwise(
+    stream_events: DataFrame,
+    results_dir: str,
+    state_dir: str,
+    cap: int = FREQUENCY_CAP,
+):
+    """The same per-user running impression counter computed ENTIRELY
+    JVM-side per micro-batch — zero Python in the row path, versus
+    ``streaming_frequency_cap``'s per-key Arrow state round trips:
+
+    - within the batch: ``row_number() OVER (PARTITION BY user ORDER BY
+      ts, event_id)`` (window functions are legal here — foreachBatch
+      hands us a BATCH DataFrame);
+    - across batches: a tiny per-user offsets table (``seen`` counts),
+      versioned one parquet snapshot per batch id. Replayed batches
+      (at-least-once trigger semantics) are exactly-once by
+      construction: results land at ``batch=<id>`` (overwrite =
+      idempotent), the state read always uses the latest snapshot
+      STRICTLY BEFORE this batch id, and a crashed attempt's partial
+      ``v<id>`` snapshot is simply overwritten by the retry.
+
+    Scale trade-off (the reason BOTH forms ship): each batch rewrites
+    the FULL offsets table — O(total distinct users) per batch, perfect
+    while the key space is bounded or ∝ batch size, pathological for
+    an unbounded key space (1e9 users × per-minute batches), where the
+    state store's O(touched keys) RocksDB updates win asymptotically.
+    The A/B walls live in BASELINE.md's streaming table.
+
+    Returns the started streaming query (caller awaits termination and
+    reads ``results_dir``)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def _latest_state(spark, before_id: int):
+        try:
+            versions = [
+                int(d[1:])
+                for d in os.listdir(state_dir)
+                if d.startswith("v")
+                and d[1:].isdigit()
+                and int(d[1:]) < before_id
+                and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+            ]
+        except FileNotFoundError:
+            return None
+        if not versions:
+            return None
+        return spark.read.parquet(
+            os.path.join(state_dir, f"v{max(versions)}")
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        events = batch_df.select("event_id", "user_id", "ts")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        numbered = events.withColumn("rn", F.row_number().over(w))
+        prev = _latest_state(spark, batch_id)
+        if prev is not None:
+            # offsets are one row per user ever seen — small relative
+            # to the fact; let AQE pick broadcast vs shuffle join
+            joined = numbered.join(prev, "user_id", "left").na.fill(
+                {"seen": 0}
+            )
+        else:
+            joined = numbered.withColumn("seen", F.lit(0))
+        n = (F.col("rn") + F.col("seen")).cast("int")
+        out = joined.select(
+            "event_id",
+            "user_id",
+            "ts",
+            n.alias("impression_no"),
+            (n > cap).alias("capped"),
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(results_dir, f"batch={batch_id}")
+        )
+        delta = events.groupBy("user_id").agg(F.count("*").alias("d"))
+        if prev is not None:
+            new_state = (
+                prev.join(delta, "user_id", "full")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce("seen", F.lit(0))
+                        + F.coalesce("d", F.lit(0))
+                    ).alias("seen"),
+                )
+            )
+        else:
+            new_state = delta.select("user_id", F.col("d").alias("seen"))
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+        # retention: the read path needs only the newest snapshot; keep
+        # one prior for a replayed batch's strictly-before read
+        import shutil
+
+        versions = sorted(
+            int(d[1:])
+            for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        for v in versions[:-2]:
+            shutil.rmtree(os.path.join(state_dir, f"v{v}"), ignore_errors=True)
+
+    return (
+        stream_events.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_frequency_cap_tws(
+    stream_events: DataFrame, cap: int = FREQUENCY_CAP
+) -> DataFrame:
+    """The Spark 4 ``transformWithStateInPandas`` form of the cap —
+    evaluated for r11 ask #6 and ENVIRONMENT-BLOCKED in this
+    container: the API's driver worker imports ``google.protobuf``
+    (pyspark/sql/streaming/proto/StateMessage_pb2) at query start,
+    protobuf is not installed, and installs are disallowed — the query
+    fails with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE before
+    the first batch. Kept as the ready-to-measure third A/B arm:
+    tests/test_lake.py::test_transform_with_state_env_gate skips while
+    protobuf is absent and runs this form (asserting batch
+    equivalence) the moment the environment provides it."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _CapProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._seen.get()
+            seen = got[0] if got is not None else 0
+            chunks = [p for p in rows if len(p)]
+            if chunks:
+                pdf = (
+                    chunks[0]
+                    if len(chunks) == 1
+                    else pd.concat(chunks, ignore_index=True)
+                ).sort_values(["ts", "event_id"])
+                n = len(pdf)
+                nums = pd.RangeIndex(seen + 1, seen + n + 1).to_numpy()
+                yield pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"].to_numpy(),
+                        "user_id": pdf["user_id"].to_numpy(),
+                        "ts": pdf["ts"].to_numpy(),
+                        "impression_no": nums.astype("int32"),
+                        "capped": nums > cap,
+                    }
+                )
+                seen += n
+            self._seen.update((seen,))
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream_events.select("event_id", "user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_CapProcessor(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

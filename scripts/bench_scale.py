@@ -155,8 +155,31 @@ def duckdb_timings(
         args=(sf_dir, names, memlimit, timeout, q),
     )
     p.start()
-    out = q.get()  # blocks until the child publishes its dict
-    p.join()
+    # bounded wait: if the child is OOM-killed or segfaults (the very
+    # failure class the isolation exists for), its except handler never
+    # runs and nothing is enqueued — poll liveness instead of blocking
+    # forever, and record DNFs for a dead child (r11 ADVICE)
+    import queue as _queue
+
+    deadline = time.monotonic() + timeout * max(1, len(names)) + 120.0
+    out = None
+    while out is None:
+        try:
+            out = q.get(timeout=5.0)
+        except _queue.Empty:
+            if not p.is_alive():
+                _progress("duckdb child died without publishing; DNF all")
+                out = {n: None for n in names}
+                break
+            if time.monotonic() > deadline:
+                _progress("duckdb child exceeded the bench budget; DNF all")
+                p.kill()
+                out = {n: None for n in names}
+                break
+    p.join(timeout=30)
+    if p.is_alive():
+        p.kill()
+        p.join(timeout=10)
     return out
 
 

@@ -446,3 +446,211 @@ def test_mp4_tkhd_dims_at_spec_offsets():
     assert meta["duration_s"] == 2.0
     assert meta["tracks"][0]["width"] == 1280
     assert meta["tracks"][0]["height"] == 720
+
+
+# ---------------------------------------------------------------------------
+# AVI multi-stream (r12): sibling strl lists + stream-indexed chunk ids
+# ---------------------------------------------------------------------------
+
+
+def _avi_audio_then_video(frames: list[np.ndarray]) -> bytes:
+    """Hand-built AVI whose AUDIO strl precedes the video strl — the
+    shape real muxers emit when audio is stream 0. Video frames are
+    therefore '01db' chunks, not '00db'."""
+    h, w, _ = frames[0].shape
+    row_bytes = (w * 3 + 3) & ~3
+    pad = row_bytes - w * 3
+    bodies = []
+    for fr in frames:
+        bgr = np.ascontiguousarray(fr[::-1, :, ::-1], dtype=np.uint8)
+        rows = bgr.reshape(h, w * 3)
+        if pad:
+            rows = np.hstack([rows, np.zeros((h, pad), dtype=np.uint8)])
+        bodies.append(rows.tobytes())
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + b"\x00" * (len(body) & 1)
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    n = len(frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 100_000, 0, 0, 0, n, 0, 2, 0, w, h, 0, 0, 0, 0
+    )
+    a_strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+        1, 16000, 0, 16000, 0, 0xFFFFFFFF, 0, 0, 0, 0, 0,
+    )
+    a_strf = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)  # WAVEFORMAT PCM
+    v_strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0, 1, 10, 0, n,
+        0, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    v_strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", a_strh) + chunk(b"strf", a_strf))
+        + lst(b"strl", chunk(b"strh", v_strh) + chunk(b"strf", v_strf)),
+    )
+    # stream 0 = audio -> audio data is '00wb', video is '01db'
+    movi_chunks = b""
+    for body in bodies:
+        movi_chunks += chunk(b"00wb", b"\x00" * 32)
+        movi_chunks += chunk(b"01db", body)
+    movi = lst(b"movi", movi_chunks)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_audio_strl_before_video_strl_found():
+    """Regression (r11 ADVICE): the header walk used to clamp its end
+    at the FIRST nested LIST, so an audio strl ahead of the video strl
+    hid the video stream entirely. Sibling strls must all be visited
+    and the video stream's index must map its '01db' chunks."""
+    frames = _frames(3, h=4, w=4)
+    data = _avi_audio_then_video(frames)
+    w, h, n, fps, fourcc = avi_codec.parse_avi_meta(data)
+    assert (w, h, n, fps, fourcc) == (4, 4, 3, 10, "DIB")
+    _meta, out = avi_codec.decode_avi_frames(data, [0, 2])
+    np.testing.assert_array_equal(out[0], frames[0])
+    np.testing.assert_array_equal(out[1], frames[2])
+
+
+# ---------------------------------------------------------------------------
+# MP4 motion-JPEG sample walk (r12): encode → stbl walk → decode
+# ---------------------------------------------------------------------------
+
+
+def _solid_block_frames(n: int, size: int = 16, seed: int = 1) -> list[np.ndarray]:
+    """Frames of solid 8x8 blocks — the pixel class baseline JPEG
+    round-trips exactly (DC-only blocks; see multimodal docstring)."""
+    out = []
+    blocks = size // 8
+    for f in range(n):
+        fr = np.zeros((size, size, 3), dtype=np.uint8)
+        for by in range(blocks):
+            for bx in range(blocks):
+                v = (seed * 37 + 97 * f + 13 * (by * blocks + bx)) % 256
+                fr[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8, :] = v
+        out.append(fr)
+    return out
+
+
+def test_mp4_mjpeg_roundtrip_all_frames():
+    frames = _solid_block_frames(5)
+    data = mp4_meta.encode_mp4_mjpeg(frames, fps=25)
+    meta, out = mp4_meta.decode_mp4_frames(data)
+    assert meta == (16, 16, 5, 25, "jpeg")
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_mp4_mjpeg_sampled_subset_only():
+    frames = _solid_block_frames(9, seed=3)
+    data = mp4_meta.encode_mp4_mjpeg(frames)
+    _meta, out = mp4_meta.decode_mp4_frames(data, [0, 4, 8])
+    assert len(out) == 3
+    for idx, fr in zip([0, 4, 8], out):
+        np.testing.assert_array_equal(frames[idx], fr)
+
+
+def test_mp4_sample_table_resolves_offsets_and_sizes():
+    frames = _solid_block_frames(4)
+    data = mp4_meta.encode_mp4_mjpeg(frames)
+    info = mp4_meta.parse_mp4_samples(data)
+    assert info["codec"] == "jpeg" and info["n_samples"] == 4
+    assert info["width"] == info["height"] == 16
+    # every sample slice IS a complete JPEG (SOI..EOI)
+    for off, size in zip(info["offsets"], info["sizes"]):
+        s = data[off : off + size]
+        assert s[:2] == b"\xff\xd8" and s[-2:] == b"\xff\xd9"
+
+
+def test_mp4_stsc_multi_sample_chunks_expand_correctly():
+    """The stsc expansion on a layout our encoder never writes: 2
+    samples per chunk in the first run, 1 in the rest — rewrite the
+    encoder's tables by hand and check the walk still lands on the
+    same JPEG bytes."""
+    frames = _solid_block_frames(5, seed=7)
+    data = bytearray(mp4_meta.encode_mp4_mjpeg(frames))
+    info = mp4_meta.parse_mp4_samples(bytes(data))
+    offs, sizes = info["offsets"], info["sizes"]
+    # chunks: [s0 s1] [s2 s3] [s4] -> stsc runs: (1,2),(3,1)
+    stsc_body = b"\x00" * 4 + struct.pack(">IIIIIII", 2, 1, 2, 1, 3, 1, 1)
+    new_stsc = struct.pack(">I", len(stsc_body) + 8) + b"stsc" + stsc_body
+    stco_body = b"\x00" * 4 + struct.pack(">IIII", 3, offs[0], offs[2], offs[4])
+    new_stco = struct.pack(">I", len(stco_body) + 8) + b"stco" + stco_body
+    i = bytes(data).index(b"stsc") - 4
+    old_stsc_len = struct.unpack_from(">I", data, i)[0]
+    j = bytes(data).index(b"stco") - 4
+    old_stco_len = struct.unpack_from(">I", data, j)[0]
+    out = bytes(data[:i]) + new_stsc + bytes(data[i + old_stsc_len : j]) + new_stco + bytes(data[j + old_stco_len :])
+    # grow every ancestor box (moov/trak/mdia/minf/stbl) by the delta
+    delta = (len(new_stsc) - old_stsc_len) + (len(new_stco) - old_stco_len)
+    out = bytearray(out)
+    for btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        k = bytes(out).index(btype) - 4
+        struct.pack_into(">I", out, k, struct.unpack_from(">I", out, k)[0] + delta)
+    info2 = mp4_meta.parse_mp4_samples(bytes(out))
+    assert info2["offsets"] == offs and info2["sizes"] == sizes
+    _meta, dec = mp4_meta.decode_mp4_frames(bytes(out), [1, 4])
+    np.testing.assert_array_equal(dec[0], frames[1])
+    np.testing.assert_array_equal(dec[1], frames[4])
+
+
+def test_mp4_non_jpeg_codec_raises_notimplemented():
+    """h264 sample entries parse (the walk is codec-agnostic) but pixel
+    decode is NotImplementedError — the honest stand-in gate."""
+    frames = _solid_block_frames(2)
+    data = bytearray(mp4_meta.encode_mp4_mjpeg(frames))
+    i = bytes(data).index(b"jpeg", bytes(data).index(b"stsd"))
+    data[i : i + 4] = b"avc1"
+    assert mp4_meta.parse_mp4_samples(bytes(data))["codec"] == "avc1"
+    with pytest.raises(NotImplementedError):
+        mp4_meta.decode_mp4_frames(bytes(data), [0])
+
+
+def test_mp4_corrupt_sample_tables_raise_valueerror():
+    frames = _solid_block_frames(2)
+    good = mp4_meta.encode_mp4_mjpeg(frames)
+    with pytest.raises(ValueError):
+        mp4_meta.decode_mp4_frames(good, [5])  # out of range
+    with pytest.raises(ValueError):
+        mp4_meta.parse_mp4_samples(good[: len(good) - 40])  # truncated moov
+    # metadata-only mp4 (no stbl sample boxes) -> ValueError, not a crash
+    with pytest.raises(ValueError):
+        mp4_meta.parse_mp4_samples(mp4_meta.synth_mp4_meta(1.0))
+
+
+def test_jpeg_solid_blocks_roundtrip_exactly_all_values():
+    """The exactness premise the video_frame_stats_mp4 oracle rests
+    on, pinned EXHAUSTIVELY: every solid 8x8 gray value 0..255
+    survives encode→decode bit-exactly (DC-only blocks: max DC quant
+    error q/2 = 1.5 moves a pixel by ≤ 1.5/8 < 0.5)."""
+    from ad_data_lake_spark.llm import jpeg_codec
+
+    for v in range(256):
+        px = np.full((8, 8, 3), v, dtype=np.uint8)
+        w, h, ch, out = jpeg_codec.decode_jpeg(
+            jpeg_codec.encode_jpeg(px.tobytes(), 8, 8)
+        )
+        arr = np.frombuffer(out, dtype=np.uint8).reshape(h, w, ch)
+        assert (arr == v).all(), f"solid value {v} did not roundtrip"
+
+
+def test_decode_video_frames_mp4_dispatch_and_dup_plan():
+    """multimodal.decode_video_frames routes ISO-BMFF payloads through
+    the sample walk, and (r11 ADVICE) returns the RAW sampling plan —
+    when n_frames < k the plan repeats indices and the output length
+    matches the JVM twin, never a silently deduped shorter list."""
+    from ad_data_lake_spark.llm import multimodal
+
+    frames = _solid_block_frames(2, seed=5)
+    data = mp4_meta.encode_mp4_mjpeg(frames)
+    meta, idx, out = multimodal.decode_video_frames(data, 3)
+    assert meta == (16, 16, 2, 10, "jpeg")
+    assert idx == [0, 0, 1] and len(out) == 3
+    np.testing.assert_array_equal(out[0], out[1])
+    np.testing.assert_array_equal(out[2], frames[1])

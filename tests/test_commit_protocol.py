@@ -472,3 +472,223 @@ def test_http_client_killed_between_get_and_put_leaves_no_trace():
     assert state.current == "v-0002"
     assert "v-dead" not in state.versions and len(state.versions) == 2
     assert res.kept[-1] == "v-0002"
+
+
+# ---------------------------------------------------------------------------
+# HTTP TABLE backend (http_store.HttpTableCommitStore): a versioned
+# table whose commits CAS through the S3 wire shape end-to-end, with
+# the local _CURRENT/_VERSIONS files maintained as a read projection —
+# plus the ambiguous-PUT recovery rule real conditional writes need.
+# ---------------------------------------------------------------------------
+
+
+def test_http_table_store_matches_the_equivalence_script(tmp_path):
+    """The fourth table adapter runs the identical publish script and
+    decomposes the identical on-disk layout — backend swap changes the
+    durability story, not one observable byte."""
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpTableCommitStore
+
+    target = str(tmp_path / "http_t")
+    with EtagStoreServer() as url:
+        out = _script(HttpTableCommitStore(target, base_url=url))
+    assert out == _script(MemoryConditionalStore())
+    assert incremental._current_version(target) == "v-0003"
+    assert incremental._version_history(target) == ["v-0002", "v-0003"]
+    assert incremental._stored_buckets(target) == 8
+
+
+def test_http_table_marker_routes_commit_store(tmp_path):
+    """Planting the _commit.http marker commits the table to the HTTP
+    arbiter for life: _commit_store re-opens the SAME endpoint + key
+    from the marker alone, with no configuration anywhere else."""
+    from ad_data_lake_spark.http_store import (
+        EtagStoreServer,
+        HttpTableCommitStore,
+    )
+
+    target = str(tmp_path / "routed_t")
+    with EtagStoreServer() as url:
+        HttpTableCommitStore(target, base_url=url)  # plants the marker
+        store = incremental._commit_store(target)
+        assert isinstance(store, HttpTableCommitStore)
+        cas_publish(store, "v-0001")
+        # a second resolve (another writer, another process in spirit)
+        again = incremental._commit_store(target)
+        res = cas_publish(again, "v-0002", base_version="v-0001")
+        assert list(res.kept) == ["v-0001", "v-0002"]
+        assert incremental._current_version(target) == "v-0002"
+
+
+def test_http_put_recovery_response_lost_after_commit():
+    """Connection dies AFTER the server committed: recovery GETs, sees
+    its own bytes, and reports success with the landed etag — the
+    publish is not double-applied and not falsely failed."""
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpConditionalStore
+
+    srv = EtagStoreServer()
+    with srv as url:
+        c = HttpConditionalStore(url, timeout=5.0)
+        e1 = c.put_if("k", b"v1", if_none_match=True)
+        srv.inject_put_fault("after_commit")
+        e2 = c.put_if("k", b"v2", if_match=e1)
+        data, cur = c.get("k")
+    assert (data, cur) == (b"v2", e2)
+
+
+def test_http_put_recovery_connection_lost_before_commit():
+    """Connection dies BEFORE the server applied anything: recovery
+    GETs, sees the precondition still open (etag unmoved), and
+    re-sends the PUT — exactly-once from the caller's view."""
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpConditionalStore
+
+    srv = EtagStoreServer()
+    with srv as url:
+        c = HttpConditionalStore(url, timeout=5.0)
+        e1 = c.put_if("k", b"v1", if_none_match=True)
+        srv.inject_put_fault("before_commit")
+        e2 = c.put_if("k", b"v2", if_match=e1)
+        data, cur = c.get("k")
+    assert (data, cur) == (b"v2", e2)
+    assert e2 != e1
+
+
+def test_http_put_recovery_lost_race_surfaces_precondition():
+    """Ambiguous PUT whose precondition is GONE on read-back (another
+    writer advanced the etag, bytes are not ours) surfaces the normal
+    PreconditionFailed, so cas_publish retries off the new state —
+    never a silent overwrite, never a false success."""
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpConditionalStore
+
+    srv = EtagStoreServer()
+    with srv as url:
+        c = HttpConditionalStore(url, timeout=5.0)
+        e1 = c.put_if("k", b"v1", if_none_match=True)
+        e2 = c.put_if("k", b"v2", if_match=e1)  # rival advanced the state
+        srv.inject_put_fault("before_commit")
+        with pytest.raises(PreconditionFailed):
+            c.put_if("k", b"v3", if_match=e1)  # stale + ambiguous drop
+        assert c.get("k") == (b"v2", e2)
+
+
+def test_http_put_recovery_server_gone_is_ambiguous_error():
+    """If the endpoint stays unreachable through every recovery round
+    the outcome is genuinely unknown: a bounded RuntimeError surfaces
+    (never a fabricated success or failure)."""
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpConditionalStore
+
+    srv = EtagStoreServer()
+    with srv as url:
+        c = HttpConditionalStore(url, timeout=2.0)
+        e1 = c.put_if("k", b"v1", if_none_match=True)
+    # server is now down; conditional PUT cannot resolve its outcome
+    c.recovery_attempts = 2
+    c.recovery_backoff = 0.01
+    with pytest.raises(RuntimeError, match="ambiguous"):
+        c.put_if("k", b"v2", if_match=e1)
+
+
+def test_http_table_ambiguous_put_inside_cas_publish(tmp_path):
+    """The recovery rule composed with the protocol: a publish whose
+    winning PUT's response is lost still completes, returns the landed
+    state, and the file projection catches up."""
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpTableCommitStore
+
+    target = str(tmp_path / "amb_t")
+    srv = EtagStoreServer()
+    with srv as url:
+        store = HttpTableCommitStore(target, base_url=url)
+        cas_publish(store, "v-0001")
+        srv.inject_put_fault("after_commit")
+        res = cas_publish(store, "v-0002", base_version="v-0001")
+        state = CommitState.from_bytes(store.get(COMMIT_KEY)[0])
+    assert list(res.kept) == ["v-0001", "v-0002"]
+    assert state.current == "v-0002"
+    assert incremental._current_version(target) == "v-0002"
+
+
+def test_http_table_projection_behind_arbiter_self_heals(tmp_path):
+    """The backend's crash window, exercised: a writer that dies
+    between its winning PUT and the file projection leaves the files
+    one commit BEHIND the arbiter (stale but consistent — the mirror
+    of sqlite's files-ahead window). The next successful publish's
+    projection catches the files up to the arbiter's state."""
+    from ad_data_lake_spark.http_store import (
+        EtagStoreServer,
+        HttpConditionalStore,
+        HttpTableCommitStore,
+    )
+
+    target = str(tmp_path / "heal_t")
+    with EtagStoreServer() as url:
+        store = HttpTableCommitStore(target, base_url=url)
+        cas_publish(store, "v-0001")
+        assert incremental._current_version(target) == "v-0001"
+        # crashed writer: lands v-0002 at the arbiter directly (the
+        # PUT succeeded), dies before _sync_projection runs
+        raw = HttpConditionalStore(url)
+        data, etag = raw.get(store._table_key)
+        state = CommitState.from_bytes(data)
+        crashed = CommitState(
+            state.versions + ("v-0002",), "v-0002", state.n_buckets
+        )
+        raw.put_if(store._table_key, crashed.to_bytes(), if_match=etag)
+        # files are now BEHIND the arbiter — stale but consistent
+        assert incremental._current_version(target) == "v-0001"
+        # next publish (computed off the arbiter's current) heals
+        res = cas_publish(store, "v-0003", base_version="v-0002")
+    assert list(res.kept) == ["v-0001", "v-0002", "v-0003"]
+    assert incremental._current_version(target) == "v-0003"
+    assert incremental._version_history(target)[-2:] == ["v-0002", "v-0003"]
+
+
+def test_http_table_cross_process_churn(tmp_path):
+    """4 writer PROCESSES x 5 publishes each against one endpoint and
+    ONE table directory — every writer resolves the arbiter from the
+    marker alone (incremental._commit_store), retries on
+    ConcurrentWriteError, and the concurrent file projections (local
+    flock, project-from-GET) end at the arbiter's final state."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpTableCommitStore
+
+    target = str(tmp_path / "churn_t")
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, {repo!r})
+        from ad_data_lake_spark import incremental
+        from ad_data_lake_spark.commit_protocol import (
+            COMMIT_KEY, CommitState, ConcurrentWriteError, cas_publish)
+        target, wid = sys.argv[1], sys.argv[2]
+        store = incremental._commit_store(target)
+        for i in range(5):
+            while True:
+                got = store.get(COMMIT_KEY)
+                base = CommitState.from_bytes(got[0]).current if got else None
+                try:
+                    cas_publish(store, f"v-p{{wid}}i{{i}}",
+                                base_version=base, retain=100)
+                    break
+                except ConcurrentWriteError:
+                    continue
+        """
+    ).format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    with EtagStoreServer() as url:
+        store = HttpTableCommitStore(target, base_url=url)  # plant marker
+        procs = [
+            subprocess.Popen([sys.executable, "-c", script, target, str(w)])
+            for w in range(4)
+        ]
+        for p in procs:
+            assert p.wait(timeout=120) == 0
+        state = CommitState.from_bytes(store.get(COMMIT_KEY)[0])
+        # the projection (last writer's sync) matches the arbiter
+        store._sync_projection()
+    assert len(state.versions) == 20
+    assert len(set(state.versions)) == 20
+    assert state.current == state.versions[-1]
+    assert incremental._current_version(target) == state.current
+    assert incremental._version_history(target) == list(state.published())

@@ -390,6 +390,83 @@ def test_streaming_frequency_cap_state_survives_batches(spark, events, tmp_path)
     assert _table_hash(out) == _table_hash(batch)
 
 
+def test_streaming_frequency_cap_batchwise_matches_batch(spark, events, tmp_path):
+    """The all-JVM foreachBatch cap (r12, the A/B twin of the
+    applyInPandasWithState form) must reproduce the batch window cap
+    exactly, including counters carrying across micro-batches through
+    the versioned offsets table (one file per trigger = one batch per
+    half)."""
+    from ad_data_lake_spark.operators.sessions import frequency_cap
+    from ad_data_lake_spark.streaming.stateful import (
+        streaming_frequency_cap_batchwise,
+    )
+
+    slim = events.select("event_id", "user_id", "ts")
+    mid = slim.agg(F.expr("percentile_approx(ts, 0.5)").alias("m")).collect()[0].m
+    src = str(tmp_path / "capbw_src")
+    slim.where(F.col("ts") <= mid).coalesce(1).write.parquet(os.path.join(src, "f1"))
+    slim.where(F.col("ts") > mid).coalesce(1).write.parquet(os.path.join(src, "f2"))
+
+    stream = (
+        spark.readStream.schema(slim.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    results = str(tmp_path / "capbw_results")
+    state = str(tmp_path / "capbw_state")
+    q = streaming_frequency_cap_batchwise(stream, results, state)
+    q.awaitTermination()
+    out = spark.read.parquet(results).drop("batch")
+    batch = frequency_cap(events).select(
+        "event_id", "user_id", "ts", "impression_no", "capped"
+    )
+    assert _table_hash(out) == _table_hash(batch)
+    assert out.where("capped").count() > 0
+
+
+def test_streaming_frequency_cap_batchwise_replay_is_exactly_once(
+    spark, events, tmp_path
+):
+    """At-least-once trigger semantics: re-running a batch id must not
+    double-count — results land by overwrite at batch=<id>, and the
+    state read uses the snapshot strictly BEFORE the batch id, so a
+    replay reproduces identical output and identical state."""
+    from ad_data_lake_spark.streaming.stateful import (
+        streaming_frequency_cap_batchwise,
+    )
+
+    slim = events.select("event_id", "user_id", "ts").limit(500)
+    src = str(tmp_path / "caprp_src")
+    slim.coalesce(1).write.parquet(src)
+    results = str(tmp_path / "caprp_results")
+    state = str(tmp_path / "caprp_state")
+
+    def drain():
+        stream = spark.readStream.schema(slim.schema).parquet(src)
+        q = streaming_frequency_cap_batchwise(stream, results, state)
+        q.awaitTermination()
+
+    drain()
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(results).drop("batch").collect()
+    )
+    state_first = sorted(
+        tuple(r) for r in spark.read.parquet(state + "/v0").collect()
+    )
+    # replay batch 0: a fresh query (no checkpoint) re-delivers the
+    # same file as batch id 0 — the crashed-and-retried shape
+    drain()
+    again = sorted(
+        tuple(r) for r in spark.read.parquet(results).drop("batch").collect()
+    )
+    state_again = sorted(
+        tuple(r) for r in spark.read.parquet(state + "/v0").collect()
+    )
+    assert first == again
+    assert state_first == state_again
+
+
 def test_compaction_collapses_files_losslessly(spark, events, tmp_path):
     """64 accreted small files → a handful of ~target-size files, with
     byte-identical content (hash over all rows)."""
@@ -1409,3 +1486,43 @@ def test_publish_cas_across_processes(tmp_path, backend):
     # every retained version's directory exists (nothing GC'd wrongly)
     for v in history:
         assert os.path.isdir(os.path.join(target, v)), v
+
+
+def test_transform_with_state_env_gate(spark, events, tmp_path):
+    """transformWithStateInPandas (the third frequency-cap form, r11
+    ask #6) is environment-blocked: its driver worker imports
+    google.protobuf at query start and this container has no protobuf
+    (installs disallowed). While that holds, this test documents the
+    gate by skipping; the moment the environment provides protobuf it
+    RUNS the tws form and asserts batch equivalence — the gate
+    self-lifts instead of rotting."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas driver worker needs protobuf "
+        "(absent in this container; documented in scripts/ab_freqcap.py)",
+    )
+    from ad_data_lake_spark.operators.sessions import frequency_cap
+    from ad_data_lake_spark.streaming.stateful import streaming_frequency_cap_tws
+
+    slim = events.select("event_id", "user_id", "ts")
+    src = str(tmp_path / "captws_src")
+    slim.write.mode("overwrite").parquet(src)
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(slim.schema).parquet(src)
+        out = run_available_now(
+            streaming_frequency_cap_tws(stream), "cap_tws", output_mode="append"
+        )
+        batch = frequency_cap(events).select(
+            "event_id", "user_id", "ts", "impression_no", "capped"
+        )
+        assert _table_hash(out) == _table_hash(batch)
+    finally:
+        if saved is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", saved
+            )

@@ -719,3 +719,40 @@ def test_cms_grid_is_broadcast_and_join_free_of_sortmerge(spark):
     p = plan_of(spark, "cms_heavy_hitters")
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_iterative_tier_job_count_ceilings(spark):
+    """Job-count regression bounds for the iterative tier (VERDICT r11
+    ask #7): the r11 sweeps cut ~10 jobs across bm25/components by
+    folding per-round materializations into the convergence actions,
+    and nothing previously FAILED if a refactor quietly re-split them
+    (each extra job costs a ~0.1-0.2 s scheduling floor at sf0.1 — the
+    r11 census put wall ≈ 245 ms + 84 ms·jobs). Ceilings are generous
+    (~2x the measured sf0.001 counts) so data-dependent convergence
+    never flakes them; a lost lazy-checkpoint or a reintroduced
+    per-round action blows straight through."""
+    import os
+
+    from ad_data_lake_spark.queries import REGISTRY
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_for(name: str) -> int:
+        fn = REGISTRY[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        ids = tracker.getJobIdsForGroup(None)
+        before = max(ids) if ids else -1
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return len([j for j in tracker.getJobIdsForGroup(None) if j > before])
+
+    ceilings = {
+        "domain_pagerank": 60,
+        "neardup_clusters": 40,
+        "neardup_clusters_star": 40,
+        "dedup_keep_best": 25,
+        "bm25_retrieve": 15,
+    }
+    counts = {name: jobs_for(name) for name in ceilings}
+    over = {n: c for n, c in counts.items() if c > ceilings[n]}
+    assert not over, f"job-count regression past ceiling: {over} (all: {counts})"
