@@ -262,6 +262,13 @@ class HttpTableCommitStore(HttpConditionalStore):
         return etag
 
     def _sync_projection(self) -> None:
+        # A network failure HERE (after the winning PUT) propagates:
+        # the commit has landed at the arbiter, the caller sees an
+        # error, and any retry CAS-fails against the already-landed
+        # state (no duplicate, no lost update — the arbiter protects
+        # correctness; the error makes the degraded endpoint VISIBLE
+        # instead of silently serving a stale projection forever).
+        # Transient failures heal at the next successful sync.
         from ad_data_lake_spark import incremental
         from ad_data_lake_spark.commit_protocol import CommitState
 

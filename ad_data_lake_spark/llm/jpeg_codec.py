@@ -179,10 +179,21 @@ def _build_code_table(bits: list[int], values: list[int]) -> dict[int, tuple[int
 
 
 def _build_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, the decoder's view of the same code."""
+    """(length, code) -> symbol, the decoder's view of the same code.
+    Memoized on the (bits, values) payload — real corpora reuse the
+    spec's Annex K tables in every file, so the canonical-code rebuild
+    is almost always a cache hit."""
+    return _decode_table_cached(bytes(bits), bytes(values))
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=64)
+def _decode_table_cached(bits: bytes, values: bytes) -> dict[tuple[int, int], int]:
     return {
         (length, code): sym
-        for sym, (code, length) in _build_code_table(bits, values).items()
+        for sym, (code, length) in _build_code_table(list(bits), list(values)).items()
     }
 
 
@@ -277,52 +288,76 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
     return np.stack([y, cb, cr], axis=-1)
 
 
-def _encode_block(
-    block: np.ndarray,
-    qt: np.ndarray,
+def _dct_quant_zigzag(blocks: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """One component's blocks (N, 8, 8) → zigzagged quantized
+    coefficients (N, 64), DCT'd in a single einsum instead of one
+    matmul pair per block — the encoder's numpy hot path, batched.
+    Round-half-away keeps the quantizer sign-symmetric (np.round's
+    half-even would be fine too — decoder never re-rounds — but this
+    matches what libjpeg's integer path effectively does)."""
+    coeffs = np.einsum("ux,nxy,vy->nuv", _DCT, blocks - 128.0, _DCT)
+    q = np.trunc(coeffs / qt + np.copysign(0.5, coeffs)).astype(np.int64)
+    return q[:, _ZZ_ROWS, _ZZ_COLS]
+
+
+def _encode_block_coeffs(
+    zz: np.ndarray,
     dc_table: dict[int, tuple[int, int]],
     ac_table: dict[int, tuple[int, int]],
     prev_dc: int,
     writer: _BitWriter,
 ) -> int:
-    coeffs = _DCT @ (block - 128.0) @ _DCT.T
-    # round-half-away keeps the quantizer sign-symmetric (np.round's
-    # half-even would be fine too — decoder never re-rounds — but this
-    # matches what libjpeg's integer path effectively does)
-    q = np.trunc(coeffs / qt + np.copysign(0.5, coeffs)).astype(np.int64)
-    zz = q[_ZZ_ROWS, _ZZ_COLS]
-
-    diff = int(zz[0]) - prev_dc
+    """Huffman-encode one block's pre-quantized zigzag row. Iterates
+    only the NONZERO AC positions (numpy finds them), so sparse blocks
+    — the common case after quantization, and the whole block for
+    solid content — cost a handful of puts, not 63 python loop
+    rounds."""
+    dc = int(zz[0])
+    diff = dc - prev_dc
     t = int(abs(diff)).bit_length()
     code, length = dc_table[t]
     writer.put(code, length)
     if t:
         writer.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
 
-    run = 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+    ac = zz[1:]
+    nz = np.nonzero(ac)[0]
+    pos = -1  # index of the last coefficient written
+    for i in nz:
+        run = int(i) - pos - 1
+        pos = int(i)
         while run >= 16:
             zrl, zl = ac_table[0xF0]
             writer.put(zrl, zl)
             run -= 16
+        v = int(ac[i])
         t = abs(v).bit_length()
         code, length = ac_table[(run << 4) | t]
         writer.put(code, length)
         writer.put(v if v >= 0 else v + (1 << t) - 1, t)
-        run = 0
-    if run:
+    if pos != 62:  # trailing zeros -> end-of-block
         eob, el = ac_table[0x00]
         writer.put(eob, el)
-    return int(zz[0])
+    return dc
 
 
 def _dht_segment(tc: int, th: int, bits: list[int], values: list[int]) -> bytes:
     body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+@_lru_cache(maxsize=1)
+def _encoder_tables():
+    """The encoder's fixed quant + Huffman tables (QUALITY is a module
+    constant, so these never vary) — built once, not per image."""
+    return (
+        _scaled_qt(_QT_LUM, QUALITY),
+        _scaled_qt(_QT_CHR, QUALITY),
+        _build_code_table(*_DC_LUM),
+        _build_code_table(*_AC_LUM),
+        _build_code_table(*_DC_CHR),
+        _build_code_table(*_AC_CHR),
+    )
 
 
 def encode_jpeg(pixels: bytes, width: int, height: int, channels: int = 3) -> bytes:
@@ -348,27 +383,38 @@ def encode_jpeg(pixels: bytes, width: int, height: int, channels: int = 3) -> by
     if ph or pw:
         ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
 
-    qt_l = _scaled_qt(_QT_LUM, QUALITY)
-    qt_c = _scaled_qt(_QT_CHR, QUALITY)
-    dc_l = _build_code_table(*_DC_LUM)
-    ac_l = _build_code_table(*_AC_LUM)
-    dc_c = _build_code_table(*_DC_CHR)
-    ac_c = _build_code_table(*_AC_CHR)
+    qt_l, qt_c, dc_l, ac_l, dc_c, ac_c = _encoder_tables()
+
+    # batch the numpy half (DCT + quantize + zigzag) across every
+    # block of every component in ONE einsum; the serial bit-writer
+    # then consumes precomputed coefficient rows in MCU order
+    ph8, pw8 = ycc.shape[0] // 8, ycc.shape[1] // 8
+    nb = ph8 * pw8
+    blocks = (
+        ycc.transpose(2, 0, 1)
+        .reshape(3, ph8, 8, pw8, 8)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(-1, 8, 8)
+    )
+    qt_all = np.concatenate(
+        [np.broadcast_to(q, (nb, 8, 8)) for q in (qt_l, qt_c, qt_c)]
+    )
+    zz_all = _dct_quant_zigzag(blocks, qt_all)
+    zz_comp = [zz_all[ci * nb : (ci + 1) * nb] for ci in range(3)]
 
     writer = _BitWriter()
     prev = [0, 0, 0]
-    comp_tabs = [(qt_l, dc_l, ac_l), (qt_c, dc_c, ac_c), (qt_c, dc_c, ac_c)]
-    for by in range(0, ycc.shape[0], 8):
-        for bx in range(0, ycc.shape[1], 8):
-            for ci in range(3):  # 4:4:4 → one block per component per MCU
-                qt, dct, act = comp_tabs[ci]
-                block = ycc[by : by + 8, bx : bx + 8, ci]
-                prev[ci] = _encode_block(block, qt, dct, act, prev[ci], writer)
+    tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+    for n in range(ph8 * pw8):
+        for ci in range(3):  # 4:4:4 → one block per component per MCU
+            prev[ci] = _encode_block_coeffs(
+                zz_comp[ci][n], tabs[ci][0], tabs[ci][1], prev[ci], writer
+            )
     writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
     for tid, qt in ((0, qt_l), (1, qt_c)):
-        zz = bytes(int(qt[r, c]) for r, c in _ZIGZAG)
+        zz = bytes(qt[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8))
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz
     sof = struct.pack(">BHHB", 8, height, width, 3)
     # components: id, sampling 1x1 (0x11), quant table id
@@ -492,38 +538,49 @@ def _decode_jpeg_strict(data: bytes) -> tuple[int, int, int, bytes]:
     reader = _BitReader(data, scan_start)
     bw = -(-width // 8)
     bh = -(-height // 8)
-    planes = np.zeros((len(comps), bh * 8, bw * 8), dtype=np.float64)
+    nb = bh * bw
+    # the entropy decode is inherently serial (Huffman codes have no
+    # self-synchronization), but the IDCT is not: collect every
+    # block's zigzag coefficients first, then dequantize + inverse-DCT
+    # each component in ONE einsum instead of one matmul pair per block
+    zz_all = [np.zeros((nb, 64), dtype=np.int64) for _ in comps]
     prev = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, dc_id, ac_id in scan:
-                qt = qts[comps[ci][2]]
-                dc_tab = huff[(0, dc_id)]
-                ac_tab = huff[(1, ac_id)]
-                zz = np.zeros(64, dtype=np.int64)
-                t = _huff_decode(reader, dc_tab)
-                prev[ci] += _extend(reader.bits(t), t)
-                zz[0] = prev[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(reader, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("bad AC run symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k >= 64:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _extend(reader.bits(size), size)
-                    k += 1
-                coeffs = np.zeros((8, 8), dtype=np.float64)
-                coeffs[_ZZ_ROWS, _ZZ_COLS] = zz * qt[_ZZ_ROWS, _ZZ_COLS]
-                block = _DCT.T @ coeffs @ _DCT + 128.0
-                planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    for n in range(nb):
+        for ci, dc_id, ac_id in scan:
+            dc_tab = huff[(0, dc_id)]
+            ac_tab = huff[(1, ac_id)]
+            zz = zz_all[ci][n]
+            t = _huff_decode(reader, dc_tab)
+            prev[ci] += _extend(reader.bits(t), t)
+            zz[0] = prev[ci]
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("bad AC run symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k >= 64:
+                    raise ValueError("AC coefficient index overflow")
+                zz[k] = _extend(reader.bits(size), size)
+                k += 1
+
+    planes = np.empty((len(comps), bh * 8, bw * 8), dtype=np.float64)
+    for ci, (_cid, _samp, qtid) in enumerate(comps):
+        qt_zz = qts[qtid][_ZZ_ROWS, _ZZ_COLS]
+        coeffs = np.zeros((nb, 8, 8), dtype=np.float64)
+        coeffs[:, _ZZ_ROWS, _ZZ_COLS] = zz_all[ci] * qt_zz
+        blocks = np.einsum("ux,nuv,vy->nxy", _DCT, coeffs, _DCT) + 128.0
+        planes[ci] = (
+            blocks.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
 
     planes = planes[:, :height, :width]
     if len(comps) == 1:

@@ -59,6 +59,7 @@ STREAM_ROWS: dict[str, str] = {
     "streaming_sessionize": _EVENTS,
     "streaming_dim_enrich": _EVENTS,
     "streaming_frequency_cap": _EVENTS,
+    "streaming_frequency_cap_batchwise": _EVENTS,
     "streaming_attribution_join": _EVENTS,
     "streaming_json_sanitize": _EVENTS,
     "streaming_corpus_ingest": _DUP_CORPUS,
