@@ -253,7 +253,17 @@ class HttpTableCommitStore(HttpConditionalStore):
 
     def get(self, key: str) -> tuple[bytes, str] | None:
         assert key == COMMIT_KEY
-        return super().get(self._table_key)
+        got = super().get(self._table_key)
+        if got is not None:
+            # heal-on-read: every publish attempt starts with this GET
+            # (cas_publish reads before it writes), so a projection
+            # left stale by a writer that crashed between its winning
+            # PUT and its sync catches up BEFORE the next merge reads
+            # its base version from the files — without this, a merge
+            # computed off stale files CAS-fails, retries off the same
+            # stale files, and the table wedges until manual repair
+            self._sync_projection()
+        return got
 
     def put_if(self, key: str, data: bytes, **kwargs) -> str:
         assert key == COMMIT_KEY
@@ -286,24 +296,9 @@ class HttpTableCommitStore(HttpConditionalStore):
                         return  # projection already at (or past) this state
             except FileNotFoundError:
                 pass
-            state = CommitState.from_bytes(data)
-            if (
-                state.n_buckets is not None
-                and incremental._stored_buckets(self.target_path)
-                != state.n_buckets
-            ):
-                incremental._write_atomic(
-                    self.target_path, incremental._NB, str(state.n_buckets)
-                )
-            incremental._write_atomic(
-                self.target_path,
-                incremental._LOG,
-                "\n".join(state.versions) + "\n",
+            incremental._project_state(
+                self.target_path, CommitState.from_bytes(data)
             )
-            if state.current is not None:
-                incremental._write_atomic(
-                    self.target_path, incremental._PTR, state.current
-                )
             incremental._write_atomic(self.target_path, _HTTP_ETAG, etag)
         finally:
             os.close(fd)

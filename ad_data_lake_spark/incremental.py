@@ -553,18 +553,24 @@ class _FileCommitStore:
             # of the lock file would silently void exclusion — fail the
             # publish as a retryable precondition instead of writing)
             held.verify()
-            state = CommitState.from_bytes(data)
-            if (
-                state.n_buckets is not None
-                and _stored_buckets(self.target_path) != state.n_buckets
-            ):
-                _write_atomic(self.target_path, _NB, str(state.n_buckets))
-            _write_atomic(
-                self.target_path, _LOG, "\n".join(state.versions) + "\n"
-            )
-            if state.current is not None:
-                _write_atomic(self.target_path, _PTR, state.current)
+            _project_state(self.target_path, CommitState.from_bytes(data))
             return hashlib.sha256(data).hexdigest()
+
+
+def _project_state(target_path: str, state: "CommitState") -> None:
+    """Decompose a CommitState to the table's file layout (_BUCKETS
+    sidecar -> _VERSIONS log -> _CURRENT pointer, in that crash-safe
+    order) — the ONE projection writer every commit backend shares
+    (file, sqlite, http), so the layout can never diverge per backend.
+    Caller provides whatever serialization its arbiter requires."""
+    if (
+        state.n_buckets is not None
+        and _stored_buckets(target_path) != state.n_buckets
+    ):
+        _write_atomic(target_path, _NB, str(state.n_buckets))
+    _write_atomic(target_path, _LOG, "\n".join(state.versions) + "\n")
+    if state.current is not None:
+        _write_atomic(target_path, _PTR, state.current)
 
 
 def _commit_store(target_path: str):

@@ -288,14 +288,13 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
     return np.stack([y, cb, cr], axis=-1)
 
 
-def _dct_quant_zigzag(blocks: np.ndarray, qt: np.ndarray) -> np.ndarray:
-    """One component's blocks (N, 8, 8) → zigzagged quantized
-    coefficients (N, 64), DCT'd in a single einsum instead of one
-    matmul pair per block — the encoder's numpy hot path, batched.
-    Round-half-away keeps the quantizer sign-symmetric (np.round's
-    half-even would be fine too — decoder never re-rounds — but this
-    matches what libjpeg's integer path effectively does)."""
-    coeffs = np.einsum("ux,nxy,vy->nuv", _DCT, blocks - 128.0, _DCT)
+def _quant_zigzag(coeffs: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """DCT coefficients (N, 8, 8) → zigzagged quantized rows (N, 64);
+    ``qt`` is the plain (8, 8) table — numpy broadcasts it, no
+    per-block copies. Round-half-away keeps the quantizer
+    sign-symmetric (np.round's half-even would be fine too — decoder
+    never re-rounds — but this matches what libjpeg's integer path
+    effectively does)."""
     q = np.trunc(coeffs / qt + np.copysign(0.5, coeffs)).astype(np.int64)
     return q[:, _ZZ_ROWS, _ZZ_COLS]
 
@@ -385,9 +384,10 @@ def encode_jpeg(pixels: bytes, width: int, height: int, channels: int = 3) -> by
 
     qt_l, qt_c, dc_l, ac_l, dc_c, ac_c = _encoder_tables()
 
-    # batch the numpy half (DCT + quantize + zigzag) across every
-    # block of every component in ONE einsum; the serial bit-writer
-    # then consumes precomputed coefficient rows in MCU order
+    # batch the numpy half across every block of every component: ONE
+    # DCT einsum, then a broadcast (8, 8) quantize per component (no
+    # per-block table copies); the serial bit-writer then consumes
+    # precomputed coefficient rows in MCU order
     ph8, pw8 = ycc.shape[0] // 8, ycc.shape[1] // 8
     nb = ph8 * pw8
     blocks = (
@@ -396,11 +396,12 @@ def encode_jpeg(pixels: bytes, width: int, height: int, channels: int = 3) -> by
         .transpose(0, 1, 3, 2, 4)
         .reshape(-1, 8, 8)
     )
-    qt_all = np.concatenate(
-        [np.broadcast_to(q, (nb, 8, 8)) for q in (qt_l, qt_c, qt_c)]
-    )
-    zz_all = _dct_quant_zigzag(blocks, qt_all)
-    zz_comp = [zz_all[ci * nb : (ci + 1) * nb] for ci in range(3)]
+    coeffs = np.einsum("ux,nxy,vy->nuv", _DCT, blocks - 128.0, _DCT)
+    zz_comp = [
+        _quant_zigzag(coeffs[ci * nb : (ci + 1) * nb], qt)
+        for ci, qt in ((0, qt_l), (1, qt_c), (2, qt_c))
+    ]
+    del blocks, coeffs
 
     writer = _BitWriter()
     prev = [0, 0, 0]
@@ -542,8 +543,13 @@ def _decode_jpeg_strict(data: bytes) -> tuple[int, int, int, bytes]:
     # the entropy decode is inherently serial (Huffman codes have no
     # self-synchronization), but the IDCT is not: collect every
     # block's zigzag coefficients first, then dequantize + inverse-DCT
-    # each component in ONE einsum instead of one matmul pair per block
-    zz_all = [np.zeros((nb, 64), dtype=np.int64) for _ in comps]
+    # in batched einsums instead of one matmul pair per block. int32
+    # holds any baseline coefficient (|v| < 2^15) at half the footprint,
+    # and the IDCT runs in bounded SLABS with per-component frees so
+    # peak memory stays within ~1.3x of the plane allocation the SOF
+    # fuse already budgets for — a near-fuse image must degrade to the
+    # ValueError contract, never to a batch-killing MemoryError
+    zz_all = [np.zeros((nb, 64), dtype=np.int32) for _ in comps]
     prev = [0] * len(comps)
     for n in range(nb):
         for ci, dc_id, ac_id in scan:
@@ -571,16 +577,21 @@ def _decode_jpeg_strict(data: bytes) -> tuple[int, int, int, bytes]:
                 k += 1
 
     planes = np.empty((len(comps), bh * 8, bw * 8), dtype=np.float64)
+    slab = 1 << 16  # blocks per IDCT einsum: bounds the transient
     for ci, (_cid, _samp, qtid) in enumerate(comps):
-        qt_zz = qts[qtid][_ZZ_ROWS, _ZZ_COLS]
-        coeffs = np.zeros((nb, 8, 8), dtype=np.float64)
-        coeffs[:, _ZZ_ROWS, _ZZ_COLS] = zz_all[ci] * qt_zz
-        blocks = np.einsum("ux,nuv,vy->nxy", _DCT, coeffs, _DCT) + 128.0
+        qt_zz = qts[qtid][_ZZ_ROWS, _ZZ_COLS].astype(np.float64)
+        out = np.empty((nb, 8, 8), dtype=np.float64)
+        for lo in range(0, nb, slab):
+            hi = min(lo + slab, nb)
+            coeffs = np.zeros((hi - lo, 8, 8), dtype=np.float64)
+            coeffs[:, _ZZ_ROWS, _ZZ_COLS] = zz_all[ci][lo:hi] * qt_zz
+            out[lo:hi] = np.einsum("ux,nuv,vy->nxy", _DCT, coeffs, _DCT)
         planes[ci] = (
-            blocks.reshape(bh, bw, 8, 8)
+            out.reshape(bh, bw, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(bh * 8, bw * 8)
-        )
+        ) + 128.0
+        zz_all[ci] = None  # free before the next component allocates
 
     planes = planes[:, :height, :width]
     if len(comps) == 1:

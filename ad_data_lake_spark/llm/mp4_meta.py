@@ -235,6 +235,14 @@ def _video_track_samples(data: bytes, pos: int, end: int) -> dict | None:
                 _n, delta = struct.unpack_from(">II", data, sbody + 8)
     if codec is None or sizes is None or chunk_offsets is None or stsc is None:
         raise ValueError("video track missing stsd/stsz/stco/stsc")
+    if (
+        width is not None
+        and height is not None
+        and width * height > _MAX_PIXELS
+    ):
+        # per-frame pixel fuse, same as the image codecs: bound a
+        # forged header BEFORE any sample decode allocates planes
+        raise ValueError(f"implausible frame dimensions {width}x{height}")
     offsets = _expand_sample_offsets(stsc, chunk_offsets, sizes)
     if len(offsets) != len(sizes):
         raise ValueError(

@@ -156,21 +156,9 @@ class SqliteTableCommitStore(SqliteConditionalStore):
         from ad_data_lake_spark import incremental
         from ad_data_lake_spark.commit_protocol import CommitState
 
-        state = CommitState.from_bytes(data)
-        if (
-            state.n_buckets is not None
-            and incremental._stored_buckets(self.target_path) != state.n_buckets
-        ):
-            incremental._write_atomic(
-                self.target_path, incremental._NB, str(state.n_buckets)
-            )
-        incremental._write_atomic(
-            self.target_path, incremental._LOG, "\n".join(state.versions) + "\n"
+        incremental._project_state(
+            self.target_path, CommitState.from_bytes(data)
         )
-        if state.current is not None:
-            incremental._write_atomic(
-                self.target_path, incremental._PTR, state.current
-            )
 
 
 __all__ = ["SqliteConditionalStore", "SqliteTableCommitStore", "TABLE_COMMIT_DB"]

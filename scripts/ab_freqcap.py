@@ -31,11 +31,13 @@ NAMES = ("streaming_frequency_cap", "streaming_frequency_cap_batchwise")
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    rep = 1
-    if "--rep" in sys.argv:
-        rep = int(sys.argv[sys.argv.index("--rep") + 1])
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--rep", type=int, default=1)
+    ns = ap.parse_args()
+    sf_dir, rep = ns.sf_dir, ns.rep
 
     from ad_data_lake_spark.queries import REGISTRY
     from ad_data_lake_spark.session import get_spark

@@ -161,7 +161,10 @@ def duckdb_timings(
     # forever, and record DNFs for a dead child (r11 ADVICE)
     import queue as _queue
 
-    deadline = time.monotonic() + timeout * max(1, len(names)) + 120.0
+    # the child legally runs THREE watchdog-bounded passes per query
+    # (warm + 2 timed), so budget 3x per-statement timeout per name —
+    # a healthy slow run must never be killed below its legal worst case
+    deadline = time.monotonic() + 3 * timeout * max(1, len(names)) + 120.0
     out = None
     while out is None:
         try:

@@ -622,6 +622,13 @@ def test_mp4_corrupt_sample_tables_raise_valueerror():
     # metadata-only mp4 (no stbl sample boxes) -> ValueError, not a crash
     with pytest.raises(ValueError):
         mp4_meta.parse_mp4_samples(mp4_meta.synth_mp4_meta(1.0))
+    # forged tkhd dimensions past the per-frame pixel fuse -> ValueError
+    # BEFORE any sample decode allocates planes
+    forged = bytearray(good)
+    i = forged.index(b"tkhd") + 4  # body start
+    struct.pack_into(">II", forged, i + 76, 0xFFFF << 16, 0xFFFF << 16)
+    with pytest.raises(ValueError, match="implausible"):
+        mp4_meta.parse_mp4_samples(bytes(forged))
 
 
 def test_jpeg_solid_blocks_roundtrip_exactly_all_values():

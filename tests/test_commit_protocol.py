@@ -634,8 +634,23 @@ def test_http_table_projection_behind_arbiter_self_heals(tmp_path):
         raw.put_if(store._table_key, crashed.to_bytes(), if_match=etag)
         # files are now BEHIND the arbiter — stale but consistent
         assert incremental._current_version(target) == "v-0001"
-        # next publish (computed off the arbiter's current) heals
-        res = cas_publish(store, "v-0003", base_version="v-0002")
+        # the REAL writer path derives its base from the FILES (as
+        # merge_upsert does). First attempt: stale base -> CAS reject
+        # — but the publish's opening GET heals the projection, so the
+        # retry reads the true current from the files and lands.
+        # (Without heal-on-read this loop never converges: every retry
+        # re-reads the same stale files — the wedge the r12 review
+        # found.)
+        for _attempt in range(incremental.MERGE_MAX_ATTEMPTS):
+            base = incremental._current_version(target)
+            try:
+                res = cas_publish(store, "v-0003", base_version=base)
+                break
+            except ConcurrentWriteError:
+                continue
+        else:
+            raise AssertionError("merge-style retry never converged")
+        assert _attempt == 1  # exactly one CAS reject, then healed
     assert list(res.kept) == ["v-0001", "v-0002", "v-0003"]
     assert incremental._current_version(target) == "v-0003"
     assert incremental._version_history(target)[-2:] == ["v-0002", "v-0003"]
