@@ -254,16 +254,35 @@ class HttpTableCommitStore(HttpConditionalStore):
     def get(self, key: str) -> tuple[bytes, str] | None:
         assert key == COMMIT_KEY
         got = super().get(self._table_key)
-        if got is not None:
+        if got is not None and not self._projection_current(got[1]):
             # heal-on-read: every publish attempt starts with this GET
             # (cas_publish reads before it writes), so a projection
             # left stale by a writer that crashed between its winning
             # PUT and its sync catches up BEFORE the next merge reads
             # its base version from the files — without this, a merge
             # computed off stale files CAS-fails, retries off the same
-            # stale files, and the table wedges until manual repair
-            self._sync_projection()
+            # stale files, and the table wedges until manual repair.
+            # The sidecar-etag guard keeps the common current-case to
+            # ZERO extra round-trips/locks, and a LOCAL failure is
+            # best-effort on the read path (the state is already in
+            # hand; the put_if-path sync keeps its propagation).
+            try:
+                self._sync_projection()
+            except OSError:
+                pass
         return got
+
+    def _projection_current(self, etag: str) -> bool:
+        """True when the local projection already reflects ``etag``:
+        the sidecar is written only AFTER projecting exactly that
+        state, and the server's etags are per-state unique, so
+        equality proves currency. A stale read here is benign —
+        _sync_projection re-reads both under its lock."""
+        try:
+            with open(os.path.join(self.target_path, _HTTP_ETAG)) as f:
+                return f.read() == etag
+        except OSError:
+            return False
 
     def put_if(self, key: str, data: bytes, **kwargs) -> str:
         assert key == COMMIT_KEY

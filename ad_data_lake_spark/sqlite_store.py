@@ -27,13 +27,17 @@ object-store backends the protocol documents (S3 ``If-Match``, GCS
 
 Crash window note for the table store: a writer dying between the file
 decomposition and the sqlite COMMIT leaves the files one commit AHEAD
-of the arbiter. That is benign by construction — the pointed-at
-version directory is complete (data is written before any publish), so
-readers only ever see whole versions — and self-healing: the next
-successful put_if re-decomposes the files from the arbiter's state.
-What can never happen is two writers interleaving their file writes:
-decomposition runs only while holding sqlite's write lock, so files
-advance strictly in commit order.
+of the arbiter (sqlite rolls its transaction back; the file writes are
+not transactional). The pointed-at directory is complete (data is
+written before any publish), so readers only ever see whole versions —
+and the window is self-healing via HEAL-ON-READ: every publish begins
+with ``get``, which re-projects the arbiter's canonical state over the
+files whenever the pointers disagree (r12 — a put_if-only heal was
+circular: merges derive their CAS base from the FILES, so an ahead
+projection made every merge CAS-fail forever before any put_if could
+re-decompose). What can never happen is two writers interleaving their
+file writes: decomposition and the heal both run only while holding
+sqlite's write lock, so files advance strictly in commit order.
 
 Switching an EXISTING flock-arbitered table to sqlite is not
 supported (plant the marker at table creation); the marker check in
@@ -147,6 +151,47 @@ class SqliteTableCommitStore(SqliteConditionalStore):
         self.target_path = target_path
         os.makedirs(target_path, exist_ok=True)
         super().__init__(os.path.join(target_path, TABLE_COMMIT_DB), timeout)
+
+    def get(self, key: str) -> tuple[bytes, str] | None:
+        got = super().get(key)
+        if got is not None:
+            # heal-on-read for the files-AHEAD crash window (writer
+            # died between its file decomposition and the sqlite
+            # COMMIT): the arbiter rolled back but the files name the
+            # never-committed version, so every merge derives a base
+            # the arbiter rejects and retries forever off the same
+            # files — the sqlite mirror of the HTTP backend's wedge
+            # (r12 review). Cheap guard first: only re-project when the
+            # files' pointer disagrees with the arbiter's truth. The
+            # projection runs under its own BEGIN IMMEDIATE so it
+            # serializes against writers' decompositions; a LOCAL
+            # write failure is best-effort on the read path (the state
+            # is already in hand; the next successful sync heals).
+            from ad_data_lake_spark import incremental
+            from ad_data_lake_spark.commit_protocol import CommitState
+
+            state = CommitState.from_bytes(got[0])
+            if incremental._current_version(self.target_path) != state.current:
+                try:
+                    con = self._connect()
+                    try:
+                        con.execute("BEGIN IMMEDIATE")
+                        try:
+                            incremental._project_state(
+                                self.target_path, state
+                            )
+                            con.execute("COMMIT")
+                        except BaseException:
+                            try:
+                                con.execute("ROLLBACK")
+                            except sqlite3.Error:
+                                pass
+                            raise
+                    finally:
+                        con.close()
+                except OSError:
+                    pass  # read succeeded; projection heals next sync
+        return got
 
     def _in_transaction(self, key: str, data: bytes) -> None:
         # decompose the winning state to the table files (the read

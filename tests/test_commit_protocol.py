@@ -707,3 +707,35 @@ def test_http_table_cross_process_churn(tmp_path):
     assert state.current == state.versions[-1]
     assert incremental._current_version(target) == state.current
     assert incremental._version_history(target) == list(state.published())
+
+
+def test_sqlite_table_files_ahead_of_arbiter_self_heals(tmp_path):
+    """The sqlite mirror of the HTTP wedge (r12 review): a writer dying
+    between its file decomposition and the sqlite COMMIT leaves the
+    files one commit AHEAD of the arbiter. Merges derive their CAS base
+    from the FILES, so without heal-on-read every retry re-reads the
+    never-committed version and the table wedges. get() must re-project
+    the arbiter's truth so the merge-style retry converges."""
+    from ad_data_lake_spark.sqlite_store import SqliteTableCommitStore
+
+    target = str(tmp_path / "ahead_t")
+    store = SqliteTableCommitStore(target)
+    cas_publish(store, "v-0001")
+    # crashed writer: decomposed its files for v-0002, died before
+    # COMMIT — sqlite rolled back, files point at the orphan version
+    phantom = CommitState(("v-0001", "v-0002"), "v-0002", None)
+    incremental._project_state(target, phantom)
+    assert incremental._current_version(target) == "v-0002"
+    # merge-style loop: base from FILES each attempt
+    for attempt in range(incremental.MERGE_MAX_ATTEMPTS):
+        base = incremental._current_version(target)
+        try:
+            res = cas_publish(store, "v-0003", base_version=base)
+            break
+        except ConcurrentWriteError:
+            continue
+    else:
+        raise AssertionError("merge-style retry never converged")
+    assert attempt == 1  # one CAS reject (healed files), then lands
+    assert incremental._current_version(target) == "v-0003"
+    assert incremental._version_history(target) == ["v-0001", "v-0003"]
