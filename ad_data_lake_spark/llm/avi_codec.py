@@ -250,9 +250,16 @@ def _decode_strict(
                     bgr = rows.reshape(h, w, 3)
                     out[frame_no] = bgr[::-1, :, ::-1].copy()  # -> RGB top-down
                 else:  # MJPEG: a complete baseline JPEG per frame
-                    from ad_data_lake_spark.llm import jpeg_codec
+                    from ad_data_lake_spark.llm import jpeg_codec, jpeg_ffi
 
-                    jw, jh, ch, px = jpeg_codec.decode_jpeg(bytes(raw))
+                    # native libjpeg shim when present (see jpeg_ffi;
+                    # bit-identical on DC-only blocks), vendored else
+                    decode = (
+                        jpeg_ffi.decode_jpeg
+                        if jpeg_ffi.available()
+                        else jpeg_codec.decode_jpeg
+                    )
+                    jw, jh, ch, px = decode(bytes(raw))
                     arr = np.frombuffer(px, dtype=np.uint8).reshape(jh, jw, ch)
                     if ch == 1:
                         arr = np.repeat(arr, 3, axis=2)

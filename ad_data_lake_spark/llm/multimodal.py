@@ -136,6 +136,20 @@ def decode_asset_bytes(payload: bytes, mime: str):
                 # and must NOT fall through (the vendored codec would
                 # just re-derive the same refusal, slower)
                 return webp_ffi.decode_webp(payload)
+        if payload[:2] == b"\xff\xd8":
+            from ad_data_lake_spark.llm import jpeg_ffi
+
+            if jpeg_ffi.available():
+                # native path widens coverage (progressive, subsampled
+                # JPEGs the vendored codec refuses) at native speed; a
+                # corrupt payload falls THROUGH to the vendored chain
+                # so the malformed-payload contract (ValueError -> the
+                # NotImplementedError stand-in fallback) is identical
+                # with and without the shim
+                try:
+                    return jpeg_ffi.decode_jpeg(payload)
+                except ValueError:
+                    pass
         from ad_data_lake_spark.llm import (
             bmp_codec,
             gif_codec,

@@ -401,7 +401,13 @@ def streaming_frequency_cap_batchwise_drain(
     per-batch window numbering + a versioned per-user offsets table,
     zero Python in the row path). Same oracle as the stateful-API row,
     so the driver gate proves both forms reproduce batch semantics;
-    the A/B walls live in BASELINE.md's streaming table."""
+    the A/B walls live in BASELINE.md's streaming table.
+
+    Both forms number impressions against the global row_number oracle
+    under the in-order-batch assumption (each user's events arrive in
+    non-decreasing (ts, event_id) order across micro-batches — the
+    fixture's time-ordered file delivery guarantees it here); see the
+    ORDERING ASSUMPTION note in streaming/stateful.py."""
     from ad_data_lake_spark.streaming.stateful import (
         streaming_frequency_cap_batchwise,
     )

@@ -1990,68 +1990,16 @@ _register(
 # re-verifies the complement each round.
 # ---------------------------------------------------------------------------
 
-# Round 12 window (50 slots), rotated per the r11 verdict's #1 ask:
-# slots 1-3 are the NEW rows added this round (lake_concurrent_writers_http
-# — the HTTP/S3-wire table commit arbiter; video_frame_stats_mp4 — the
-# MP4 MJPEG real-pixel-decode row; streaming_frequency_cap_batchwise —
-# the all-JVM foreachBatch cap twin), then the first 47 of the 72 rows not
-# driver-green in the r10∪r11 union (oldest-first: hierarchy_flat ..
-# sanitize_nested_struct), so CORRECTNESS_r12 pushes the union to
-# ~150/174. The remaining 24 not-green rows follow immediately after
-# slot 50 (next round's leading block), then the r10-green cohort, and
-# the 50 rows the driver just checked green in r11 sit at the very end
-# (freshest record).
+# Round 13 window (50 slots), rotated per the r12 verdict's #1 ask:
+# slots 1-25 are the 25 rows not driver-green since r09
+# (sanitize_nested_struct .. embed_topk_lsh — the exact list from the
+# r12 verdict's "What's missing #1"); once CORRECTNESS_r13 shows them
+# green, every registry row is driver-green within the r11∪r12∪r13
+# union. Slots 26-50 re-check the oldest-green cohort (r10-era rows,
+# dedup_minhash_lsh_xx ..), then the r11-green cohort, and the 50 rows
+# the driver just checked green in r12 sit at the very end (freshest
+# record).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "lake_concurrent_writers_http",
-    "video_frame_stats_mp4",
-    "streaming_frequency_cap_batchwise",
-    "hierarchy_flat",
-    "hybrid_retrieve_rrf",
-    "lang_id",
-    "latest_snapshot_window",
-    "mixture_sample",
-    "multimodal_features",
-    "multimodal_resize",
-    "per_user_frequency",
-    "pii_redact",
-    "pivot_action_metrics",
-    "postings_index_incremental",
-    "quality_score",
-    "repetition_stats",
-    "sanitize_dynamic_json",
-    "scan_project",
-    "semi_join_lookup",
-    "split_summary",
-    "streaming_daily_insights",
-    "streaming_json_sanitize",
-    "text_stats",
-    "token_counts",
-    "top_k",
-    "agg_action_breakdown",
-    "agg_action_type",
-    "agg_reach_frequency",
-    "agg_rollup",
-    "corpus_health",
-    "epoch_shuffle",
-    "fn_asset_kind",
-    "fn_brand_safety",
-    "fn_build_cta",
-    "fn_cbo_resolve",
-    "fn_coalesce_spec",
-    "fn_creative_payload",
-    "fn_flatten_ref",
-    "fn_gather_arrays",
-    "fn_nested_update",
-    "fn_null_strip",
-    "fn_parse_targeting",
-    "fn_story_spec_update",
-    "fn_unicode_unescape",
-    "json_decode_ingest",
-    "lake_write_roundtrip",
-    "last_wins_dedupe",
-    "nested_report",
-    "sanitize_adset_payload",
-    "sanitize_campaign_payload",
     "sanitize_nested_struct",
     "stamp_parent_keys",
     "stratified_sample",
@@ -2177,6 +2125,56 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_positive_amount",
     "fn_spend_cap",
     "fn_string_collection",
+    "lake_concurrent_writers_http",
+    "video_frame_stats_mp4",
+    "streaming_frequency_cap_batchwise",
+    "hierarchy_flat",
+    "hybrid_retrieve_rrf",
+    "lang_id",
+    "latest_snapshot_window",
+    "mixture_sample",
+    "multimodal_features",
+    "multimodal_resize",
+    "per_user_frequency",
+    "pii_redact",
+    "pivot_action_metrics",
+    "postings_index_incremental",
+    "quality_score",
+    "repetition_stats",
+    "sanitize_dynamic_json",
+    "scan_project",
+    "semi_join_lookup",
+    "split_summary",
+    "streaming_daily_insights",
+    "streaming_json_sanitize",
+    "text_stats",
+    "token_counts",
+    "top_k",
+    "agg_action_breakdown",
+    "agg_action_type",
+    "agg_reach_frequency",
+    "agg_rollup",
+    "corpus_health",
+    "epoch_shuffle",
+    "fn_asset_kind",
+    "fn_brand_safety",
+    "fn_build_cta",
+    "fn_cbo_resolve",
+    "fn_coalesce_spec",
+    "fn_creative_payload",
+    "fn_flatten_ref",
+    "fn_gather_arrays",
+    "fn_nested_update",
+    "fn_null_strip",
+    "fn_parse_targeting",
+    "fn_story_spec_update",
+    "fn_unicode_unescape",
+    "json_decode_ingest",
+    "lake_write_roundtrip",
+    "last_wins_dedupe",
+    "nested_report",
+    "sanitize_adset_payload",
+    "sanitize_campaign_payload",
 )
 
 

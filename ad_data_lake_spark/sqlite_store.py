@@ -164,9 +164,16 @@ class SqliteTableCommitStore(SqliteConditionalStore):
             # (r12 review). Cheap guard first: only re-project when the
             # files' pointer disagrees with the arbiter's truth. The
             # projection runs under its own BEGIN IMMEDIATE so it
-            # serializes against writers' decompositions; a LOCAL
-            # write failure is best-effort on the read path (the state
-            # is already in hand; the next successful sync heals).
+            # serializes against writers' decompositions, and it
+            # RE-READS the arbiter state inside that lock (r13 — the
+            # pre-lock SELECT can be one commit BEHIND a writer whose
+            # put_if already decomposed newer files inside its still-
+            # open transaction; projecting the stale snapshot would
+            # move the files BACKWARDS, breaking the strictly-in-
+            # commit-order invariant). A LOCAL failure is best-effort
+            # on the read path (the state is already in hand; the next
+            # successful sync heals) — including SQLITE_BUSY on the
+            # BEGIN IMMEDIATE under writer contention.
             from ad_data_lake_spark import incremental
             from ad_data_lake_spark.commit_protocol import CommitState
 
@@ -177,9 +184,21 @@ class SqliteTableCommitStore(SqliteConditionalStore):
                     try:
                         con.execute("BEGIN IMMEDIATE")
                         try:
-                            incremental._project_state(
-                                self.target_path, state
-                            )
+                            row = con.execute(
+                                "SELECT data FROM objects WHERE key = ?",
+                                (key,),
+                            ).fetchone()
+                            if row is not None:
+                                fresh = CommitState.from_bytes(bytes(row[0]))
+                                if (
+                                    incremental._current_version(
+                                        self.target_path
+                                    )
+                                    != fresh.current
+                                ):
+                                    incremental._project_state(
+                                        self.target_path, fresh
+                                    )
                             con.execute("COMMIT")
                         except BaseException:
                             try:
@@ -189,7 +208,7 @@ class SqliteTableCommitStore(SqliteConditionalStore):
                             raise
                     finally:
                         con.close()
-                except OSError:
+                except (OSError, sqlite3.OperationalError):
                     pass  # read succeeded; projection heals next sync
         return got
 

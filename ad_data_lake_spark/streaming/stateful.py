@@ -140,6 +140,15 @@ def streaming_frequency_cap_batchwise(
       STRICTLY BEFORE this batch id, and a crashed attempt's partial
       ``v<id>`` snapshot is simply overwritten by the retry.
 
+    ORDERING ASSUMPTION (shared with ``streaming_frequency_cap``, and
+    with any cross-batch counter): impression numbers equal the global
+    ``row_number`` oracle only when micro-batches deliver each user's
+    events in non-decreasing ``(ts, event_id)`` order ACROSS batches —
+    true for a file source replaying time-ordered files (the fixture,
+    and any event-time-partitioned ingest), NOT for an out-of-order
+    source. Late rows still get capped (the counter is monotone); only
+    the per-impression NUMBERING diverges from the batch oracle.
+
     Scale trade-off (the reason BOTH forms ship): each batch rewrites
     the FULL offsets table — O(total distinct users) per batch, perfect
     while the key space is bounded or ∝ batch size, pathological for

@@ -64,7 +64,33 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "skipped_write_path": skipped,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # Durable copy (r12 verdict #6): the driver's BENCH_r*.json capture
+    # truncates the one-line JSON (parsed: null), losing the per-query
+    # record; bench_results/ keeps it. Round tag from the env when the
+    # driver exports one, else a plain latest-file.
+    try:
+        os.makedirs("bench_results", exist_ok=True)
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if not rnd:
+            # infer: the driver writes BENCH_r{N}.json AFTER running
+            # bench, so the current round is max(existing)+1
+            import glob
+            import re as _re
+
+            seen = [
+                int(m.group(1))
+                for p in glob.glob("BENCH_r*.json")
+                if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+            ]
+            rnd = f"{max(seen) + 1:02d}" if seen else ""
+        tag = f"_r{rnd}" if rnd else ""
+        path = os.path.join("bench_results", f"bench_sf{sf}{tag}.json")
+        with open(path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # bench output is the stdout line; the copy is best-effort
     spark.stop()
 
 

@@ -15,6 +15,14 @@ the rows actually fed to the stream source (events fact = 100k at
 sf0.1; the two planted-duplicate pipelines feed 110k; the corpus rows
 feed the duplicated documents corpus, counted at runtime).
 
+Each row runs in its OWN CHILD PROCESS (own JVM) — r12 verdict #3: the
+old 11-drains-one-JVM run carried state-store dirs and listener
+backlog forward and inflated later rows 2-5x (streaming_attribution_
+join 2.66->12.82 s in the tier run vs 5.8 s clean; streaming_rare_
+token_scrub 1.20->3.84 vs 2.7). Same measurement-isolation discipline
+bench_scale.py's DuckDB side got in r11. A child that dies or exceeds
+its budget records DNF (null) instead of killing the table.
+
 Usage: python scripts/bench_streaming.py [sf_dir] [--rep N]
 Prints a markdown table + one JSON line; paste the table into
 BASELINE.md.
@@ -135,9 +143,67 @@ def _build_stream_fixture(spark, base: str, rep: int) -> str:
     return out
 
 
+def _measure_one(name: str) -> None:
+    """Child entry: measure ONE row in a fresh JVM and print its wall
+    as the last stdout line (JSON)."""
+    from ad_data_lake_spark.queries import REGISTRY
+    from ad_data_lake_spark.session import get_spark
+
+    spark = get_spark(f"bench-streaming-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def mat(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    mat(REGISTRY[name].fn(spark, SF_DIR))  # warm
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        mat(REGISTRY[name].fn(spark, SF_DIR))
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    print(json.dumps({"name": name, "wall": best}), flush=True)
+    spark.stop()
+
+
+_CHILD_BUDGET = 1800.0  # generous: 3 full drains of the slowest row
+
+
+def _measure_in_child(name: str) -> float | None:
+    """Spawn ``bench_streaming.py <sf_dir> --one <name>`` and parse the
+    wall off its last stdout line; None (DNF) on crash/budget."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), SF_DIR, "--one", name],
+            capture_output=True,
+            text=True,
+            timeout=_CHILD_BUDGET,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"{name}: exceeded child budget; DNF", file=sys.stderr, flush=True)
+        return None
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-3:]
+        print(f"{name}: child died; DNF ({tail})", file=sys.stderr, flush=True)
+        return None
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if d.get("name") == name:
+            return float(d["wall"])
+    print(f"{name}: no wall published; DNF", file=sys.stderr, flush=True)
+    return None
+
+
 def main() -> None:
     global SF_DIR
-    from ad_data_lake_spark.queries import REGISTRY
+    if "--one" in sys.argv:
+        _measure_one(sys.argv[sys.argv.index("--one") + 1])
+        return
     from ad_data_lake_spark.session import get_spark
 
     spark = get_spark("bench-streaming")
@@ -146,21 +212,13 @@ def main() -> None:
         SF_DIR = _build_stream_fixture(spark, SF_DIR, REP)
         print(f"stream fixture: {SF_DIR}", file=sys.stderr, flush=True)
     counts = _input_rows(spark)
+    spark.stop()  # children get their own JVMs; free this one first
 
-    def mat(df):
-        df.write.format("noop").mode("overwrite").save()
-
-    walls: dict[str, float] = {}
+    walls: dict[str, float | None] = {}
     for name in STREAM_ROWS:
-        mat(REGISTRY[name].fn(spark, SF_DIR))  # warm
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            mat(REGISTRY[name].fn(spark, SF_DIR))
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-        walls[name] = best
-        print(f"{name:32s} {best:7.2f}s", file=sys.stderr, flush=True)
+        walls[name] = _measure_in_child(name)
+        shown = f"{walls[name]:7.2f}s" if walls[name] is not None else "    DNF"
+        print(f"{name:32s} {shown}", file=sys.stderr, flush=True)
 
     sf = (
         os.path.basename(SF_DIR.rstrip("/"))
@@ -169,23 +227,27 @@ def main() -> None:
     )
     print(f"\n| Streaming row | Input rows (sf{sf}) | Wall (s) | rows/s |")
     print("|---|---|---|---|")
-    rates = {}
+    rates: dict[str, int | None] = {}
     for name, src in STREAM_ROWS.items():
         n = counts[src]
         w = walls[name]
-        rates[name] = round(n / w)
-        print(f"| {name} | {n} | {w:.2f} | {rates[name]} |")
+        rates[name] = round(n / w) if w else None
+        wall_s = f"{w:.2f}" if w is not None else "DNF"
+        print(f"| {name} | {n} | {wall_s} | {rates[name] or '—'} |")
     print(
         json.dumps(
             {
                 "metric": "streaming_drain",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "walls": {k: round(v, 3) for k, v in walls.items()},
+                "walls": {
+                    k: round(v, 3) if v is not None else None
+                    for k, v in walls.items()
+                },
                 "rows_per_sec": rates,
+                "isolation": "one child JVM per row",
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -739,3 +739,94 @@ def test_sqlite_table_files_ahead_of_arbiter_self_heals(tmp_path):
     assert attempt == 1  # one CAS reject (healed files), then lands
     assert incremental._current_version(target) == "v-0003"
     assert incremental._version_history(target) == ["v-0001", "v-0003"]
+
+
+def test_sqlite_heal_projects_fresh_state_not_prelock_snapshot(
+    tmp_path, monkeypatch
+):
+    """r13 advice (medium): the heal-on-read must re-read the arbiter
+    state INSIDE its BEGIN IMMEDIATE and project THAT, not the pre-lock
+    SELECT's snapshot. A reader whose SELECT captured V1 while a
+    concurrent writer was committing V2 (files already decomposed to V2
+    inside the writer's still-open transaction) must not project V1
+    over the newer files — that projection would move the files
+    BACKWARDS, breaking 'files advance strictly in commit order'."""
+    from ad_data_lake_spark.sqlite_store import (
+        SqliteConditionalStore,
+        SqliteTableCommitStore,
+    )
+
+    target = str(tmp_path / "fresh_t")
+    store = SqliteTableCommitStore(target)
+    cas_publish(store, "v-0001")
+    stale = SqliteConditionalStore.get(store, COMMIT_KEY)  # V1 snapshot
+    cas_publish(store, "v-0002")  # arbiter AND files now at V2
+    assert incremental._current_version(target) == "v-0002"
+
+    # Replay the race window: the reader's pre-lock SELECT returned the
+    # V1 snapshot even though arbiter + files have moved to V2.
+    monkeypatch.setattr(
+        SqliteConditionalStore, "get", lambda self, key: stale
+    )
+    got = store.get(COMMIT_KEY)
+    assert got == stale  # the read returns its consistent snapshot...
+    # ...but the heal projected the FRESH in-lock state (a no-op here),
+    # never the stale snapshot:
+    assert incremental._current_version(target) == "v-0002"
+    assert incremental._version_history(target) == ["v-0001", "v-0002"]
+
+
+def test_cas_no_unbounded_starvation_under_contention():
+    """r12 verdict ask #5 (the pinned starvation check): under
+    multi-writer churn with the documented client retry policy
+    (jittered linear backoff on ConcurrentWriteError — what
+    scripts/bench_http_arbiter.py's writers run), no writer loses
+    unboundedly many CAS rounds in a row. The bound here is generous
+    (30 >> the single digits observed) because the theoretical CAS
+    livelock is unbounded only for ZERO-backoff loops; any jitter
+    breaks the lockstep."""
+    import random
+    import time as _time
+
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpConditionalStore
+
+    results: dict[int, int] = {}
+    errors: list[Exception] = []
+    with EtagStoreServer(latency=0.002) as url:  # ~2ms RTT: real races
+        cas_publish(HttpConditionalStore(url), "v-seed")
+
+        def writer(w: int) -> None:
+            try:
+                rng = random.Random(w)
+                store = HttpConditionalStore(url)
+                max_streak = 0
+                for i in range(12):
+                    streak = 0
+                    while True:
+                        got = store.get(COMMIT_KEY)
+                        base = CommitState.from_bytes(got[0]).current
+                        try:
+                            cas_publish(
+                                store, f"v-w{w}-{i:03d}", base_version=base
+                            )
+                            break
+                        except ConcurrentWriteError:
+                            streak += 1
+                            _time.sleep(
+                                rng.uniform(0.0, 0.002 * min(streak, 8))
+                            )
+                    max_streak = max(max_streak, streak)
+                results[w] = max_streak
+            except Exception as exc:  # surface in the main thread
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=writer, args=(w,)) for w in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+    assert not errors, errors
+    assert len(results) == 4
+    assert max(results.values()) < 30, results
