@@ -91,6 +91,10 @@ def _lib() -> ctypes.CDLL | None:
     try:
         lib = ctypes.CDLL(path)
         fn = lib.adl_jpeg_decode_rgb
+        enc = lib.adl_jpeg_encode_rgb
+        rel = lib.adl_jpeg_free
+        encb = lib.adl_jpeg_encode_batch
+        decb = lib.adl_jpeg_decode_batch
     except (OSError, AttributeError):
         return None
     fn.restype = ctypes.c_int
@@ -101,6 +105,44 @@ def _lib() -> ctypes.CDLL | None:
         ctypes.c_size_t,
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+    ]
+    enc.restype = ctypes.c_int
+    enc.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.c_ulong),
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+    ]
+    rel.restype = None
+    rel.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
+    encb.restype = ctypes.c_int
+    encb.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_ulong),
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+    ]
+    decb.restype = ctypes.c_int
+    decb.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_ulong),
+        ctypes.POINTER(ctypes.c_ulong),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_char_p,
         ctypes.c_char_p,
         ctypes.c_size_t,
     ]
@@ -147,4 +189,114 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     return w.value, h.value, 3, out.raw
 
 
-__all__ = ["available", "decode_jpeg"]
+def encode_jpeg(
+    pixels: bytes, width: int, height: int, channels: int = 3, quality: int = 90
+) -> bytes:
+    """Baseline 4:4:4 JPEG at ``quality`` via libjpeg — the native
+    twin of ``jpeg_codec.encode_jpeg`` (same stream class: no
+    subsampling, Annex-K-scaled tables at the same quality formula, so
+    DC-only solid blocks stay value-exact through any conforming
+    decoder — the video_frame_stats_mp4 oracle premise, pinned in
+    tests/test_av_codecs.py). RGB only; ValueError on shape mismatch;
+    RuntimeError when the shim is unavailable."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("no libjpeg shim available")
+    if channels != 3:
+        raise ValueError("native encode_jpeg is RGB-only (channels=3)")
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, want {width * height * 3}"
+        )
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    outlen = ctypes.c_ulong()
+    err = ctypes.create_string_buffer(200)
+    rc = lib.adl_jpeg_encode_rgb(
+        pixels, width, height, quality,
+        ctypes.byref(out), ctypes.byref(outlen), err, 200,
+    )
+    if rc != 0:
+        raise ValueError(f"libjpeg: {err.value.decode(errors='replace')}")
+    try:
+        return ctypes.string_at(out, outlen.value)
+    finally:
+        lib.adl_jpeg_free(out)
+
+
+def encode_jpeg_batch(frames, quality: int = 90):
+    """Encode a C-contiguous uint8 array of shape (n, h, w, 3) — ONE
+    ctypes call for the whole Arrow batch — returning (concatenated
+    JPEG bytes, numpy int64 sizes per frame). Same 4:4:4 stream class
+    as ``encode_jpeg``; the per-call Python marshal (~16 us/frame) was
+    the dominant cost of per-frame native encoding at batch scale."""
+    import numpy as np
+
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("no libjpeg shim available")
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"want (n, h, w, 3) uint8, got {frames.shape}")
+    n, h, w, _ = frames.shape
+    if n == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    out_cap = n * (w * h * 3 + 1024)
+    # np.empty, not create_string_buffer: no zero-fill of a buffer the
+    # C side overwrites anyway (tens of MB per Arrow batch)
+    out = np.empty(out_cap, dtype=np.uint8)
+    sizes = np.zeros(n, dtype=np.uint64)
+    err = ctypes.create_string_buffer(200)
+    rc = lib.adl_jpeg_encode_batch(
+        frames.ctypes.data_as(ctypes.c_char_p),
+        n, w, h, quality,
+        out.ctypes.data_as(ctypes.c_char_p), out_cap,
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_ulong)),
+        err, 200,
+    )
+    if rc != 0:
+        raise ValueError(f"libjpeg batch encode: {err.value.decode(errors='replace')}")
+    sz = sizes.astype(np.int64)
+    return out[: int(sz.sum())].tobytes(), sz
+
+
+def decode_jpeg_batch(data: bytes, offsets, sizes, width: int, height: int):
+    """Decode n JPEGs (byte ranges of ``data``), each required to be
+    exactly width x height RGB, in ONE ctypes call; returns a uint8
+    array of shape (n, height, width, 3). Strict (corruption warnings
+    fail the batch) like ``decode_jpeg``."""
+    import numpy as np
+
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("no libjpeg shim available")
+    offs = np.ascontiguousarray(offsets, dtype=np.uint64)
+    szs = np.ascontiguousarray(sizes, dtype=np.uint64)
+    n = len(offs)
+    if len(szs) != n:
+        raise ValueError("offsets/sizes length mismatch")
+    if n == 0:
+        return np.zeros((0, height, width, 3), dtype=np.uint8)
+    if (offs + szs).max() > len(data):
+        raise ValueError("frame range extends past end of buffer")
+    out = np.empty((n, height, width, 3), dtype=np.uint8)
+    err = ctypes.create_string_buffer(200)
+    rc = lib.adl_jpeg_decode_batch(
+        data,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_ulong)),
+        szs.ctypes.data_as(ctypes.POINTER(ctypes.c_ulong)),
+        n, width, height,
+        out.ctypes.data_as(ctypes.c_char_p),
+        err, 200,
+    )
+    if rc != 0:
+        raise ValueError(f"libjpeg batch decode: {err.value.decode(errors='replace')}")
+    return out
+
+
+__all__ = [
+    "available",
+    "decode_jpeg",
+    "decode_jpeg_batch",
+    "encode_jpeg",
+    "encode_jpeg_batch",
+]

@@ -340,22 +340,43 @@ def encode_mp4_mjpeg(frames, fps: int = 10) -> bytes:
     stbl (stsd 'jpeg' + stts + stsc + stsz + stco, one sample per
     chunk so stco IS the per-sample offset table) in moov. mdat
     precedes moov so sample offsets never depend on moov's size.
-    Byte-deterministic — the encoder half of the decode contract,
-    like ``encode_avi_dib``."""
-    from ad_data_lake_spark.llm import jpeg_codec
+    Byte-deterministic within a host — the encoder half of the decode
+    contract, like ``encode_avi_dib``. Per-sample JPEGs come from the
+    native libjpeg shim when present (same 4:4:4/quality-90 stream
+    class, ~20x the vendored encode — the encode half was 97% of the
+    video_frame_stats_mp4 wall once decode went native) and from the
+    vendored ``jpeg_codec`` otherwise; both keep DC-only solid blocks
+    value-exact through any conforming decoder (pinned in
+    tests/test_av_codecs.py), which is all the oracle relies on."""
+    from ad_data_lake_spark.llm import jpeg_codec, jpeg_ffi
 
+    encode = (
+        jpeg_ffi.encode_jpeg if jpeg_ffi.available() else jpeg_codec.encode_jpeg
+    )
     if not frames:
         raise ValueError("no frames")
     h, w, ch = frames[0].shape
     if ch != 3:
         raise ValueError(f"RGB frames only (got {ch} channels)")
-    if fps <= 0:
-        raise ValueError(f"bad fps {fps}")
     samples = []
     for fr in frames:
         if fr.shape != (h, w, 3):
             raise ValueError("frames must share one shape")
-        samples.append(jpeg_codec.encode_jpeg(fr.tobytes(), w, h))
+        samples.append(encode(fr.tobytes(), w, h))
+    return encode_mp4_from_samples(samples, w, h, fps)
+
+
+def encode_mp4_from_samples(
+    samples: list[bytes], w: int, h: int, fps: int = 10
+) -> bytes:
+    """Assemble the motion-JPEG container around PRE-ENCODED JPEG
+    samples — the factored second half of ``encode_mp4_mjpeg``, so the
+    batched Arrow path (one ``jpeg_ffi.encode_jpeg_batch`` call per
+    batch) can reuse the exact same container layout."""
+    if not samples:
+        raise ValueError("no samples")
+    if fps <= 0:
+        raise ValueError(f"bad fps {fps}")
     n = len(samples)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     mdat_body = b"".join(samples)
@@ -430,6 +451,59 @@ def encode_mp4_mjpeg(frames, fps: int = 10) -> bytes:
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+# (w, h, fps, n) -> (ftyp bytes, moov template bytes, stsz entry
+# offset, stco entry offset) for the template-patch fast assembler
+_CONTAINER_TPL: dict[tuple[int, int, int, int], tuple[bytes, bytes, int, int]] = {}
+
+
+def encode_mp4_from_samples_fast(
+    samples: list[bytes], w: int, h: int, fps: int = 10
+) -> bytes:
+    """Byte-identical to ``encode_mp4_from_samples`` (pinned in
+    tests/test_av_codecs.py over random sample sizes), but amortized:
+    for a fixed (w, h, fps, n) the container differs only in the mdat
+    body, the mdat size field, the stsz entry array, and the stco
+    entry array — everything else (ftyp, the whole moov skeleton) is
+    built ONCE and patched per call. This is what makes per-document
+    container assembly ~O(len(samples) ints) instead of ~40 box
+    constructions in the batched Arrow path."""
+    n = len(samples)
+    key = (w, h, fps, n)
+    tpl = _CONTAINER_TPL.get(key)
+    if tpl is None:
+        full = encode_mp4_from_samples([b""] * n, w, h, fps)
+        (ftyp_len,) = struct.unpack_from(">I", full, 0)
+        # empty samples -> mdat is exactly 8 bytes; moov is the rest
+        ftyp = full[:ftyp_len]
+        moov = full[ftyp_len + 8 :]
+        # stsz entries start 16 bytes after the type fourcc (size,
+        # version+flags, sample_size, count precede them); stco
+        # entries 12 after (size, version+flags, count). Both fourccs
+        # occur exactly once in moov (sample DATA lives in mdat).
+        stsz_off = moov.index(b"stsz") + 16
+        stco_off = moov.index(b"stco") + 12
+        tpl = (ftyp, moov, stsz_off, stco_off)
+        _CONTAINER_TPL[key] = tpl
+    ftyp, moov_tpl, stsz_off, stco_off = tpl
+    sizes = [len(s) for s in samples]
+    offsets = []
+    pos = len(ftyp) + 8
+    for s in sizes:
+        offsets.append(pos)
+        pos += s
+    moov = bytearray(moov_tpl)
+    struct.pack_into(f">{n}I", moov, stsz_off, *sizes)
+    struct.pack_into(f">{n}I", moov, stco_off, *offsets)
+    mdat_body = b"".join(samples)
+    return (
+        ftyp
+        + struct.pack(">I", 8 + len(mdat_body))
+        + b"mdat"
+        + mdat_body
+        + bytes(moov)
+    )
 
 
 def synth_mp4_meta(

@@ -774,3 +774,93 @@ def test_jpeg_ffi_widens_coverage_beyond_vendored():
     assert meta_n == meta_v
     for a, b in zip(out_native, out_vendored):
         np.testing.assert_array_equal(a, b)
+
+
+def test_jpeg_ffi_native_encode_value_exact_roundtrip():
+    """The native ENCODE half (r13): solid blocks encoded by libjpeg at
+    the same 4:4:4/quality-90 stream class roundtrip value-exactly
+    through BOTH decoders, over all 256 values and the MP4-row frame
+    shape — so encode_mp4_mjpeg may dispatch to whichever encoder the
+    host has without the oracle noticing."""
+    jpeg_ffi = _jpeg_ffi_or_skip()
+    from ad_data_lake_spark.llm import jpeg_codec
+
+    for v in range(256):
+        data = jpeg_ffi.encode_jpeg(
+            np.full((8, 8, 3), v, np.uint8).tobytes(), 8, 8
+        )
+        for dec in (jpeg_ffi.decode_jpeg, jpeg_codec.decode_jpeg):
+            w, h, ch, out = dec(data)
+            assert (np.frombuffer(out, np.uint8) == v).all(), (v, dec)
+    for fr in _solid_block_frames(6, seed=31):
+        data = jpeg_ffi.encode_jpeg(fr.tobytes(), 16, 16)
+        w, h, ch, out = jpeg_ffi.decode_jpeg(data)
+        np.testing.assert_array_equal(
+            np.frombuffer(out, np.uint8).reshape(16, 16, 3), fr
+        )
+    # stream class: every sample is a complete SOI..EOI baseline JPEG
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    # contract errors
+    with pytest.raises(ValueError):
+        jpeg_ffi.encode_jpeg(b"\x00" * 5, 2, 2, 3)  # wrong buffer size
+    with pytest.raises(ValueError):
+        jpeg_ffi.encode_jpeg(b"\x00" * 4, 2, 2, 1)  # non-RGB
+
+
+def test_jpeg_ffi_batch_calls_match_single_calls():
+    """The batched C entry points (one ctypes call per Arrow sub-chunk)
+    must be BYTE-identical to the per-frame calls: encode_jpeg_batch's
+    concatenated streams equal encode_jpeg per frame, and
+    decode_jpeg_batch roundtrips the originals exactly. Also the
+    strictness contract: a corrupt member fails the whole batch, and a
+    dimension mismatch is refused."""
+    jpeg_ffi = _jpeg_ffi_or_skip()
+
+    frames = np.stack(_solid_block_frames(9, seed=41))
+    blob, sizes = jpeg_ffi.encode_jpeg_batch(frames)
+    offs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    for i in range(len(frames)):
+        single = jpeg_ffi.encode_jpeg(frames[i].tobytes(), 16, 16)
+        assert blob[int(offs[i]) : int(offs[i] + sizes[i])] == single, i
+    dec = jpeg_ffi.decode_jpeg_batch(blob, offs, sizes, 16, 16)
+    np.testing.assert_array_equal(dec, frames)
+    # strict: truncating one member's bytes fails the batch
+    bad_sizes = sizes.copy()
+    bad_sizes[3] -= 30
+    with pytest.raises(ValueError):
+        jpeg_ffi.decode_jpeg_batch(blob, offs, bad_sizes, 16, 16)
+    # dimension mismatch refused before writing anything
+    with pytest.raises(ValueError):
+        jpeg_ffi.decode_jpeg_batch(blob, offs, sizes, 8, 8)
+    # bounds: ranges past the buffer end are refused Python-side
+    with pytest.raises(ValueError):
+        jpeg_ffi.decode_jpeg_batch(blob[:-5], offs, sizes, 16, 16)
+    # empty batch round-trips
+    empty, esz = jpeg_ffi.encode_jpeg_batch(
+        np.zeros((0, 16, 16, 3), np.uint8)
+    )
+    assert empty == b"" and len(esz) == 0
+
+
+def test_mp4_container_template_patch_is_byte_identical():
+    """encode_mp4_from_samples_fast (the per-doc template patch the
+    batched video_frame_stats_mp4 path uses) must produce EXACTLY the
+    bytes of the general builder for arbitrary sample sizes — the
+    whole point of the fast path is that nothing downstream (stbl
+    walk, driver oracle) can tell them apart."""
+    rng = np.random.default_rng(17)
+    for n in (1, 4, 6):
+        for _ in range(5):
+            samples = [
+                rng.bytes(int(rng.integers(10, 900))) for _ in range(n)
+            ]
+            a = mp4_meta.encode_mp4_from_samples(samples, 16, 16, 10)
+            b = mp4_meta.encode_mp4_from_samples_fast(samples, 16, 16, 10)
+            assert a == b, (n, [len(s) for s in samples])
+    # and the walk resolves the patched tables exactly
+    samples = [rng.bytes(200 + 13 * i) for i in range(6)]
+    data = mp4_meta.encode_mp4_from_samples_fast(samples, 16, 16, 10)
+    info = mp4_meta.parse_mp4_samples(data)
+    assert info["sizes"] == [len(s) for s in samples]
+    for off, s in zip(info["offsets"], samples):
+        assert data[off : off + len(s)] == s

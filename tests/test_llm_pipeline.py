@@ -1269,3 +1269,24 @@ def test_fuzzy_join_links_planted_typos_to_true_names(spark):
         if names[r.p_partkey] == names[true_key]:
             hits += 1
     assert hits >= 0.8 * len(out), f"linkage recall too low: {hits}/{len(out)}"
+
+
+def test_video_frame_stats_mp4_batched_equals_vendored_path(spark):
+    """r13: the batched-native Arrow path (one encode/decode C call
+    per cache-sized sub-chunk, template-patched containers) and the
+    per-doc vendored-codec fallback must emit IDENTICAL rows — the
+    use_native pin exists because a driver-side mock cannot reach the
+    executor workers."""
+    docs = load_table(spark, "documents", SF_ORACLE)
+    a = (
+        MM.video_frame_stats_mp4(docs, use_native=True)
+        .orderBy("doc_id", "frame_rank")
+        .collect()
+    )
+    b = (
+        MM.video_frame_stats_mp4(docs, use_native=False)
+        .orderBy("doc_id", "frame_rank")
+        .collect()
+    )
+    assert len(a) == len(b) > 0
+    assert a == b
