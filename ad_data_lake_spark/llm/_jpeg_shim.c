@@ -45,12 +45,24 @@ struct adl_err {
     struct jpeg_error_mgr mgr;
     jmp_buf jb;
     char msg[JMSG_LENGTH_MAX];
+    /* mem-destination leak guard: *free_slot is the CURRENT output
+     * buffer pointer (libjpeg's mem destination writes reallocations
+     * straight back through the caller's pointer), free_base the
+     * caller-owned region it started as. On error_exit, a buffer that
+     * libjpeg realloc'd (slot != base) would otherwise leak —
+     * jpeg_destroy does not free mem-dest output buffers. */
+    unsigned char **free_slot;
+    unsigned char *free_base;
 };
 
 static void adl_error_exit(j_common_ptr cinfo)
 {
     struct adl_err *e = (struct adl_err *) cinfo->err;
     (*cinfo->err->format_message)(cinfo, e->msg);
+    if (e->free_slot && *e->free_slot != e->free_base) {
+        free(*e->free_slot);
+        *e->free_slot = e->free_base;
+    }
     longjmp(e->jb, 1);
 }
 
@@ -90,6 +102,8 @@ int adl_jpeg_encode_rgb(const unsigned char *rgb, int w, int h, int quality,
     jerr.mgr.error_exit = adl_error_exit;
     jerr.mgr.emit_message = adl_emit_message;
     jerr.msg[0] = 0;
+    jerr.free_slot = NULL;
+    jerr.free_base = NULL;
     if (setjmp(jerr.jb)) {
         if (errmsg && errcap) {
             strncpy(errmsg, jerr.msg, errcap - 1);
@@ -99,6 +113,7 @@ int adl_jpeg_encode_rgb(const unsigned char *rgb, int w, int h, int quality,
         return -1;
     }
     jpeg_create_compress(&cinfo);
+    jerr.free_slot = &buf;  /* libjpeg owns this allocation until we return it */
     jpeg_mem_dest(&cinfo, &buf, &sz);
     cinfo.image_width = (JDIMENSION) w;
     cinfo.image_height = (JDIMENSION) h;
@@ -157,6 +172,8 @@ int adl_jpeg_encode_batch(const unsigned char *rgb, int n, int w, int h,
     jerr.mgr.error_exit = adl_error_exit;
     jerr.mgr.emit_message = adl_emit_message;
     jerr.msg[0] = 0;
+    jerr.free_slot = NULL;
+    jerr.free_base = NULL;
     if (setjmp(jerr.jb)) {
         if (errmsg && errcap) {
             strncpy(errmsg, jerr.msg, errcap - 1);
@@ -189,6 +206,8 @@ int adl_jpeg_encode_batch(const unsigned char *rgb, int n, int w, int h,
             jpeg_destroy_compress(&cinfo);
             return -2;
         }
+        jerr.free_slot = &dst;
+        jerr.free_base = dst0;
         jpeg_mem_dest(&cinfo, &dst, &dst_sz);
         jpeg_start_compress(&cinfo, TRUE);
         while (cinfo.next_scanline < cinfo.image_height) {
@@ -234,6 +253,8 @@ int adl_jpeg_decode_batch(const unsigned char *buf,
     jerr.mgr.error_exit = adl_error_exit;
     jerr.mgr.emit_message = adl_emit_message;
     jerr.msg[0] = 0;
+    jerr.free_slot = NULL;
+    jerr.free_base = NULL;
     if (setjmp(jerr.jb)) {
         if (errmsg && errcap) {
             strncpy(errmsg, jerr.msg, errcap - 1);
@@ -290,6 +311,8 @@ int adl_jpeg_decode_rgb(const unsigned char *buf, unsigned long len,
     jerr.mgr.error_exit = adl_error_exit;
     jerr.mgr.emit_message = adl_emit_message;
     jerr.msg[0] = 0;
+    jerr.free_slot = NULL;
+    jerr.free_base = NULL;
     if (setjmp(jerr.jb)) {
         if (errmsg && errcap) {
             strncpy(errmsg, jerr.msg, errcap - 1);

@@ -47,6 +47,24 @@ _LIB: ctypes.CDLL | None = None
 _LIB_TRIED = False
 
 
+def _cache_dir() -> str | None:
+    """Per-uid 0700 cache dir for the compiled shim. The .so is
+    ctypes-loaded into every executor, so the path must not be
+    hijackable: a predictable name in the world-writable system temp
+    dir would let another local user pre-plant a malicious library at
+    the expected path. Owner + mode are verified after creation; any
+    doubt returns None (caller treats the shim as unavailable)."""
+    d = os.path.join(tempfile.gettempdir(), f"adl-jpeg-cache-{os.getuid()}")
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        st = os.stat(d)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            return None  # squatted or group/world-writable: refuse
+    except OSError:
+        return None
+    return d
+
+
 def _build_shim() -> str | None:
     """Compile (or reuse) the shim .so; None when this host can't.
     Cache key = md5 of the C source, so editing the shim rebuilds and
@@ -56,8 +74,11 @@ def _build_shim() -> str | None:
             src = f.read()
     except OSError:
         return None
+    cache = _cache_dir()
+    if cache is None:
+        return None
     tag = hashlib.md5(src).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"adl_jpeg_shim_{tag}.so")
+    out = os.path.join(cache, f"adl_jpeg_shim_{tag}.so")
     if os.path.exists(out):
         return out
     tmp = f"{out}.{os.getpid()}.tmp"
@@ -150,9 +171,19 @@ def _lib() -> ctypes.CDLL | None:
     return _LIB
 
 
+# Worker-side test/ops pin: True makes available() report False so
+# every dispatch site in this process takes the vendored codec. This
+# exists because the parity tests must exercise the TRUE vendored path
+# inside executor workers, where a driver-side mock cannot reach
+# (mocks don't survive the pickle into the worker process).
+FORCE_UNAVAILABLE = False
+
+
 def available() -> bool:
     """True when the shim compiled and loaded (decided once, cached —
-    safe to call per frame)."""
+    safe to call per frame). Respects ``FORCE_UNAVAILABLE``."""
+    if FORCE_UNAVAILABLE:
+        return False
     return _lib() is not None
 
 

@@ -478,12 +478,29 @@ def encode_mp4_from_samples_fast(
         # empty samples -> mdat is exactly 8 bytes; moov is the rest
         ftyp = full[:ftyp_len]
         moov = full[ftyp_len + 8 :]
-        # stsz entries start 16 bytes after the type fourcc (size,
-        # version+flags, sample_size, count precede them); stco
-        # entries 12 after (size, version+flags, count). Both fourccs
-        # occur exactly once in moov (sample DATA lives in mdat).
-        stsz_off = moov.index(b"stsz") + 16
-        stco_off = moov.index(b"stco") + 12
+        # Locate the stsz/stco ENTRY arrays structurally via the box
+        # walk (moov>trak>mdia>minf>stbl) — a plain moov.index(b"stsz")
+        # can land inside the stsd VisualSampleEntry when w/h happen
+        # to spell the fourcc bytes (w=0x7374 h=0x737A packs "stsz" —
+        # pathological but legal dims; r13 review). stsz entries sit
+        # 12 bytes into the body (version+flags, sample_size, count);
+        # stco entries 8 in (version+flags, count).
+        stsz_off = stco_off = None
+        span = (0, len(moov))
+        for level in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+            for btype, body, end in _boxes(moov, span[0], span[1]):
+                if btype == level:
+                    span = (body, end)
+                    break
+            else:
+                raise ValueError(f"template container missing {level!r}")
+        for btype, body, end in _boxes(moov, span[0], span[1]):
+            if btype == b"stsz":
+                stsz_off = body + 12
+            elif btype == b"stco":
+                stco_off = body + 8
+        if stsz_off is None or stco_off is None:
+            raise ValueError("template container missing stsz/stco")
         tpl = (ftyp, moov, stsz_off, stco_off)
         _CONTAINER_TPL[key] = tpl
     ftyp, moov_tpl, stsz_off, stco_off = tpl

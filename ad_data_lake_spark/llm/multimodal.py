@@ -107,7 +107,7 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
-def decode_asset_bytes(payload: bytes, mime: str):
+def decode_asset_bytes(payload: bytes, mime: str, deterministic: bool = False):
     """Decode an image payload. Dispatch order (pytest-pinned in
     test_llm_pipeline): **Pillow** when importable (any format it
     knows) → **libwebp via ctypes** for WebP payloads (``webp_ffi`` —
@@ -136,7 +136,14 @@ def decode_asset_bytes(payload: bytes, mime: str):
                 # and must NOT fall through (the vendored codec would
                 # just re-derive the same refusal, slower)
                 return webp_ffi.decode_webp(payload)
-        if payload[:2] == b"\xff\xd8":
+        if payload[:2] == b"\xff\xd8" and not deterministic:
+            # JPEG is the ONE format whose decode is decoder-variant
+            # (conforming IDCTs differ ±1/px on AC content — WebP
+            # VP8/VP8L reconstruction is spec-exact, PNG/GIF/BMP are
+            # lossless), so byte-deterministic callers
+            # (resize_image_bytes, whose re-encoded md5 must not
+            # depend on which executor ran the task) pass
+            # deterministic=True and keep the vendored float64 IDCT.
             from ad_data_lake_spark.llm import jpeg_ffi
 
             if jpeg_ffi.available():
@@ -184,8 +191,13 @@ def resize_image_bytes(payload: bytes, max_dim: int = 384) -> bytes:
     the stub path uses, re-encode as PNG. The vendored branch is
     byte-deterministic (fixed zlib level, nearest-neighbor floor
     resample, float64 IDCT with one final round), which is what lets
-    the resized md5 be asserted in CI."""
-    decoded = decode_asset_bytes(payload, "image/any")
+    the resized md5 be asserted in CI — and why this caller decodes
+    with deterministic=True: the native JPEG path's integer IDCT
+    differs ±1/px from the vendored float64 one on AC content, so a
+    heterogeneous cluster (or a task retried on a shim-less executor)
+    would otherwise emit different resized bytes for the same payload
+    (r13 review)."""
+    decoded = decode_asset_bytes(payload, "image/any", deterministic=True)
     if HAVE_IMAGE_DECODER:
         import io
 
@@ -876,25 +888,42 @@ def video_frame_stats_mp4(
                 # vendored fallback (no shim on this host): per-doc encode
                 # through the production encode_mp4_mjpeg/decode_video_frames
                 # pair — same values, pinned equal to the batched path in
-                # tests/test_llm_pipeline.py
-                rows = []
-                for d in range(nd):
-                    payload = mp4_meta.encode_mp4_mjpeg(list(frames[d]), fps=10)
-                    meta, idx, decoded = decode_video_frames(payload, K)
-                    for rank, (fi, fr) in enumerate(zip(idx, decoded), start=1):
-                        fl = fr.reshape(-1).astype(np.int64)
-                        px = int(fl.sum())
-                        rows.append(
-                            (
-                                int(doc_ids[d]),
-                                meta[2],
-                                rank,
-                                fi,
-                                px,
-                                int(np.sum(q * fl)),
-                                round(px / float(_MP4_FRAME_PX), 6),
-                            )
+                # tests/test_llm_pipeline.py. When use_native is an
+                # EXPLICIT False (the parity tests), also pin the codec
+                # dispatch inside those functions to the vendored
+                # implementations — otherwise, on a shim-capable host,
+                # this branch would still encode/decode natively and the
+                # "vendored path" the test claims to cover would never
+                # actually run (r13 review).
+                force_vendored = use_native is False
+                prev_force = jpeg_ffi.FORCE_UNAVAILABLE
+                if force_vendored:
+                    jpeg_ffi.FORCE_UNAVAILABLE = True
+                try:
+                    rows = []
+                    for d in range(nd):
+                        payload = mp4_meta.encode_mp4_mjpeg(
+                            list(frames[d]), fps=10
                         )
+                        meta, idx, decoded = decode_video_frames(payload, K)
+                        for rank, (fi, fr) in enumerate(
+                            zip(idx, decoded), start=1
+                        ):
+                            fl = fr.reshape(-1).astype(np.int64)
+                            px = int(fl.sum())
+                            rows.append(
+                                (
+                                    int(doc_ids[d]),
+                                    meta[2],
+                                    rank,
+                                    fi,
+                                    px,
+                                    int(np.sum(q * fl)),
+                                    round(px / float(_MP4_FRAME_PX), 6),
+                                )
+                            )
+                finally:
+                    jpeg_ffi.FORCE_UNAVAILABLE = prev_force
                 yield pd.DataFrame(rows, columns=cols)
 
     from ad_data_lake_spark.sources.tables import spread

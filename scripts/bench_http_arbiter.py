@@ -118,13 +118,21 @@ def run_condition(rtt: float, drop_every: int) -> dict:
             stats.append(json.loads(out.strip().splitlines()[-1]))
         wall = time.perf_counter() - t0
         state = CommitState.from_bytes(store.get(COMMIT_KEY)[0])
-        # correctness under the condition, not just speed: every commit
-        # landed exactly once and the final pointer is one of them
+        # correctness under the condition, not just speed. What is
+        # asserted: (a) every writer process exited 0, and a writer
+        # only advances past a commit once its cas_publish returned
+        # success (the landed-exactly-once evidence is per-writer —
+        # retained state keeps only the last `retain` versions, so a
+        # post-hoc global count is impossible); (b) the final arbiter
+        # pointer, its retained history, and the local file projection
+        # agree exactly.
         n_expected = WRITERS * COMMITS
+        assert len(stats) == WRITERS  # all exited 0 (asserted above)
         store._sync_projection()
         from ad_data_lake_spark import incremental
 
         assert incremental._current_version(target) == state.current
+        assert incremental._version_history(target) == list(state.published())
     return {
         "rtt_ms": rtt * 1e3,
         "drop_every": drop_every,

@@ -864,3 +864,10 @@ def test_mp4_container_template_patch_is_byte_identical():
     assert info["sizes"] == [len(s) for s in samples]
     for off, s in zip(info["offsets"], samples):
         assert data[off : off + len(s)] == s
+    # pathological dims whose stsd entry bytes spell the fourccs
+    # (w=0x7374 h=0x737A packs b"stsz"): the template locator walks the
+    # box tree, so a byte-level collision cannot mislead it (r13 review)
+    for w, h in ((0x7374, 0x737A), (0x7374, 0x7363)):
+        a = mp4_meta.encode_mp4_from_samples(samples, w, h, 10)
+        b = mp4_meta.encode_mp4_from_samples_fast(samples, w, h, 10)
+        assert a == b, (w, h)

@@ -1276,7 +1276,15 @@ def test_video_frame_stats_mp4_batched_equals_vendored_path(spark):
     per cache-sized sub-chunk, template-patched containers) and the
     per-doc vendored-codec fallback must emit IDENTICAL rows — the
     use_native pin exists because a driver-side mock cannot reach the
-    executor workers."""
+    executor workers (use_native=False also sets
+    jpeg_ffi.FORCE_UNAVAILABLE worker-side, so the VENDORED codecs
+    actually run, not just the per-doc structure). Self-lifting skip
+    on hosts that cannot build the shim (use_native=True would
+    RuntimeError in the workers there)."""
+    from ad_data_lake_spark.llm import jpeg_ffi
+
+    if not jpeg_ffi.available():
+        pytest.skip("no libjpeg shim on this host: only the vendored path exists")
     docs = load_table(spark, "documents", SF_ORACLE)
     a = (
         MM.video_frame_stats_mp4(docs, use_native=True)
