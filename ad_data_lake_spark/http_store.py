@@ -75,6 +75,13 @@ class HttpConditionalStore:
         self._port = u.port or 80
         self._prefix = u.path.rstrip("/")
         self.timeout = timeout
+        # per-instance observability for the ambiguous-PUT rule (r13
+        # ADVICE: the arbiter bench must report recoveries, not just
+        # promise them): "ambiguous" = PUTs whose connection died
+        # before a response; "landed" = read-back proved our write
+        # committed; "resent" = precondition still held, re-PUT
+        # succeeded; "lost" = another writer won during the window.
+        self.recovery_stats = {"ambiguous": 0, "landed": 0, "resent": 0, "lost": 0}
 
     def _path(self, key: str) -> str:
         return f"{self._prefix}/{quote(key, safe='')}"
@@ -147,6 +154,7 @@ class HttpConditionalStore:
         except (OSError, http.client.HTTPException) as exc:
             if if_match is None and not if_none_match:
                 raise  # unconditioned PUT: no precondition to reason from
+            self.recovery_stats["ambiguous"] += 1
             return self._recover_ambiguous_put(
                 key, data, headers, if_match, if_none_match, exc
             )
@@ -212,6 +220,7 @@ class HttpConditionalStore:
                 last_exc = exc
                 continue
             if cur is not None and cur[0] == data:
+                self.recovery_stats["landed"] += 1
                 return cur[1]
             precondition_open = (
                 cur is None
@@ -219,11 +228,18 @@ class HttpConditionalStore:
                 else (cur is not None and cur[1] == if_match)
             )
             if not precondition_open:
+                self.recovery_stats["lost"] += 1
                 raise PreconditionFailed(
                     f"{key}: lost the race during ambiguous-PUT recovery"
                 ) from cause
             try:
-                return self._finish_put(key, data, headers)
+                etag = self._finish_put(key, data, headers)
+                self.recovery_stats["resent"] += 1
+                return etag
+            except PreconditionFailed:
+                # the re-PUT raced a rival between our GET and the send
+                self.recovery_stats["lost"] += 1
+                raise
             except (OSError, http.client.HTTPException) as exc:
                 last_exc = exc
         raise RuntimeError(
@@ -443,6 +459,20 @@ class _Handler(BaseHTTPRequestHandler):
             self.server.fail_next_put = None
             self.close_connection = True
             return
+        # periodic landed-but-response-lost injection (r13 ADVICE: the
+        # request-counter drop fires BEFORE the body applies, so it
+        # only ever exercised the never-landed ambiguity; this one
+        # fires after the write commits — the case the recovery
+        # read-back rule exists for). Counts only PUTs that actually
+        # applied (412s responded above).
+        every = getattr(self.server, "drop_put_response_every", 0)
+        if every:
+            with self.server.mutex:
+                self.server._put_ok_no = getattr(self.server, "_put_ok_no", 0) + 1
+                n = self.server._put_ok_no
+            if n % every == 0:
+                self.close_connection = True
+                return
         self._respond(200, b"", etag=f'"{gen}"')
 
     def _respond(self, status: int, body: bytes, etag: str | None = None) -> None:
@@ -467,17 +497,22 @@ class EtagStoreServer:
         port: int = 0,
         latency: float = 0.0,
         drop_every: int = 0,
+        drop_put_response_every: int = 0,
     ):
         """``latency``: injected symmetric RTT (seconds) per request;
         ``drop_every``: deterministically drop every Nth request with
-        no response (0 = never) — together the non-loopback conditions
-        the r12 verdict asked the arbiter to be measured under."""
+        no response BEFORE it applies (0 = never);
+        ``drop_put_response_every``: apply every Nth successful PUT
+        then drop its response — the landed-but-response-lost half of
+        the ambiguity window. Together the non-loopback conditions the
+        r12 verdict asked the arbiter to be measured under."""
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.objects = {}
         self._httpd.mutex = threading.Lock()
         self._httpd.fail_next_put = None  # test-only fault injection
         self._httpd.latency = latency
         self._httpd.drop_every = drop_every
+        self._httpd.drop_put_response_every = drop_put_response_every
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )

@@ -154,8 +154,9 @@ void adl_jpeg_free(unsigned char *p)
  *
  *   0  success
  *  -1  libjpeg error (errmsg set)
- *  -2  out_cap too small (caller sizes it at n*(w*h*3+1024), which a
- *      baseline 4:4:4 stream of sane quality never exceeds)
+ *  -2  out_cap too small (errmsg set; high-entropy frames at high
+ *      quality CAN exceed raw size — the Python caller grows the
+ *      buffer and retries the whole batch)
  */
 int adl_jpeg_encode_batch(const unsigned char *rgb, int n, int w, int h,
                           int quality, unsigned char *out, size_t out_cap,
@@ -203,6 +204,12 @@ int adl_jpeg_encode_batch(const unsigned char *rgb, int n, int w, int h,
         size_t stride = (size_t) w * 3;
 
         if (out_cap - pos < frame_px / 4 + 1024) {
+            if (errmsg && errcap) {
+                snprintf(errmsg, errcap,
+                         "out_cap %zu exhausted at frame %d/%d "
+                         "(%zu bytes free)", out_cap, i, n,
+                         out_cap - pos);
+            }
             jpeg_destroy_compress(&cinfo);
             return -2;
         }
@@ -220,6 +227,12 @@ int adl_jpeg_encode_batch(const unsigned char *rgb, int n, int w, int h,
             /* the stream outgrew the remaining buffer and libjpeg
              * realloc'd its own — caller must retry with more room */
             free(dst);
+            if (errmsg && errcap) {
+                snprintf(errmsg, errcap,
+                         "frame %d/%d outgrew remaining out_cap "
+                         "(%lu > %zu bytes)", i, n, dst_sz,
+                         out_cap - pos);
+            }
             jpeg_destroy_compress(&cinfo);
             return -2;
         }

@@ -271,19 +271,29 @@ def encode_jpeg_batch(frames, quality: int = 90):
     n, h, w, _ = frames.shape
     if n == 0:
         return b"", np.zeros(0, dtype=np.int64)
+    # High-entropy frames at high quality can exceed raw size (a
+    # baseline-JPEG stream has no size guarantee), so -2 (out_cap too
+    # small) grows the buffer and retries the whole batch; 8x raw +
+    # per-frame overhead is past any conforming encoder's worst case,
+    # so a -2 there is a shim bug, not an input property.
     out_cap = n * (w * h * 3 + 1024)
-    # np.empty, not create_string_buffer: no zero-fill of a buffer the
-    # C side overwrites anyway (tens of MB per Arrow batch)
-    out = np.empty(out_cap, dtype=np.uint8)
     sizes = np.zeros(n, dtype=np.uint64)
     err = ctypes.create_string_buffer(200)
-    rc = lib.adl_jpeg_encode_batch(
-        frames.ctypes.data_as(ctypes.c_char_p),
-        n, w, h, quality,
-        out.ctypes.data_as(ctypes.c_char_p), out_cap,
-        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_ulong)),
-        err, 200,
-    )
+    while True:
+        # np.empty, not create_string_buffer: no zero-fill of a buffer
+        # the C side overwrites anyway (tens of MB per Arrow batch)
+        out = np.empty(out_cap, dtype=np.uint8)
+        rc = lib.adl_jpeg_encode_batch(
+            frames.ctypes.data_as(ctypes.c_char_p),
+            n, w, h, quality,
+            out.ctypes.data_as(ctypes.c_char_p), out_cap,
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_ulong)),
+            err, 200,
+        )
+        if rc == -2 and out_cap < n * (8 * w * h * 3 + 1024):
+            out_cap *= 2
+            continue
+        break
     if rc != 0:
         raise ValueError(f"libjpeg batch encode: {err.value.decode(errors='replace')}")
     sz = sizes.astype(np.int64)

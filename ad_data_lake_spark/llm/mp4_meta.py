@@ -286,7 +286,10 @@ def _expand_sample_offsets(
 
 
 def decode_mp4_frames(
-    data: bytes, indices: list[int] | None = None, info: dict | None = None
+    data: bytes,
+    indices: list[int] | None = None,
+    info: dict | None = None,
+    use_native: bool | None = None,
 ):
     """((width, height, n_frames, fps, codec), [RGB uint8 (H, W, 3)
     arrays at ``indices``]) for a motion-JPEG MP4 — each requested
@@ -302,10 +305,11 @@ def decode_mp4_frames(
     # native libjpeg when the shim is up (bit-identical on the
     # oracle-gated DC-only class, ~25x the vendored entropy decode —
     # the constant factor behind the r12 perf-weak grade), vendored
-    # pure-Python otherwise
-    decode = (
-        jpeg_ffi.decode_jpeg if jpeg_ffi.available() else jpeg_codec.decode_jpeg
-    )
+    # pure-Python otherwise; use_native pins the dispatch explicitly
+    # (parity tests must exercise the true vendored path on
+    # shim-capable hosts without toggling process-global state)
+    native = jpeg_ffi.available() if use_native is None else use_native
+    decode = jpeg_ffi.decode_jpeg if native else jpeg_codec.decode_jpeg
 
     if info is None:
         info = parse_mp4_samples(data)
@@ -334,7 +338,9 @@ def decode_mp4_frames(
     return meta, frames
 
 
-def encode_mp4_mjpeg(frames, fps: int = 10) -> bytes:
+def encode_mp4_mjpeg(
+    frames, fps: int = 10, use_native: bool | None = None
+) -> bytes:
     """Encode RGB uint8 frames (each (H, W, 3)) as a motion-JPEG MP4:
     one complete baseline JPEG per sample in mdat, a spec-complete
     stbl (stsd 'jpeg' + stts + stsc + stsz + stco, one sample per
@@ -350,9 +356,10 @@ def encode_mp4_mjpeg(frames, fps: int = 10) -> bytes:
     tests/test_av_codecs.py), which is all the oracle relies on."""
     from ad_data_lake_spark.llm import jpeg_codec, jpeg_ffi
 
-    encode = (
-        jpeg_ffi.encode_jpeg if jpeg_ffi.available() else jpeg_codec.encode_jpeg
-    )
+    # use_native=None dispatches by shim availability; an explicit
+    # bool pins the codec (same contract as decode_mp4_frames)
+    native = jpeg_ffi.available() if use_native is None else use_native
+    encode = jpeg_ffi.encode_jpeg if native else jpeg_codec.encode_jpeg
     if not frames:
         raise ValueError("no frames")
     h, w, ch = frames[0].shape

@@ -423,7 +423,9 @@ def decode_audio_bytes(payload: bytes):
     )
 
 
-def decode_video_frames(payload: bytes, k: int = 3):
+def decode_video_frames(
+    payload: bytes, k: int = 3, use_native: bool | None = None
+):
     """Sample-then-decode for a video payload: k evenly spaced frames
     (``sampled_indices`` — the same plan ``sample_frame_indices``
     declares JVM-side), decoded to RGB. AVI containers decode for REAL
@@ -438,7 +440,9 @@ def decode_video_frames(payload: bytes, k: int = 3):
     RAW sampling plan, exactly what ``sample_frame_indices`` emits
     JVM-side (when ``n_frames < k`` the plan repeats indices; repeats
     are decoded once but EMITTED per plan entry, so length and ranking
-    always match the JVM twin)."""
+    always match the JVM twin). ``use_native`` pins the MP4 JPEG
+    codec dispatch (None = by shim availability; the AVI path is
+    always vendored)."""
     from ad_data_lake_spark.llm import avi_codec, mp4_meta
 
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -468,7 +472,9 @@ def decode_video_frames(payload: bytes, k: int = 3):
             raise
         idx = sampled_indices(info["n_samples"], k)
         uniq = sorted(set(idx))
-        meta_t, frames = mp4_meta.decode_mp4_frames(payload, uniq, info=info)
+        meta_t, frames = mp4_meta.decode_mp4_frames(
+            payload, uniq, info=info, use_native=use_native
+        )
         by_idx = dict(zip(uniq, frames))
         return meta_t, idx, [by_idx[i] for i in idx]
     raise NotImplementedError(
@@ -889,41 +895,39 @@ def video_frame_stats_mp4(
                 # through the production encode_mp4_mjpeg/decode_video_frames
                 # pair — same values, pinned equal to the batched path in
                 # tests/test_llm_pipeline.py. When use_native is an
-                # EXPLICIT False (the parity tests), also pin the codec
+                # EXPLICIT False (the parity tests), pin the codec
                 # dispatch inside those functions to the vendored
-                # implementations — otherwise, on a shim-capable host,
-                # this branch would still encode/decode natively and the
-                # "vendored path" the test claims to cover would never
-                # actually run (r13 review).
-                force_vendored = use_native is False
-                prev_force = jpeg_ffi.FORCE_UNAVAILABLE
-                if force_vendored:
-                    jpeg_ffi.FORCE_UNAVAILABLE = True
-                try:
-                    rows = []
-                    for d in range(nd):
-                        payload = mp4_meta.encode_mp4_mjpeg(
-                            list(frames[d]), fps=10
-                        )
-                        meta, idx, decoded = decode_video_frames(payload, K)
-                        for rank, (fi, fr) in enumerate(
-                            zip(idx, decoded), start=1
-                        ):
-                            fl = fr.reshape(-1).astype(np.int64)
-                            px = int(fl.sum())
-                            rows.append(
-                                (
-                                    int(doc_ids[d]),
-                                    meta[2],
-                                    rank,
-                                    fi,
-                                    px,
-                                    int(np.sum(q * fl)),
-                                    round(px / float(_MP4_FRAME_PX), 6),
-                                )
+                # implementations via their use_native argument —
+                # otherwise, on a shim-capable host, this branch would
+                # still encode/decode natively and the "vendored path"
+                # the test claims to cover would never actually run
+                # (r13 review; the r13 module-global toggle leaked to
+                # concurrent tasks in reused workers — r13 ADVICE).
+                pin = False if use_native is False else None
+                rows = []
+                for d in range(nd):
+                    payload = mp4_meta.encode_mp4_mjpeg(
+                        list(frames[d]), fps=10, use_native=pin
+                    )
+                    meta, idx, decoded = decode_video_frames(
+                        payload, K, use_native=pin
+                    )
+                    for rank, (fi, fr) in enumerate(
+                        zip(idx, decoded), start=1
+                    ):
+                        fl = fr.reshape(-1).astype(np.int64)
+                        px = int(fl.sum())
+                        rows.append(
+                            (
+                                int(doc_ids[d]),
+                                meta[2],
+                                rank,
+                                fi,
+                                px,
+                                int(np.sum(q * fl)),
+                                round(px / float(_MP4_FRAME_PX), 6),
                             )
-                finally:
-                    jpeg_ffi.FORCE_UNAVAILABLE = prev_force
+                        )
                 yield pd.DataFrame(rows, columns=cols)
 
     from ad_data_lake_spark.sources.tables import spread

@@ -73,19 +73,11 @@ def main() -> None:
     try:
         os.makedirs("bench_results", exist_ok=True)
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
-        if not rnd:
-            # infer: the driver writes BENCH_r{N}.json AFTER running
-            # bench, so the current round is max(existing)+1
-            import glob
-            import re as _re
-
-            seen = [
-                int(m.group(1))
-                for p in glob.glob("BENCH_r*.json")
-                if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-            ]
-            rnd = f"{max(seen) + 1:02d}" if seen else ""
-        tag = f"_r{rnd}" if rnd else ""
+        # No max(BENCH_r*)+1 guessing (r13 ADVICE): re-runs after the
+        # driver has already written the current round's BENCH_rN.json
+        # would mis-tag the copy into the NEXT round's slot. Untagged
+        # runs land in a stable "latest" file instead.
+        tag = f"_r{rnd}" if rnd else "_latest"
         path = os.path.join("bench_results", f"bench_sf{sf}{tag}.json")
         with open(path, "w") as f:
             f.write(line + "\n")

@@ -4,18 +4,24 @@
 ``HttpTableCommitStore`` was proven correct on loopback; this script
 measures it the way a real object-store deployment behaves: N writer
 PROCESSES contending on one table through the S3-wire endpoint with an
-injected symmetric RTT (and optionally periodic connection drops, the
-ambiguous-PUT trigger). Reported per condition:
+injected symmetric RTT (and optionally periodic connection drops).
+Both halves of the PUT-ambiguity window are driven (r13 ADVICE):
+``--drop-every`` drops requests BEFORE they apply (never-landed), and
+``--drop-landed-every`` applies every Nth PUT then drops the response
+(landed-but-response-lost — the case the recovery read-back rule
+exists for). Reported per condition:
 
 - commits/s (wall for all writers to land all their commits),
 - total CAS rejections (lost races that recomputed and retried),
 - max consecutive CAS losses any single writer suffered (the
   starvation metric — bounded fairness, not just liveness),
-- ambiguous-PUT recoveries (drops mid-commit that the read-back rule
-  resolved).
+- ambiguous-PUT recoveries, split by how the read-back rule resolved
+  each (landed / resent / lost), summed over writers from the
+  client's ``recovery_stats`` counters.
 
 Usage: python scripts/bench_http_arbiter.py [--writers 4]
        [--commits 20] [--rtts 0,0.01,0.05] [--drop-every 23]
+       [--drop-landed-every 7]
 Prints a markdown table (paste into BASELINE.md) + one JSON line.
 """
 
@@ -42,6 +48,7 @@ WRITERS = int(_arg("--writers", "4"))
 COMMITS = int(_arg("--commits", "20"))
 RTTS = [float(x) for x in _arg("--rtts", "0,0.01,0.05").split(",")]
 DROP_EVERY = int(_arg("--drop-every", "23"))
+DROP_LANDED_EVERY = int(_arg("--drop-landed-every", "7"))
 
 # Writer child: merge-style commit loop (base version read from the
 # FILES each attempt, exactly like incremental._publish), unbounded
@@ -86,19 +93,24 @@ _WRITER = textwrap.dedent(
     print(json.dumps({{
         "writer": w, "wall": time.perf_counter() - t0,
         "retries": retries, "max_streak": max_streak,
+        "recovery": store.recovery_stats,
     }}))
     """
 ).format(repo=str(REPO))
 
 
-def run_condition(rtt: float, drop_every: int) -> dict:
+def run_condition(rtt: float, drop_every: int, drop_landed_every: int = 0) -> dict:
     from ad_data_lake_spark.commit_protocol import COMMIT_KEY, CommitState, cas_publish
     from ad_data_lake_spark.http_store import EtagStoreServer, HttpTableCommitStore
 
     target = os.path.join(
         tempfile.mkdtemp(prefix="arbiter_bench_"), "table"
     )
-    srv = EtagStoreServer(latency=rtt, drop_every=drop_every)
+    srv = EtagStoreServer(
+        latency=rtt,
+        drop_every=drop_every,
+        drop_put_response_every=drop_landed_every,
+    )
     with srv as url:
         store = HttpTableCommitStore(target, base_url=url)  # plant marker
         cas_publish(store, "v-seed")  # so every writer starts from a state
@@ -133,14 +145,23 @@ def run_condition(rtt: float, drop_every: int) -> dict:
 
         assert incremental._current_version(target) == state.current
         assert incremental._version_history(target) == list(state.published())
+    recovery = {
+        k: sum(s["recovery"][k] for s in stats)
+        for k in ("ambiguous", "landed", "resent", "lost")
+    }
     return {
         "rtt_ms": rtt * 1e3,
         "drop_every": drop_every,
+        "drop_landed_every": drop_landed_every,
         "commits": n_expected,
         "wall": round(wall, 3),
         "commits_per_s": round(n_expected / wall, 1),
         "cas_retries": sum(s["retries"] for s in stats),
         "max_consecutive_losses": max(s["max_streak"] for s in stats),
+        "ambiguous_puts": recovery["ambiguous"],
+        "recovered_landed": recovery["landed"],
+        "recovered_resent": recovery["resent"],
+        "recovered_lost": recovery["lost"],
     }
 
 
@@ -149,21 +170,29 @@ def main() -> None:
     for rtt in RTTS:
         rows.append(run_condition(rtt, 0))
         print(f"rtt={rtt * 1e3:.0f}ms done", file=sys.stderr, flush=True)
-    # drops at the middle RTT: the ambiguous-PUT path under churn
+    # drops at the middle RTT: both ambiguity halves under churn —
+    # pre-apply drops (never-landed) and applied-then-dropped
+    # responses (landed-but-response-lost)
     mid = RTTS[len(RTTS) // 2]
     rows.append(run_condition(mid, DROP_EVERY))
-    print("drop condition done", file=sys.stderr, flush=True)
+    print("pre-apply drop condition done", file=sys.stderr, flush=True)
+    rows.append(run_condition(mid, 0, DROP_LANDED_EVERY))
+    print("landed-drop condition done", file=sys.stderr, flush=True)
 
     print(
-        f"\n| RTT (ms) | drop 1/N | writers x commits | wall (s) "
-        f"| commits/s | CAS retries | max consec losses |"
+        f"\n| RTT (ms) | drop 1/N | landed-drop 1/N | writers x commits "
+        f"| wall (s) | commits/s | CAS retries | max consec losses "
+        f"| ambig PUTs (landed/resent/lost) |"
     )
-    print("|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(
             f"| {r['rtt_ms']:.0f} | {r['drop_every'] or '—'} "
+            f"| {r['drop_landed_every'] or '—'} "
             f"| {WRITERS}x{COMMITS} | {r['wall']} | {r['commits_per_s']} "
-            f"| {r['cas_retries']} | {r['max_consecutive_losses']} |"
+            f"| {r['cas_retries']} | {r['max_consecutive_losses']} "
+            f"| {r['ambiguous_puts']} ({r['recovered_landed']}/"
+            f"{r['recovered_resent']}/{r['recovered_lost']}) |"
         )
     print(json.dumps({"metric": "http_arbiter_contention", "rows": rows}))
 

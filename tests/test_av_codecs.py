@@ -842,6 +842,71 @@ def test_jpeg_ffi_batch_calls_match_single_calls():
     assert empty == b"" and len(esz) == 0
 
 
+def test_jpeg_ffi_batch_encode_grows_buffer_on_high_entropy():
+    """r13 ADVICE: high-entropy frames at quality 100 exceed raw size
+    (measured 1.42x raw), which used to blow the fixed n*(raw+1024)
+    out_cap and raise ValueError while the single-frame API succeeded.
+    The batch API now grows the buffer on the C side's -2 and retries,
+    so batch == per-frame byte-for-byte on the exact repro class."""
+    jpeg_ffi = _jpeg_ffi_or_skip()
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, size=(5, 64, 64, 3), dtype=np.uint8)
+    blob, sizes = jpeg_ffi.encode_jpeg_batch(noise, quality=100)
+    assert sizes.max() > 64 * 64 * 3  # the repro premise: stream > raw
+    offs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    for i in range(len(noise)):
+        single = jpeg_ffi.encode_jpeg(
+            noise[i].tobytes(), 64, 64, quality=100
+        )
+        assert blob[int(offs[i]) : int(offs[i] + sizes[i])] == single, i
+    # and the grown streams decode back exactly through the batch path
+    dec = jpeg_ffi.decode_jpeg_batch(blob, offs, sizes, 64, 64)
+    assert dec.shape == noise.shape
+
+
+def test_jpeg_ffi_refuses_squatted_cache_dir():
+    """r13 verdict #6: the shim .so is ctypes-loaded into every
+    executor, so a group/world-writable (or foreign-owned) cache dir
+    must be REFUSED — _cache_dir() returns None, the build is skipped,
+    and every dispatch site takes the vendored codec. Simulated by
+    pointing tempfile.gettempdir at a dir where the expected cache
+    path pre-exists with mode 0o777 (a squatter's plant)."""
+    import tempfile as _tempfile
+    from unittest import mock
+
+    from ad_data_lake_spark.llm import jpeg_codec, jpeg_ffi
+
+    with _tempfile.TemporaryDirectory() as td:
+        squat = os.path.join(td, f"adl-jpeg-cache-{os.getuid()}")
+        os.makedirs(squat)
+        os.chmod(squat, 0o777)
+        with mock.patch.object(
+            jpeg_ffi.tempfile, "gettempdir", return_value=td
+        ):
+            assert jpeg_ffi._cache_dir() is None
+            assert jpeg_ffi._build_shim() is None
+            # fresh load state: availability must come out False so the
+            # oracle path is the vendored codec, unchanged
+            with (
+                mock.patch.object(jpeg_ffi, "_LIB", None),
+                mock.patch.object(jpeg_ffi, "_LIB_TRIED", False),
+            ):
+                assert jpeg_ffi.available() is False
+                data = jpeg_codec.encode_jpeg(
+                    np.full((8, 8, 3), 77, np.uint8).tobytes(), 8, 8
+                )
+                w, h, ch, out = jpeg_codec.decode_jpeg(data)
+                assert (np.frombuffer(out, np.uint8) == 77).all()
+        # a sane 0700 owner-only dir is still accepted
+        ok = os.path.join(td, "sane")
+        with mock.patch.object(
+            jpeg_ffi.tempfile, "gettempdir", return_value=ok
+        ):
+            os.makedirs(ok)
+            assert jpeg_ffi._cache_dir() is not None
+
+
 def test_mp4_container_template_patch_is_byte_identical():
     """encode_mp4_from_samples_fast (the per-doc template patch the
     batched video_frame_stats_mp4 path uses) must produce EXACTLY the

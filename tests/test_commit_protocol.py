@@ -587,6 +587,62 @@ def test_http_put_recovery_server_gone_is_ambiguous_error():
         c.put_if("k", b"v2", if_match=e1)
 
 
+def test_http_recovery_stats_count_each_resolution():
+    """r13 ADVICE: the ambiguous-PUT rule is now observable — the
+    client counts each recovery by how the read-back resolved it
+    (landed / resent / lost), so the arbiter bench reports measured
+    recoveries instead of promising them."""
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpConditionalStore
+
+    srv = EtagStoreServer()
+    with srv as url:
+        c = HttpConditionalStore(url, timeout=5.0)
+        e1 = c.put_if("k", b"v1", if_none_match=True)
+        assert c.recovery_stats == {
+            "ambiguous": 0, "landed": 0, "resent": 0, "lost": 0,
+        }
+        srv.inject_put_fault("after_commit")
+        e2 = c.put_if("k", b"v2", if_match=e1)  # landed, response lost
+        assert c.recovery_stats["ambiguous"] == 1
+        assert c.recovery_stats["landed"] == 1
+        srv.inject_put_fault("before_commit")
+        e3 = c.put_if("k", b"v3", if_match=e2)  # never landed, re-sent
+        assert c.recovery_stats["ambiguous"] == 2
+        assert c.recovery_stats["resent"] == 1
+        srv.inject_put_fault("before_commit")
+        with pytest.raises(PreconditionFailed):
+            c.put_if("k", b"v4", if_match=e1)  # stale base: lost race
+        assert c.recovery_stats == {
+            "ambiguous": 3, "landed": 1, "resent": 1, "lost": 1,
+        }
+        assert c.get("k") == (b"v3", e3)
+
+
+def test_http_periodic_landed_drop_mode_recovers_exactly_once():
+    """r13 ADVICE: the server's periodic drop used to fire BEFORE the
+    PUT body applied, so benches never exercised the
+    landed-but-response-lost half of the ambiguity window. The
+    drop_put_response_every mode applies the write first; every such
+    drop must resolve via read-back as LANDED (bytes are ours), with
+    no duplicate and no false failure."""
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpConditionalStore
+
+    srv = EtagStoreServer(drop_put_response_every=3)
+    with srv as url:
+        c = HttpConditionalStore(url, timeout=5.0)
+        etag = c.put_if("k", b"v0", if_none_match=True)
+        for i in range(1, 10):
+            etag = c.put_if("k", b"v%d" % i, if_match=etag)
+        data, cur = c.get("k")
+    assert (data, cur) == (b"v9", etag)
+    # 10 applied PUTs -> drops on the 3rd/6th/9th, each recovered as
+    # landed (read-back saw our bytes), none resent or lost
+    assert c.recovery_stats["ambiguous"] == 3
+    assert c.recovery_stats["landed"] == 3
+    assert c.recovery_stats["resent"] == 0
+    assert c.recovery_stats["lost"] == 0
+
+
 def test_http_table_ambiguous_put_inside_cas_publish(tmp_path):
     """The recovery rule composed with the protocol: a publish whose
     winning PUT's response is lost still completes, returns the landed

@@ -1276,8 +1276,10 @@ def test_video_frame_stats_mp4_batched_equals_vendored_path(spark):
     per cache-sized sub-chunk, template-patched containers) and the
     per-doc vendored-codec fallback must emit IDENTICAL rows — the
     use_native pin exists because a driver-side mock cannot reach the
-    executor workers (use_native=False also sets
-    jpeg_ffi.FORCE_UNAVAILABLE worker-side, so the VENDORED codecs
+    executor workers (use_native=False threads an explicit vendored
+    pin through encode_mp4_mjpeg/decode_video_frames — r14: an
+    argument, not the r13 module-global toggle, which leaked to
+    concurrent tasks in reused workers — so the VENDORED codecs
     actually run, not just the per-doc structure). Self-lifting skip
     on hosts that cannot build the shim (use_native=True would
     RuntimeError in the workers there)."""
