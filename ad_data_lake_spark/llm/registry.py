@@ -649,6 +649,48 @@ _add(
     ("llm", "multimodal", "video", "real-decode", "pandas-udf"),
 )
 
+# Equal-work grading twin (r13 verdict #2): the char-math oracle above
+# is closed-form (4 block values x precomputed weights — none of the
+# container work), which structurally pins the row >2x at every scale
+# (measured marginal-cost asymptote ~2.3x). This twin keeps the SAME
+# Spark query but unrolls the oracle per-pixel — DuckDB recomputes
+# every decoded pixel value (768 per sampled frame per doc) exactly as
+# the AVI row's oracle does (the discipline that grades the AVI path
+# at 0.50-0.62x) — so the published ratio compares comparable work.
+# The closed-form row above stays as the cheap value oracle. Pixel
+# p of a (16, 16, 3) frame flattens as y = p//48, x = (p%48)//3, and
+# MP4_BLOCKS is raster-ordered, so block b = 2*(y//8) + (x//8).
+_VIDEO_MP4_PX_ORACLE = f"""
+    WITH c AS (
+        SELECT doc_id, text, length(text) AS L
+        FROM documents WHERE length(text) >= 1),
+    fr AS (SELECT unnest({_MP4_IDX}) AS frame_idx,
+                  unnest({list(range(1, len(_MP4_IDX) + 1))}) AS frame_rank),
+    px AS (
+        SELECT doc_id, frame_idx, frame_rank, p,
+               (unicode(substr(text,
+                    CAST((frame_idx * 4 + 2 * ((p // 48) // 8)
+                          + ((p % 48) // 3) // 8) % L AS INT) + 1, 1)) * 37
+                + 11 * (frame_idx * 4 + 2 * ((p // 48) // 8)
+                        + ((p % 48) // 3) // 8)) % 256 AS v
+        FROM c, fr, unnest(range(0, {_MP4_FRAME_PX})) AS u(p))
+    SELECT doc_id,
+           CAST({MM.VIDEO_MP4_N_FRAMES} AS BIGINT) AS n_frames,
+           CAST(frame_rank AS BIGINT) AS frame_rank,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum(p * v) AS BIGINT) AS px_wsum,
+           round(CAST(sum(v) AS DOUBLE) / {_MP4_FRAME_PX}.0, 6) AS mean_px
+    FROM px GROUP BY doc_id, frame_rank, frame_idx
+"""
+
+_add(
+    "video_frame_stats_mp4_px",
+    _doc_q(MM.video_frame_stats_mp4),
+    _VIDEO_MP4_PX_ORACLE,
+    ("llm", "multimodal", "video", "real-decode", "pandas-udf"),
+)
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search (llm/similarity.py)
 # ---------------------------------------------------------------------------

@@ -242,6 +242,78 @@ def backfill_partition_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 driven ENTIRELY through the SQL surface (r13 verdict #8):
+    the same seed + twice-applied MERGE as ``merge_upsert_idempotent``,
+    but every write is a ``MERGE INTO '<path>' USING (<subquery>) ON
+    <key> PRECEDENCE (<order_col>, <tiebreak>)`` statement through
+    ``sql.execute`` — the subqueries are genuine Catalyst SQL over the
+    registered base views, and the statement layer dispatches into the
+    commit-protocol-backed ``incremental.merge_upsert``. Same oracle
+    as the DataFrame row, so a hash match proves the SQL spelling is
+    semantics-identical (idempotency included — the second MERGE must
+    be a no-op)."""
+    from ad_data_lake_spark.sql import execute, register_tables
+
+    register_tables(spark, sf_dir)
+    target = os.path.join(_scratch(spark, "sql_merge", sf_dir), "events")
+    seed = (
+        "SELECT event_id, ts, user_id, event_type, value FROM events"
+    )
+    updates = (
+        "SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, "
+        "event_type, value + 1 AS value FROM events WHERE event_id % 10 = 0"
+    )
+    execute(
+        spark,
+        f"MERGE INTO '{target}' USING ({seed}) "
+        "ON event_id PRECEDENCE (ts, value)",
+    )
+    stmt = (
+        f"MERGE INTO '{target}' USING ({updates}) "
+        "ON event_id PRECEDENCE (ts, value)"
+    )
+    execute(spark, stmt)
+    return execute(spark, stmt)
+
+
+def sql_backfill_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 through the SQL surface: seed the date-partitioned table,
+    then replace ONE day with amended values via ``INSERT OVERWRITE
+    '<path>' PARTITION (snapshot_date) <subquery>`` — the statement
+    layer dispatches into ``incremental.backfill_partitions`` (dynamic
+    partition overwrite), and the read-back aggregate runs as plain
+    ``spark.sql`` over a view of the final table. Same oracle as
+    ``backfill_partition_replace``."""
+    from ad_data_lake_spark.sql import execute, register_tables
+
+    register_tables(spark, sf_dir)
+    path = _scratch(spark, "sql_backfill", sf_dir)
+    daily = (
+        "SELECT event_id, ts, user_id, event_type, value, "
+        "date_format(ts, 'yyyy-MM-dd') AS snapshot_date FROM events"
+    )
+    # seed is the same statement shape: dynamic overwrite of a fresh
+    # path writes every partition present in the subquery
+    execute(
+        spark,
+        f"INSERT OVERWRITE '{path}' PARTITION (snapshot_date) {daily}",
+    )
+    back = execute(
+        spark,
+        f"INSERT OVERWRITE '{path}' PARTITION (snapshot_date) "
+        f"SELECT event_id, ts, user_id, event_type, value + 100 AS value, "
+        f"snapshot_date FROM ({daily}) WHERE snapshot_date = '{EVENTS_DAY}'",
+    )
+    back.createOrReplaceTempView("sql_backfill_final")
+    return execute(
+        spark,
+        "SELECT CAST(snapshot_date AS STRING) AS snapshot_date, "
+        "count(*) AS events, round(sum(value), 2) AS total_value "
+        "FROM sql_backfill_final GROUP BY 1",
+    )
+
+
 def _stream_src_write(df: DataFrame, src: str, n_files: int = 16) -> None:
     """Write a stream-source fixture as MULTIPLE parquet files. A real
     stream source lands many files (one per upstream writer task per

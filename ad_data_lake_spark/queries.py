@@ -1140,6 +1140,24 @@ _register(
 )
 
 _register(
+    "sql_merge_upsert",
+    QuerySpec(
+        lake_queries.sql_merge_upsert,
+        """
+        WITH c AS (
+            SELECT event_id, ts, user_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id, ts + INTERVAL 1 HOUR, user_id, event_type, value + 1
+            FROM events WHERE event_id % 10 = 0)
+        SELECT event_id, ts, user_id, event_type, value FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY event_id ORDER BY ts DESC, value DESC) = 1
+        """,
+        ("write", "merge", "incremental", "sql-surface"),
+    ),
+)
+
+_register(
     "lake_concurrent_writers",
     QuerySpec(
         lake_queries.lake_concurrent_writers,
@@ -1196,6 +1214,21 @@ _register(
         FROM events GROUP BY 1
         """,
         ("write", "backfill", "incremental"),
+    ),
+)
+
+_register(
+    "sql_backfill_replace",
+    QuerySpec(
+        lake_queries.sql_backfill_replace,
+        f"""
+        SELECT strftime(ts, '%Y-%m-%d') AS snapshot_date,
+               count(*) AS events,
+               round(sum(value + CASE WHEN CAST(ts AS DATE) = DATE '{lake_queries.EVENTS_DAY}'
+                                      THEN 100 ELSE 0 END), 2) AS total_value
+        FROM events GROUP BY 1
+        """,
+        ("write", "backfill", "incremental", "sql-surface"),
     ),
 )
 
@@ -1990,66 +2023,17 @@ _register(
 # re-verifies the complement each round.
 # ---------------------------------------------------------------------------
 
-# Round 13 window (50 slots), rotated per the r12 verdict's #1 ask:
-# slots 1-25 are the 25 rows not driver-green since r09
-# (sanitize_nested_struct .. embed_topk_lsh — the exact list from the
-# r12 verdict's "What's missing #1"); once CORRECTNESS_r13 shows them
-# green, every registry row is driver-green within the r11∪r12∪r13
-# union. Slots 26-50 re-check the oldest-green cohort (r10-era rows,
-# dedup_minhash_lsh_xx ..), then the r11-green cohort, and the 50 rows
-# the driver just checked green in r12 sit at the very end (freshest
-# record).
+# Round 14 window (50 slots), rotated per the r13 verdict's #1 ask:
+# slots 1-25 are the 25 rows last driver-checked in r10
+# (zorder_roundtrip .. embed_topk_int8 — the exact list from the r13
+# verdict's "What's missing #1"); once CORRECTNESS_r14 shows them
+# green, every registry row is driver-green within a rolling 4-round
+# horizon (oldest driver check becomes r11). Slots 26-50 re-check the
+# r11-green cohort (lake_concurrent_writers_sqlite ..), then the
+# r12-green cohort, and the 50 rows the driver just checked green in
+# r13 (sanitize_nested_struct .. union_pages) sit at the very end
+# (freshest record).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    "sanitize_nested_struct",
-    "stamp_parent_keys",
-    "stratified_sample",
-    "streaming_corpus_ingest",
-    "tfidf_top_terms",
-    "token_vocab",
-    "unigram_lm_score",
-    "exact_substring_dedup",
-    "bloom_decontaminate",
-    "boilerplate_removal",
-    "cohort_retention",
-    "contamination_check",
-    "count_summary",
-    "cross_split_leakage",
-    "curation_pipeline",
-    "daily_extract_pipeline",
-    "dataset_split",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_normalized",
-    "dedup_simhash",
-    "dsir_weights",
-    "embed_neardup_pairs",
-    "embed_topk_ivf",
-    "embed_topk_lsh",
-    "dedup_minhash_lsh_xx",
-    "embedding_drift",
-    "funnel_conversion",
-    "gopher_rules",
-    "ivf_index_incremental",
-    "linear_attribution",
-    "luhn_scan",
-    "metric_anomalies",
-    "minhash_index_incremental",
-    "neardup_clusters",
-    "ngram_jaccard_pairs",
-    "pack_sequences",
-    "reach_sketch_rollup",
-    "scd2_history",
-    "semantic_dedup",
-    "snapshot_diff",
-    "sort_by_name",
-    "spend_pacing",
-    "streaming_attribution_join",
-    "streaming_dim_enrich",
-    "streaming_frequency_cap",
-    "streaming_sessionize",
-    "streaming_sliding_insights",
-    "temperature_mixture",
-    "union_pages",
     "zorder_roundtrip",
     "merge_upsert_idempotent",
     "cdc_apply",
@@ -2075,6 +2059,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_keep_best",
     "embed_topk_bruteforce",
     "embed_topk_int8",
+    "video_frame_stats_mp4_px",
+    "sql_merge_upsert",
+    "sql_backfill_replace",
     "lake_concurrent_writers_sqlite",
     "audio_wav_features",
     "video_frame_stats",
@@ -2175,6 +2162,56 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "nested_report",
     "sanitize_adset_payload",
     "sanitize_campaign_payload",
+    "sanitize_nested_struct",
+    "stamp_parent_keys",
+    "stratified_sample",
+    "streaming_corpus_ingest",
+    "tfidf_top_terms",
+    "token_vocab",
+    "unigram_lm_score",
+    "exact_substring_dedup",
+    "bloom_decontaminate",
+    "boilerplate_removal",
+    "cohort_retention",
+    "contamination_check",
+    "count_summary",
+    "cross_split_leakage",
+    "curation_pipeline",
+    "daily_extract_pipeline",
+    "dataset_split",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_normalized",
+    "dedup_simhash",
+    "dsir_weights",
+    "embed_neardup_pairs",
+    "embed_topk_ivf",
+    "embed_topk_lsh",
+    "dedup_minhash_lsh_xx",
+    "embedding_drift",
+    "funnel_conversion",
+    "gopher_rules",
+    "ivf_index_incremental",
+    "linear_attribution",
+    "luhn_scan",
+    "metric_anomalies",
+    "minhash_index_incremental",
+    "neardup_clusters",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
+    "reach_sketch_rollup",
+    "scd2_history",
+    "semantic_dedup",
+    "snapshot_diff",
+    "sort_by_name",
+    "spend_pacing",
+    "streaming_attribution_join",
+    "streaming_dim_enrich",
+    "streaming_frequency_cap",
+    "streaming_sessionize",
+    "streaming_sliding_insights",
+    "temperature_mixture",
+    "union_pages",
 )
 
 

@@ -37,9 +37,17 @@ Usage::
     # the model-backed operators, accepting the build cost explicitly:
     register_sql_surface(spark, sf_dir, include_action_views=True)
     spark.sql("SELECT * FROM bm25_retrieve WHERE rank = 1")
+
+    # writes (r14): MERGE / INSERT OVERWRITE / APPLY CHANGES statements
+    # dispatch into the commit-protocol-backed writers via execute():
+    from ad_data_lake_spark.sql import execute
+    execute(spark, "MERGE INTO '/lake/t' USING (SELECT ...) "
+                   "ON event_id PRECEDENCE (ts, value)")
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -140,3 +148,146 @@ def register_sql_surface(
 def sql(spark: SparkSession, query: str) -> DataFrame:
     """Thin alias so callers can stay inside this module."""
     return spark.sql(query)
+
+
+# ---------------------------------------------------------------------------
+# Write surface (r13 verdict #8): spark.sql-level entry points for the
+# T1/T2/T13 write contracts. Plain parquet is not a DSv2 row-level
+# table, so Spark's parser would reject MERGE INTO against it at
+# analysis; like Delta's SQL front-end, a thin statement layer
+# recognizes the write VERB and dispatches into the engine's own
+# commit-protocol-backed writers — everything inside the statement's
+# subquery is genuine Catalyst SQL over the registered views. Grammar
+# (case-insensitive keywords; <path> single-quoted; <subquery>
+# parenthesized and balanced):
+#
+#   MERGE INTO '<path>' USING (<subquery>) ON <key>
+#       PRECEDENCE (<order_col>, <tiebreak>)
+#     -> incremental.merge_upsert. PRECEDENCE names the last-wins
+#        recency rule the bucket merge needs explicitly (standard
+#        MERGE hides it in WHEN MATCHED AND u.ts > t.ts; SURVEY §7's
+#        risk register requires the tiebreak be deterministic).
+#
+#   INSERT OVERWRITE '<path>' PARTITION (<col>[, <col>...]) <subquery>
+#     -> incremental.backfill_partitions (dynamic partition
+#        overwrite — only partitions present in the subquery's result
+#        are replaced; Spark's own INSERT OVERWRITE ... PARTITION
+#        spelling, addressed by path).
+#
+#   APPLY CHANGES INTO '<path>' FROM (<subquery>) ON <key>
+#       PRECEDENCE (<order_col>, <tiebreak>) [TOMBSTONE <col>]
+#     -> incremental.cdc_apply (the DLT APPLY CHANGES INTO shape:
+#        upserts + delete tombstones, latest change per key wins).
+#
+# Any other statement passes through to spark.sql unchanged, so one
+# entry point serves both halves of the surface.
+# ---------------------------------------------------------------------------
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+_MERGE_RE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+'(?P<path>[^']+)'\s+USING\s*(?=\()", re.I
+)
+_MERGE_TAIL_RE = re.compile(
+    rf"^\s*ON\s+(?P<key>{_IDENT})\s+PRECEDENCE\s*\(\s*(?P<oc>{_IDENT})\s*,"
+    rf"\s*(?P<tb>{_IDENT})\s*\)\s*$",
+    re.I,
+)
+_INSERT_RE = re.compile(
+    rf"^\s*INSERT\s+OVERWRITE\s+'(?P<path>[^']+)'\s+PARTITION\s*\("
+    rf"(?P<cols>{_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)\s*(?P<query>\S[\s\S]*)$",
+    re.I,
+)
+_APPLY_RE = re.compile(
+    rf"^\s*APPLY\s+CHANGES\s+INTO\s+'(?P<path>[^']+)'\s+FROM\s*(?=\()", re.I
+)
+_APPLY_TAIL_RE = re.compile(
+    rf"^\s*ON\s+(?P<key>{_IDENT})\s+PRECEDENCE\s*\(\s*(?P<oc>{_IDENT})\s*,"
+    rf"\s*(?P<tb>{_IDENT})\s*\)(?:\s+TOMBSTONE\s+(?P<dc>{_IDENT}))?\s*$",
+    re.I,
+)
+
+
+def _balanced(s: str, start: int) -> int:
+    """Index one past the ')' closing the '(' at ``start``, honoring
+    single-quoted SQL strings (a paren inside a literal is text)."""
+    depth, i, in_str = 0, start, False
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            # '' is SQL's escaped quote: consume both, stay in-string
+            if c == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError(f"unbalanced parentheses in statement: {s[start:start+80]!r}")
+
+
+def execute(spark: SparkSession, statement: str) -> DataFrame:
+    """Run one statement against the SQL surface: the three write
+    verbs above dispatch into the engine's writers (MERGE/APPLY
+    return the post-write table via ``incremental.read_merged``;
+    INSERT OVERWRITE returns it via ``sinks.read_lake``), and every
+    other statement is plain ``spark.sql``. The write subqueries are
+    evaluated by Catalyst against whatever views the session has
+    registered (``register_sql_surface`` / ``register_tables``)."""
+    from ad_data_lake_spark import incremental, sinks
+
+    m = _MERGE_RE.match(statement)
+    if m:
+        qstart = statement.index("(", m.end())
+        qend = _balanced(statement, qstart)
+        tail = _MERGE_TAIL_RE.match(statement[qend:])
+        if tail is None:
+            raise ValueError(
+                "MERGE INTO needs: ON <key> PRECEDENCE (<order_col>, <tiebreak>)"
+            )
+        updates = spark.sql(statement[qstart + 1 : qend - 1])
+        incremental.merge_upsert(
+            spark,
+            m.group("path"),
+            updates,
+            tail.group("key"),
+            tail.group("oc"),
+            tail.group("tb"),
+        )
+        return incremental.read_merged(spark, m.group("path"))
+    m = _APPLY_RE.match(statement)
+    if m:
+        qstart = statement.index("(", m.end())
+        qend = _balanced(statement, qstart)
+        tail = _APPLY_TAIL_RE.match(statement[qend:])
+        if tail is None:
+            raise ValueError(
+                "APPLY CHANGES INTO needs: ON <key> PRECEDENCE "
+                "(<order_col>, <tiebreak>) [TOMBSTONE <col>]"
+            )
+        changes = spark.sql(statement[qstart + 1 : qend - 1])
+        incremental.cdc_apply(
+            spark,
+            m.group("path"),
+            changes,
+            tail.group("key"),
+            tail.group("oc"),
+            tail.group("tb"),
+            delete_col=tail.group("dc") or incremental.DELETE_COL,
+        )
+        return incremental.read_merged(spark, m.group("path"))
+    m = _INSERT_RE.match(statement)
+    if m:
+        cols = tuple(c.strip() for c in m.group("cols").split(","))
+        incremental.backfill_partitions(
+            spark.sql(m.group("query")), m.group("path"), cols
+        )
+        return sinks.read_lake(spark, m.group("path"))
+    return spark.sql(statement)

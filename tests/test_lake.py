@@ -1532,3 +1532,144 @@ def test_transform_with_state_env_gate(spark, events, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", saved
             )
+
+
+# ---------------------------------------------------------------------------
+# SQL write surface (r14, r13 verdict #8): the MERGE / INSERT OVERWRITE /
+# APPLY CHANGES statement layer must be semantics-identical to the
+# DataFrame entry points it dispatches into.
+# ---------------------------------------------------------------------------
+
+
+def test_sql_execute_merge_parity_and_idempotency(spark, events, tmp_path):
+    """MERGE INTO through sql.execute lands the identical table the
+    DataFrame merge_upsert produces, and re-running the statement is a
+    no-op (the T1 idempotency contract, now from SQL)."""
+    from ad_data_lake_spark.sql import execute
+
+    base = events.select("event_id", "ts", "user_id", "event_type", "value")
+    base.createOrReplaceTempView("sqlw_events")
+
+    df_path = str(tmp_path / "df_t")
+    incremental.merge_upsert(spark, df_path, base, "event_id", "ts", "value")
+    upd = (
+        base.where(F.col("event_id") % 7 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+        .withColumn("value", F.col("value") + 5)
+    )
+    incremental.merge_upsert(spark, df_path, upd, "event_id", "ts", "value")
+
+    sql_path = str(tmp_path / "sql_t")
+    execute(
+        spark,
+        f"MERGE INTO '{sql_path}' USING (SELECT * FROM sqlw_events) "
+        "ON event_id PRECEDENCE (ts, value)",
+    )
+    stmt = (
+        f"MERGE INTO '{sql_path}' USING "
+        "(SELECT event_id, ts + INTERVAL 2 HOURS AS ts, user_id, "
+        " event_type, value + 5 AS value FROM sqlw_events "
+        " WHERE event_id % 7 = 0) "
+        "ON event_id PRECEDENCE (ts, value)"
+    )
+    out = execute(spark, stmt)
+    h = _table_hash(out)
+    assert h == _table_hash(incremental.read_merged(spark, df_path))
+    # idempotency from the SQL spelling
+    assert _table_hash(execute(spark, stmt)) == h
+
+
+def test_sql_execute_insert_overwrite_replaces_one_partition(
+    spark, events, tmp_path
+):
+    """INSERT OVERWRITE ... PARTITION through sql.execute is dynamic
+    partition overwrite: the named day is replaced, every other
+    partition byte-untouched — parity with backfill_partitions."""
+    from ad_data_lake_spark.sql import execute
+
+    events.withColumn(
+        "snapshot_date", F.date_format("ts", "yyyy-MM-dd")
+    ).createOrReplaceTempView("sqlw_daily")
+    path = str(tmp_path / "sql_bf")
+    execute(
+        spark,
+        f"INSERT OVERWRITE '{path}' PARTITION (snapshot_date) "
+        "SELECT * FROM sqlw_daily",
+    )
+    before = sinks.read_lake(spark, path)
+    n_total = before.count()
+    n_day = before.where(F.col("snapshot_date") == "2024-01-15").count()
+    other_h = _table_hash(
+        before.where(F.col("snapshot_date") != "2024-01-15")
+        .withColumn("snapshot_date", F.col("snapshot_date").cast("string"))
+    )
+    out = execute(
+        spark,
+        f"INSERT OVERWRITE '{path}' PARTITION (snapshot_date) "
+        "SELECT event_id, ts, user_id, event_type, value + 100 AS value, "
+        "snapshot_date FROM sqlw_daily WHERE snapshot_date = '2024-01-15'",
+    )
+    assert out.count() == n_total
+    amended = out.where(F.col("snapshot_date") == "2024-01-15")
+    assert amended.count() == n_day
+    assert amended.where(F.col("value") < 100).count() == 0
+    assert (
+        _table_hash(
+            out.where(F.col("snapshot_date") != "2024-01-15")
+            .withColumn("snapshot_date", F.col("snapshot_date").cast("string"))
+        )
+        == other_h
+    )
+
+
+def test_sql_execute_apply_changes_tombstones(spark, events, tmp_path):
+    """APPLY CHANGES INTO through sql.execute = cdc_apply: latest
+    change per key wins, tombstone winners delete the key."""
+    from ad_data_lake_spark.sql import execute
+
+    base = events.select("event_id", "ts", "user_id", "event_type", "value")
+    base.createOrReplaceTempView("sqlw_cdc_base")
+    path = str(tmp_path / "sql_cdc")
+    execute(
+        spark,
+        f"MERGE INTO '{path}' USING (SELECT * FROM sqlw_cdc_base) "
+        "ON event_id PRECEDENCE (ts, value)",
+    )
+    n0 = incremental.read_merged(spark, path).count()
+    out = execute(
+        spark,
+        f"APPLY CHANGES INTO '{path}' FROM "
+        "(SELECT event_id, ts + INTERVAL 1 DAY AS ts, user_id, event_type, "
+        " value, event_id % 3 = 0 AS _deleted FROM sqlw_cdc_base "
+        " WHERE event_id % 2 = 0) "
+        "ON event_id PRECEDENCE (ts, value) TOMBSTONE _deleted",
+    )
+    n_deleted = base.where(
+        (F.col("event_id") % 2 == 0) & (F.col("event_id") % 3 == 0)
+    ).count()
+    assert n_deleted > 0
+    assert out.count() == n0 - n_deleted
+    assert out.where((F.col("event_id") % 6 == 0)).count() == 0
+
+
+def test_sql_execute_grammar_and_passthrough(spark):
+    """The statement layer's edges: reads pass through to spark.sql
+    verbatim; malformed write statements raise with the expected
+    grammar named; parens inside string literals don't confuse the
+    balanced-subquery scan."""
+    import pytest as _pytest
+
+    from ad_data_lake_spark.sql import _balanced, execute
+
+    assert execute(spark, "SELECT 1 AS one").collect()[0].one == 1
+    with _pytest.raises(ValueError, match="PRECEDENCE"):
+        execute(spark, "MERGE INTO '/tmp/x' USING (SELECT 1) ON k")
+    with _pytest.raises(ValueError, match="PRECEDENCE"):
+        execute(
+            spark,
+            "APPLY CHANGES INTO '/tmp/x' FROM (SELECT 1) ON k",
+        )
+    s = "(SELECT ')(' AS s, (1 + 2) AS n)"
+    assert _balanced(s, 0) == len(s)
+    with _pytest.raises(ValueError, match="unbalanced"):
+        _balanced("(SELECT 1", 0)
