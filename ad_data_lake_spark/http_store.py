@@ -211,6 +211,12 @@ class HttpConditionalStore:
         top of its own landed effect is a no-op by construction), not
         re-apply a delta blindly, or the delta double-applies."""
         last_exc: Exception = cause
+        # a re-PUT whose own response is lost re-enters this loop; if
+        # the NEXT read-back then shows our bytes, they came from that
+        # resend (we only resend while the precondition provably still
+        # holds, i.e. the original never landed) — count it "resent",
+        # not "landed", so the bench's split stays honest under churn
+        resent_inflight = False
         for attempt in range(self.recovery_attempts):
             if attempt:
                 time.sleep(self.recovery_backoff * attempt)
@@ -220,7 +226,7 @@ class HttpConditionalStore:
                 last_exc = exc
                 continue
             if cur is not None and cur[0] == data:
-                self.recovery_stats["landed"] += 1
+                self.recovery_stats["resent" if resent_inflight else "landed"] += 1
                 return cur[1]
             precondition_open = (
                 cur is None
@@ -241,6 +247,7 @@ class HttpConditionalStore:
                 self.recovery_stats["lost"] += 1
                 raise
             except (OSError, http.client.HTTPException) as exc:
+                resent_inflight = True
                 last_exc = exc
         raise RuntimeError(
             f"PUT {key}: outcome ambiguous after "
@@ -434,13 +441,17 @@ class _Handler(BaseHTTPRequestHandler):
         if_match = self.headers.get("If-Match")
         if_none_match = self.headers.get("If-None-Match")
         key = self._key()
-        # one-shot fault injection for the ambiguous-PUT tests: drop
-        # the connection without a response, either before the write
+        # queued fault injection for the ambiguous-PUT tests: drop the
+        # connection without a response, either before the write
         # ("before_commit": the PUT never landed) or after it
-        # ("after_commit": the PUT landed but the client can't know)
-        fault = getattr(self.server, "fail_next_put", None)
+        # ("after_commit": the PUT landed but the client can't know).
+        # A QUEUE (r14) so multi-step scenarios — original PUT dropped
+        # pre-apply, the recovery's re-PUT dropped post-apply — can be
+        # scripted from a test before the client call blocks.
+        with self.server.mutex:
+            q = getattr(self.server, "fail_put_queue", None)
+            fault = q.pop(0) if q else None
         if fault == "before_commit":
-            self.server.fail_next_put = None
             self.close_connection = True
             return
         with self.server.mutex:
@@ -456,7 +467,6 @@ class _Handler(BaseHTTPRequestHandler):
             gen = (entry[1] if entry is not None else 0) + 1
             self.server.objects[key] = (data, gen)
         if fault == "after_commit":
-            self.server.fail_next_put = None
             self.close_connection = True
             return
         # periodic landed-but-response-lost injection (r13 ADVICE: the
@@ -509,7 +519,7 @@ class EtagStoreServer:
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.objects = {}
         self._httpd.mutex = threading.Lock()
-        self._httpd.fail_next_put = None  # test-only fault injection
+        self._httpd.fail_put_queue = []  # test-only fault injection
         self._httpd.latency = latency
         self._httpd.drop_every = drop_every
         self._httpd.drop_put_response_every = drop_put_response_every
@@ -518,12 +528,16 @@ class EtagStoreServer:
         )
 
     def inject_put_fault(self, mode: str) -> None:
-        """Arm a ONE-SHOT connection-drop on the next PUT:
+        """Queue a connection-drop for an upcoming PUT:
         ``"before_commit"`` (dropped before the write applies) or
         ``"after_commit"`` (the write applies, the response is lost) —
-        the two halves of the ambiguous-outcome window."""
+        the two halves of the ambiguous-outcome window. Repeated calls
+        queue in order, one consumed per PUT, so multi-step scenarios
+        (drop the original, then drop the recovery's re-send) can be
+        armed before the client call blocks."""
         assert mode in ("before_commit", "after_commit")
-        self._httpd.fail_next_put = mode
+        with self._httpd.mutex:
+            self._httpd.fail_put_queue.append(mode)
 
     @property
     def url(self) -> str:

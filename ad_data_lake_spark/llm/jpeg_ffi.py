@@ -171,19 +171,13 @@ def _lib() -> ctypes.CDLL | None:
     return _LIB
 
 
-# Worker-side test/ops pin: True makes available() report False so
-# every dispatch site in this process takes the vendored codec. This
-# exists because the parity tests must exercise the TRUE vendored path
-# inside executor workers, where a driver-side mock cannot reach
-# (mocks don't survive the pickle into the worker process).
-FORCE_UNAVAILABLE = False
-
-
 def available() -> bool:
     """True when the shim compiled and loaded (decided once, cached —
-    safe to call per frame). Respects ``FORCE_UNAVAILABLE``."""
-    if FORCE_UNAVAILABLE:
-        return False
+    safe to call per frame). Callers that must pin the vendored path
+    inside executor workers (the MP4 parity tests) thread an explicit
+    ``use_native`` argument through the codec entry points instead of
+    toggling process state — a module-global pin leaked to concurrent
+    tasks in reused workers (r13 ADVICE)."""
     return _lib() is not None
 
 

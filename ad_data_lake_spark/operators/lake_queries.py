@@ -255,7 +255,7 @@ def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     be a no-op)."""
     from ad_data_lake_spark.sql import execute, register_tables
 
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, tables=("events",))
     target = os.path.join(_scratch(spark, "sql_merge", sf_dir), "events")
     seed = (
         "SELECT event_id, ts, user_id, event_type, value FROM events"
@@ -287,7 +287,7 @@ def sql_backfill_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``backfill_partition_replace``."""
     from ad_data_lake_spark.sql import execute, register_tables
 
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, tables=("events",))
     path = _scratch(spark, "sql_backfill", sf_dir)
     daily = (
         "SELECT event_id, ts, user_id, event_type, value, "

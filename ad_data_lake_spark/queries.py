@@ -2028,11 +2028,15 @@ _register(
 # (zorder_roundtrip .. embed_topk_int8 — the exact list from the r13
 # verdict's "What's missing #1"); once CORRECTNESS_r14 shows them
 # green, every registry row is driver-green within a rolling 4-round
-# horizon (oldest driver check becomes r11). Slots 26-50 re-check the
-# r11-green cohort (lake_concurrent_writers_sqlite ..), then the
-# r12-green cohort, and the 50 rows the driver just checked green in
-# r13 (sanitize_nested_struct .. union_pages) sit at the very end
-# (freshest record).
+# horizon (oldest driver check becomes r11). Slots 26-28 are the three
+# NEW r14 rows (video_frame_stats_mp4_px, sql_merge_upsert,
+# sql_backfill_replace — never driver-checked, so they take window
+# priority over re-checks); slots 29-50 re-check the r11-green cohort
+# (lake_concurrent_writers_sqlite ..) MINUS its last three rows, which
+# the new rows push just past the window into the r15 front of the
+# queue. Then the r12-green cohort, and the 50 rows the driver just
+# checked green in r13 (sanitize_nested_struct .. union_pages) sit at
+# the very end (freshest record).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "zorder_roundtrip",
     "merge_upsert_idempotent",

@@ -107,11 +107,15 @@ def lazy_views() -> tuple[str, ...]:
     return tuple(n for n in _read_path_views() if n not in action)
 
 
-def register_tables(spark: SparkSession, sf_dir: str) -> None:
-    """Register every base parquet table as a temp view (same names the
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE_NAMES
+) -> None:
+    """Register base parquet tables as temp views (same names the
     DuckDB oracle uses), all reads going through ``load_table`` so the
-    timestamp-nanos handling stays uniform."""
-    for t in TABLE_NAMES:
+    timestamp-nanos handling stays uniform. ``tables`` narrows the set
+    — callers that read one table (the SQL-surface write rows) skip
+    the other nine registrations."""
+    for t in tables:
         load_table(spark, t, sf_dir).createOrReplaceTempView(t)
 
 
@@ -210,19 +214,31 @@ _APPLY_TAIL_RE = re.compile(
 
 def _balanced(s: str, start: int) -> int:
     """Index one past the ')' closing the '(' at ``start``, honoring
-    single-quoted SQL strings (a paren inside a literal is text)."""
-    depth, i, in_str = 0, start, False
+    single-quoted SQL strings, double-quoted/backquoted identifiers,
+    ``--`` line comments, and ``/* */`` block comments (a paren inside
+    any of those is text, not structure)."""
+    depth, i = 0, start
     while i < len(s):
         c = s[i]
-        if in_str:
-            # '' is SQL's escaped quote: consume both, stay in-string
-            if c == "'":
-                if i + 1 < len(s) and s[i + 1] == "'":
-                    i += 1
-                else:
-                    in_str = False
-        elif c == "'":
-            in_str = True
+        if c in ("'", '"', "`"):
+            q = c
+            i += 1
+            while i < len(s):
+                if s[i] == q:
+                    # doubled quote is the escaped form: stay inside
+                    if i + 1 < len(s) and s[i + 1] == q:
+                        i += 1
+                    else:
+                        break
+                i += 1
+        elif c == "-" and s[i : i + 2] == "--":
+            nl = s.find("\n", i)
+            i = len(s) - 1 if nl < 0 else nl
+        elif c == "/" and s[i : i + 2] == "/*":
+            end = s.find("*/", i + 2)
+            if end < 0:
+                break  # unterminated comment: fall through to the error
+            i = end + 1
         elif c == "(":
             depth += 1
         elif c == ")":
@@ -243,6 +259,12 @@ def execute(spark: SparkSession, statement: str) -> DataFrame:
     registered (``register_sql_surface`` / ``register_tables``)."""
     from ad_data_lake_spark import incremental, sinks
 
+    # one optional trailing semicolon, the SQL-user reflex — stripped
+    # here so the $-anchored tail grammars don't reject an otherwise
+    # well-formed write statement with a misleading diagnosis
+    statement = statement.rstrip()
+    if statement.endswith(";"):
+        statement = statement[:-1].rstrip()
     m = _MERGE_RE.match(statement)
     if m:
         qstart = statement.index("(", m.end())
@@ -290,4 +312,17 @@ def execute(spark: SparkSession, statement: str) -> DataFrame:
             spark.sql(m.group("query")), m.group("path"), cols
         )
         return sinks.read_lake(spark, m.group("path"))
+    if re.match(r"^\s*INSERT\s+OVERWRITE\s+'", statement, re.I):
+        # a quoted-path INSERT that missed the grammar would otherwise
+        # fall through to spark.sql, which cannot parse the path form
+        # at all and emits an unrelated Catalyst syntax error — raise
+        # the statement-layer diagnosis instead (static partition
+        # specs like PARTITION (col='v') are deliberately unsupported:
+        # the dynamic overwrite replaces exactly the partitions the
+        # subquery produces, which subsumes the static spelling)
+        raise ValueError(
+            "INSERT OVERWRITE against a path needs: INSERT OVERWRITE "
+            "'<path>' PARTITION (<col>[, <col>...]) <subquery> "
+            "(dynamic partition columns only, no static =value specs)"
+        )
     return spark.sql(statement)

@@ -618,6 +618,29 @@ def test_http_recovery_stats_count_each_resolution():
         assert c.get("k") == (b"v3", e3)
 
 
+def test_http_recovery_resent_then_response_lost_counts_resent():
+    """r14 review: a re-PUT whose own response is ALSO lost, later
+    confirmed by read-back, must count as 'resent', not 'landed' —
+    we only resend while the precondition provably still holds (the
+    original never landed), so the confirmed bytes are the resend's.
+    Faults queue: drop the original pre-apply, then drop the re-send
+    post-apply."""
+    from ad_data_lake_spark.http_store import EtagStoreServer, HttpConditionalStore
+
+    srv = EtagStoreServer()
+    with srv as url:
+        c = HttpConditionalStore(url, timeout=5.0)
+        e1 = c.put_if("k", b"v1", if_none_match=True)
+        srv.inject_put_fault("before_commit")  # original: never lands
+        srv.inject_put_fault("after_commit")  # re-send: lands, resp lost
+        e2 = c.put_if("k", b"v2", if_match=e1)
+        assert c.get("k") == (b"v2", e2)
+    assert c.recovery_stats["ambiguous"] == 1
+    assert c.recovery_stats["resent"] == 1
+    assert c.recovery_stats["landed"] == 0
+    assert c.recovery_stats["lost"] == 0
+
+
 def test_http_periodic_landed_drop_mode_recovers_exactly_once():
     """r13 ADVICE: the server's periodic drop used to fire BEFORE the
     PUT body applied, so benches never exercised the

@@ -1673,3 +1673,16 @@ def test_sql_execute_grammar_and_passthrough(spark):
     assert _balanced(s, 0) == len(s)
     with _pytest.raises(ValueError, match="unbalanced"):
         _balanced("(SELECT 1", 0)
+    # r14 review edges: line/block comments and quoted identifiers
+    # must not count toward paren depth
+    s = '(SELECT 1 -- note (\n , /* ( */ 2, "a)b", `c)d`)'
+    assert _balanced(s, 0) == len(s)
+    # a trailing semicolon (the SQL-user reflex) is accepted
+    assert execute(spark, "SELECT 2 AS two ;").collect()[0].two == 2
+    # static partition specs get the statement-layer diagnosis, not an
+    # unrelated Catalyst parse error from the quoted path
+    with _pytest.raises(ValueError, match="dynamic partition"):
+        execute(
+            spark,
+            "INSERT OVERWRITE '/tmp/x' PARTITION (d='2024-01-15') SELECT 1",
+        )
