@@ -314,6 +314,46 @@ def sql_backfill_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 through the SQL surface: the same seed + twice-applied CDC
+    batch as ``cdc_apply_roundtrip``, every write an ``APPLY CHANGES
+    INTO '<path>' FROM (<subquery>) ON <key> PRECEDENCE (<order_col>,
+    <tiebreak>) TOMBSTONE <col>`` statement (the DLT shape) through
+    ``sql.execute`` — completing the SQL-write triple
+    (MERGE / INSERT OVERWRITE / APPLY CHANGES) as driver-gated rows.
+    Same oracle as the DataFrame row: update recency, tombstone
+    removal, tombstone-over-update precedence, and replay idempotence
+    all proven from the SQL spelling."""
+    from ad_data_lake_spark.sql import execute, register_tables
+
+    register_tables(spark, sf_dir, tables=("events",))
+    target = os.path.join(_scratch(spark, "sql_cdc", sf_dir), "events_cdc")
+    execute(
+        spark,
+        f"MERGE INTO '{target}' USING "
+        "(SELECT event_id, ts, user_id, value FROM events) "
+        "ON event_id PRECEDENCE (ts, value)",
+    )
+    changes = (
+        "SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, "
+        f"value + 10 AS value, false AS {incremental.DELETE_COL} "
+        "FROM events WHERE event_id % 7 = 0 "
+        "UNION ALL "
+        "SELECT event_id, ts + INTERVAL 2 HOUR AS ts, user_id, value, "
+        f"true AS {incremental.DELETE_COL} "
+        "FROM events WHERE event_id % 10 = 0"
+    )
+    stmt = (
+        f"APPLY CHANGES INTO '{target}' FROM ({changes}) "
+        f"ON event_id PRECEDENCE (ts, value) TOMBSTONE {incremental.DELETE_COL}"
+    )
+    execute(spark, stmt)
+    out = execute(spark, stmt)  # replay: at-least-once must be a no-op
+    return out.select(
+        "event_id", "ts", "user_id", F.round("value", 2).alias("value")
+    )
+
+
 def _stream_src_write(df: DataFrame, src: str, n_files: int = 16) -> None:
     """Write a stream-source fixture as MULTIPLE parquet files. A real
     stream source lands many files (one per upstream writer task per

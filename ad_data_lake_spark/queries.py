@@ -1427,6 +1427,23 @@ _register(
 )
 
 _register(
+    "sql_cdc_apply",
+    QuerySpec(
+        lake_queries.sql_cdc_apply,
+        """
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN ts + INTERVAL 1 HOUR
+                    ELSE ts END AS ts,
+               user_id,
+               round(CASE WHEN event_id % 7 = 0 THEN value + 10
+                          ELSE value END, 2) AS value
+        FROM events WHERE event_id % 10 <> 0
+        """,
+        ("write", "cdc", "merge", "tombstone", "incremental", "sql-surface"),
+    ),
+)
+
+_register(
     "streaming_frequency_cap",
     QuerySpec(
         lake_queries.streaming_frequency_cap_drain,
@@ -2028,15 +2045,15 @@ _register(
 # (zorder_roundtrip .. embed_topk_int8 — the exact list from the r13
 # verdict's "What's missing #1"); once CORRECTNESS_r14 shows them
 # green, every registry row is driver-green within a rolling 4-round
-# horizon (oldest driver check becomes r11). Slots 26-28 are the three
+# horizon (oldest driver check becomes r11). Slots 26-29 are the four
 # NEW r14 rows (video_frame_stats_mp4_px, sql_merge_upsert,
-# sql_backfill_replace — never driver-checked, so they take window
-# priority over re-checks); slots 29-50 re-check the r11-green cohort
-# (lake_concurrent_writers_sqlite ..) MINUS its last three rows, which
-# the new rows push just past the window into the r15 front of the
-# queue. Then the r12-green cohort, and the 50 rows the driver just
-# checked green in r13 (sanitize_nested_struct .. union_pages) sit at
-# the very end (freshest record).
+# sql_backfill_replace, sql_cdc_apply — never driver-checked, so they
+# take window priority over re-checks); slots 30-50 re-check the
+# r11-green cohort (lake_concurrent_writers_sqlite ..) MINUS its last
+# four rows, which the new rows push just past the window into the
+# r15 front of the queue. Then the r12-green cohort, and the 50 rows
+# the driver just checked green in r13 (sanitize_nested_struct ..
+# union_pages) sit at the very end (freshest record).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "zorder_roundtrip",
     "merge_upsert_idempotent",
@@ -2066,6 +2083,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "video_frame_stats_mp4_px",
     "sql_merge_upsert",
     "sql_backfill_replace",
+    "sql_cdc_apply",
     "lake_concurrent_writers_sqlite",
     "audio_wav_features",
     "video_frame_stats",
