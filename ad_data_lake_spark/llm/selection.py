@@ -280,7 +280,19 @@ def perplexity_buckets(documents: DataFrame) -> DataFrame:
     from ad_data_lake_spark.llm.text import unigram_lm_score
 
     scores = unigram_lm_score(documents).select("doc_id", "perplexity")
-    scored = documents.select("doc_id", "lang").join(scores, "doc_id")
+    # The scored stream feeds BOTH the threshold aggregate and the
+    # final bucket projection; the two subtrees canonicalize
+    # differently after pruning, so ReuseExchange shares only the
+    # vocab aggregate, not the scoring pass — the corpus was scored
+    # twice (r14 plan audit). Materialize once (lazy localCheckpoint:
+    # ~24 B/doc — doc_id, lang, perplexity — far cheaper than a second
+    # LM-scoring pass at any scale; eager=False keeps plan build
+    # job-free for the lazy-SQL-view contract).
+    scored = (
+        documents.select("doc_id", "lang")
+        .join(scores, "doc_id")
+        .localCheckpoint(eager=False)
+    )
     thr = scored.groupBy("lang").agg(
         F.percentile("perplexity", F.lit(1.0 / 3)).alias("t1"),
         F.percentile("perplexity", F.lit(2.0 / 3)).alias("t2"),

@@ -1133,11 +1133,17 @@ def semantic_dedup_ivf(
     from ad_data_lake_spark.llm.dedup import min_label_components
 
     cents = ivf_centroids(embeddings, n_cells)
+    # assigned feeds BOTH the within-cell pair kernel and the final
+    # verdict join; without a cut the scan + Arrow assign pass runs
+    # twice (the checkpointed pair graph hides the reuse from
+    # ReuseExchange). Lazy localCheckpoint: materialized by the edge
+    # checkpoint's own job, read back by the verdict join — one assign
+    # pass at any scale (r14: 1.68 s → 1.58 s median at sf0.1).
     assigned = near_corpus(embeddings).select(
         "vec_id",
         "v",
         _unit_and_cell_pd(cents)(F.col("v"))["cell"].alias("cell"),
-    )
+    ).localCheckpoint(eager=False)
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         V = np.vstack(pdf["v"].to_numpy())

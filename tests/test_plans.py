@@ -110,12 +110,24 @@ def test_exact_dedup_single_shuffle(spark):
 
 
 def test_minhash_heavy_stage_reused(spark):
+    """The minhash_prepped aggregate is materialized ONCE (lazy
+    localCheckpoint) for its four consumers. ReuseExchange could not
+    share it by itself: the band sides prune ``jset`` out of the
+    aggregate while the verify sides keep it, so the subtrees
+    canonicalize differently and the r14 plan audit found the whole
+    scan→shingle→md5→aggregate chain evaluated four times. After the
+    checkpoint, every consumer must read the materialized RDD and the
+    final plan must contain NO parquet scan at all (the one corpus
+    pass runs inside the checkpoint's own job)."""
     df = REGISTRY["dedup_minhash_lsh"].fn(spark, SF_ORACLE)
-    df.collect()  # AQE decides reuse at runtime; inspect the final plan
+    df.collect()  # materializes the checkpoint, then the final plan
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert p.count("ReusedExchange") >= 2, (
-        "the shingle-hash aggregate must be computed once and reused by the "
-        "band and verification consumers, not re-evaluated per consumer"
+    assert "Scan ExistingRDD" in p, (
+        "consumers must read the checkpointed minhash_prepped aggregate"
+    )
+    assert "Scan parquet" not in p, (
+        "the corpus scan + shingle-hash aggregate must run once inside the "
+        "checkpoint job, not be re-evaluated per consumer"
     )
 
 
@@ -600,13 +612,19 @@ def test_keep_best_window_and_rollup_share_one_label_exchange(spark):
 
 
 def test_novelty_profile_has_no_joins(spark):
-    """novelty_profile: first-owner via a min window over the shingle
-    hash, not a self-join — no join operator anywhere, and the ratio
-    aggregate combines map-side (partial_count before the doc_id
-    exchange)."""
+    """novelty_profile: first-owner and member set from ONE shingle-
+    hash aggregate (min + collect_set), memberships exploded into the
+    doc aggregate — no join operator anywhere, map-side partial
+    aggregation on the shingle stream, and exactly TWO hash exchanges
+    (the r14 rewrite removed the third: distinct pre-aggregate +
+    re-exchange for a min window)."""
     plan = plan_of(spark, "novelty_profile")
     assert "Join" not in plan
-    assert "partial_count" in plan
+    assert "partial_min" in plan  # h60 aggregate combines map-side
+    assert plan.count("Exchange hashpartitioning") == 2, (
+        "novelty_profile must spend exactly two exchanges: the h60 "
+        "owner/member aggregate and the per-doc ratio aggregate"
+    )
 
 
 def test_bpe_pair_count_symbolize_stays_above_word_agg(spark):
