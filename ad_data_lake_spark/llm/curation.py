@@ -47,6 +47,25 @@ def _index_range(arr_col: str) -> Column:
     )
 
 
+def _rebuild_or_passthrough(cleaned: Column) -> Column:
+    """Token-rebuild tail shared by the span removers: for documents
+    with NO covered positions — the overwhelming majority of any real
+    corpus — the interpreted element_at-per-token HOF rebuild is the
+    identity join of the token array, which equals one codegen
+    ``regexp_replace(trim(text), '\\s+', ' ')`` (``words`` splits the
+    trimmed text on the same Java ``\\s+`` class, and ``concat_ws``
+    re-joins with single spaces; null text coalesces to '' exactly as
+    concat_ws over a null array does). CASE WHEN short-circuits per
+    row, so only genuinely-edited documents pay the per-token HOF
+    (r14: exact_substring_dedup 3.83 s → 3.57 s median at sf0.1,
+    values identical). Expects ``text``, ``w`` and the coalesced
+    ``covered`` columns in scope."""
+    return F.when(
+        F.size("covered") == 0,
+        F.coalesce(F.regexp_replace(F.trim("text"), r"\s+", " "), F.lit("")),
+    ).otherwise(F.concat_ws(" ", cleaned))
+
+
 def _id_hash_pct(id_col: Column) -> Column:
     """Deterministic 0–99 bucket from md5 of the id — the split lever.
     Content-stable: a document keeps its split across reruns, engines,
@@ -464,7 +483,7 @@ def remove_boilerplate(
             ).alias("covered")
         )
     )
-    toks = documents.select("doc_id", words(F.col("text")).alias("w"))
+    toks = documents.select("doc_id", "text", words(F.col("text")).alias("w"))
     joined = toks.join(hits, "doc_id", "left").withColumn(
         "covered", F.coalesce(F.col("covered"), F.array().cast("array<int>"))
     )
@@ -480,7 +499,7 @@ def remove_boilerplate(
         "doc_id",
         F.size("w").cast("bigint").alias("n_tokens"),
         F.size("covered").cast("bigint").alias("n_removed"),
-        F.concat_ws(" ", cleaned).alias("cleaned_text"),
+        _rebuild_or_passthrough(cleaned).alias("cleaned_text"),
     )
 
 
@@ -546,7 +565,7 @@ def exact_substring_dedup(corpus: DataFrame, n: int = SUBSTR_N) -> DataFrame:
             )
         ).alias("covered")
     )
-    toks = corpus.select("doc_id", words(F.col("text")).alias("w"))
+    toks = corpus.select("doc_id", "text", words(F.col("text")).alias("w"))
     joined = toks.join(covered, "doc_id", "left").withColumn(
         "covered", F.coalesce(F.col("covered"), F.array().cast("array<int>"))
     )
@@ -556,7 +575,7 @@ def exact_substring_dedup(corpus: DataFrame, n: int = SUBSTR_N) -> DataFrame:
         "doc_id",
         F.size("w").cast("bigint").alias("n_tokens"),
         F.size("covered").cast("bigint").alias("n_removed"),
-        F.concat_ws(" ", cleaned).alias("cleaned_text"),
+        _rebuild_or_passthrough(cleaned).alias("cleaned_text"),
     )
 
 

@@ -218,11 +218,17 @@ def dsir_weights(
     raw-like (ratio > 0) — the resampling keep set.
 
     Target = the benchmark slice (the deterministic stand-in for "high
-    quality target domain"); raw = everything else. Both bucket models
-    come from ONE aggregate over the full token stream (count_if per
-    side), bounded at B rows, broadcast back over the raw token stream;
-    the two scalar totals derive from that same aggregate and ride
-    along as one-row broadcasts."""
+    quality target domain"); raw = everything else. The token stream
+    is COMPACTED once into a (side, doc, bucket, cnt) aggregate and
+    checkpointed: the bucket models, the scalar totals, AND the
+    scoring stream all derive from it, so the tokenize + per-token
+    md5-bucket pass — the compute-heavy part — runs exactly once (the
+    r14 before-plan evaluated it twice: once into the model aggregate,
+    once under the scoring stream; 1.70 s → 1.32 s median at sf0.1).
+    Per-doc means re-weight by ``cnt`` — log-ratios are constant per
+    bucket, so Σ cnt·lr / Σ cnt is the token-level mean exactly (same
+    4-dp round; verified value-equal row-for-row). The bounded bucket
+    model still broadcasts back; nothing doc-sized joins."""
     from ad_data_lake_spark.sources.tables import spread
 
     # tokenize + per-token hash bucket is the compute-bound map stage:
@@ -232,9 +238,18 @@ def dsir_weights(
         "doc_id",
         F.explode(words(F.col("text"))).alias("token"),
     ).withColumn("bucket", _bucket(F.col("token")))
-    counts = toks.groupBy("bucket").agg(
-        F.count_if(F.col("is_target")).alias("t_cnt"),
-        F.count_if(~F.col("is_target")).alias("s_cnt"),
+    grouped = (
+        toks.groupBy("is_target", "doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    counts = grouped.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "t_cnt"
+        ),
+        F.sum(F.when(~F.col("is_target"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "s_cnt"
+        ),
     )
     totals = counts.agg(
         F.sum("t_cnt").alias("t_total"), F.sum("s_cnt").alias("s_total")
@@ -247,13 +262,15 @@ def dsir_weights(
         / (F.col("s_total") + _SMOOTH * DSIR_BUCKETS)
     )
     return (
-        toks.where(~F.col("is_target"))
+        grouped.where(~F.col("is_target"))
         .join(F.broadcast(counts), "bucket", "left")
         .crossJoin(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg(log_ratio), 4).alias("avg_log_ratio"),
+            F.sum("cnt").alias("n_tokens"),
+            F.round(F.sum(log_ratio * F.col("cnt")) / F.sum("cnt"), 4).alias(
+                "avg_log_ratio"
+            ),
         )
         .withColumn("selected", F.col("avg_log_ratio") > 0)
     )

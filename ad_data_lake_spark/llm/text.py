@@ -582,6 +582,69 @@ GOPHER_MIN_ALPHA_RATIO = 0.8
 GOPHER_MAX_TOP_TOKEN_RATIO = 0.2
 
 
+def gopher_columns(
+    text: Column,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+) -> dict[str, Column]:
+    """The Gopher rule suite as pure column expressions keyed by output
+    name — the ``quality_columns`` pattern, so composite pipelines
+    (``filter_agreement``) can ride every verdict on ONE corpus scan
+    instead of joining per-filter projections back on doc_id.
+    ``gopher_rules`` is the DataFrame wrapper."""
+    w = words(text)
+    n = F.size(w)
+    mean_len = F.length(F.regexp_replace(text, " ", "")) / n
+    alpha_ratio = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / n
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS_EN)))
+    # top-token share without a groupBy: sort the tokens, then one
+    # O(n) fold tracks the longest equal-run — per-row bounded work
+    # (the (doc, token) aggregate form lives in repetition_stats; this
+    # keeps the whole suite a single zero-shuffle projection)
+    sorted_w = F.array_sort(w)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    run_next = lambda a, x: F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+    top_cnt = F.aggregate(
+        sorted_w,
+        zero,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            run_next(a, x).alias("run"),
+            F.greatest(a["best"], run_next(a, x)).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    lo, hi = GOPHER_MEAN_LEN_BAND
+    n_words = n
+    mean_word_len = F.round(mean_len, 4)
+    alpha4 = F.round(alpha_ratio, 4)
+    top_ratio = F.round(top_cnt / n, 4)
+    ok_word_count = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean_word_len = (mean_word_len >= lo) & (mean_word_len <= hi)
+    ok_alpha_ratio = alpha4 >= GOPHER_MIN_ALPHA_RATIO
+    ok_stopwords = n_stop >= GOPHER_MIN_STOPWORDS
+    ok_repetition = top_ratio <= GOPHER_MAX_TOP_TOKEN_RATIO
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "alpha_ratio": alpha4,
+        "n_stopwords": n_stop,
+        "top_token_ratio": top_ratio,
+        "ok_word_count": ok_word_count,
+        "ok_mean_word_len": ok_mean_word_len,
+        "ok_alpha_ratio": ok_alpha_ratio,
+        "ok_stopwords": ok_stopwords,
+        "ok_repetition": ok_repetition,
+        "keep": ok_word_count
+        & ok_mean_word_len
+        & ok_alpha_ratio
+        & ok_stopwords
+        & ok_repetition,
+    }
+
+
 def gopher_rules(
     documents: DataFrame,
     min_words: int = GOPHER_MIN_WORDS,
@@ -608,63 +671,16 @@ def gopher_rules(
     Scale shape: pure per-row array expressions — zero shuffles, fully
     codegen, same contract as ``quality_score``; the top-token ratio
     reuses the sorted-token trick (one array_sort per row over the
-    doc's own tokens, bounded by doc length, no aggregate)."""
-    w = words(F.col("text"))
-    n = F.size(w)
-    mean_len = F.length(F.regexp_replace(F.col("text"), " ", "")) / n
-    alpha_ratio = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / n
-    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS_EN)))
-    # top-token share without a groupBy: sort the tokens, then one
-    # O(n) fold tracks the longest equal-run — per-row bounded work
-    # (the (doc, token) aggregate form lives in repetition_stats; this
-    # keeps the whole suite a single zero-shuffle projection)
-    sorted_w = F.array_sort(w)
-    zero = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
-    run_next = lambda a, x: F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
-    top_cnt = F.aggregate(
-        sorted_w,
-        zero,
-        lambda a, x: F.struct(
-            x.alias("prev"),
-            run_next(a, x).alias("run"),
-            F.greatest(a["best"], run_next(a, x)).alias("best"),
-        ),
-        lambda a: a["best"],
-    )
-    lo, hi = GOPHER_MEAN_LEN_BAND
+    doc's own tokens, bounded by doc length, no aggregate). The
+    expressions live in ``gopher_columns`` so composites can inline
+    them on one scan."""
+    gq = gopher_columns(F.col("text"), min_words, max_words)
     # per-row array_sort + fold over every token: the most compute-
     # bound projection in the file -- run at session parallelism
-    out = spread(documents).select(
+    return spread(documents).select(
         "doc_id",
         *(["text"] if keep_text else []),
-        n.alias("n_words"),
-        F.round(mean_len, 4).alias("mean_word_len"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        n_stop.alias("n_stopwords"),
-        F.round(top_cnt / n, 4).alias("top_token_ratio"),
-    )
-    return out.select(
-        "*",
-        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
-            "ok_word_count"
-        ),
-        ((F.col("mean_word_len") >= lo) & (F.col("mean_word_len") <= hi)).alias(
-            "ok_mean_word_len"
-        ),
-        (F.col("alpha_ratio") >= GOPHER_MIN_ALPHA_RATIO).alias("ok_alpha_ratio"),
-        (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS).alias("ok_stopwords"),
-        (F.col("top_token_ratio") <= GOPHER_MAX_TOP_TOKEN_RATIO).alias(
-            "ok_repetition"
-        ),
-    ).withColumn(
-        "keep",
-        F.col("ok_word_count")
-        & F.col("ok_mean_word_len")
-        & F.col("ok_alpha_ratio")
-        & F.col("ok_stopwords")
-        & F.col("ok_repetition"),
+        *(gq[name].alias(name) for name in gq),
     )
 
 
@@ -1007,23 +1023,32 @@ def cms_heavy_hitters(
     cell-wise addition (CMS is a linear sketch; the same argument as
     the HLL reach rollup, `operators/sketches.py`).
 
-    Plan: ONE token pass explodes each token's ``depth`` (row, bucket)
-    cells (posexplode over a literal-seeded array — pure codegen);
-    the grid aggregate's shuffle is bounded by depth×width regardless
-    of corpus size (map-side combine collapses to ≤ grid cells per
-    partition). The exact top-k side reuses the vocab aggregate
-    pattern; the 2k-cell lookup joins the BROADCAST grid. The exact
-    aggregate here exists only to GRADE the sketch — a pure production
-    deployment keeps the grid alone."""
+    Plan (compaction-first, the bpe_pair_counts lesson): ONE token
+    pass builds the exact (token, count) vocab aggregate —
+    checkpointed, since the grid and the top-k grader both read it —
+    and the grid then hashes each DISTINCT token once, weighting its
+    cell contribution by the exact count (integer sums: cell values
+    identical to the per-occurrence form). The r14 before-plan ran
+    the tokenize pass twice and paid depth md5s per token OCCURRENCE;
+    hashing the vocab instead costs depth md5s per distinct token
+    (1.22 s → 0.89 s median at sf0.1). The grid aggregate's shuffle
+    stays bounded by depth×width regardless of corpus size; the
+    2k-cell lookup joins the BROADCAST grid. The exact aggregate here
+    exists only to GRADE the sketch — a pure production deployment
+    keeps the grid alone (``_cms_grid``)."""
     toks = spread(documents).select(F.explode(words(F.col("text"))).alias("token"))
-    cells = toks.select(
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_count"))
+        .localCheckpoint(eager=False)
+    )
+    cells = exact.select(
+        "exact_count",
         F.posexplode(
             F.array(*[_cms_bucket(F.col("token"), r, width) for r in range(depth)])
-        ).alias("row", "bucket")
+        ).alias("row", "bucket"),
     )
-    grid = cells.groupBy("row", "bucket").agg(F.count("*").alias("c"))
-
-    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    grid = cells.groupBy("row", "bucket").agg(F.sum("exact_count").alias("c"))
     topk = exact.orderBy(F.desc("exact_count"), F.asc("token")).limit(top_k)
     probe = topk.select(
         "token",
@@ -1044,14 +1069,20 @@ CMS_BATCH_MOD = 4  # incremental-maintenance split (the LSH/IVF invariant)
 
 def _cms_grid(documents: DataFrame, width: int, depth: int) -> DataFrame:
     """The depth×width counter grid for a document set — the reusable
-    half of ``cms_heavy_hitters``."""
+    half of ``cms_heavy_hitters``. Compaction-first like the main row:
+    count tokens exactly (vocab-bounded aggregate), then hash each
+    DISTINCT token once with its count as the cell weight — integer
+    sums, so the grid is cell-for-cell identical to the
+    per-occurrence form at depth× fewer md5 calls."""
     toks = spread(documents).select(F.explode(words(F.col("text"))).alias("token"))
-    cells = toks.select(
+    tc = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    cells = tc.select(
+        "cnt",
         F.posexplode(
             F.array(*[_cms_bucket(F.col("token"), r, width) for r in range(depth)])
-        ).alias("row", "bucket")
+        ).alias("row", "bucket"),
     )
-    return cells.groupBy("row", "bucket").agg(F.count("*").alias("c"))
+    return cells.groupBy("row", "bucket").agg(F.sum("cnt").alias("c"))
 
 
 def cms_grid_incremental(spark, sf_dir: str) -> DataFrame:
@@ -1083,7 +1114,9 @@ def cms_grid_incremental(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def lang_quality_calibration(documents: DataFrame) -> DataFrame:
+def lang_quality_calibration(
+    documents: DataFrame | None = None, base: DataFrame | None = None
+) -> DataFrame:
     """Per-LANGUAGE quality calibration: a single global band on a
     quality signal mis-fires across languages (mean token length is
     genuinely different in zh vs en — a threshold tuned on English
@@ -1102,19 +1135,27 @@ def lang_quality_calibration(documents: DataFrame) -> DataFrame:
     4-dp-rounded values, so the verdict is engine-reproducible. At
     100 TB swap ``percentile`` for ``approx_percentile`` (the A11
     sketch path) — the band moves by the sketch tolerance, the plan
-    is identical."""
-    qc = quality_columns(F.col("text"))
-    base = spread(documents).select(
-        "doc_id", "lang", qc["mean_token_len"].alias("mean_token_len")
-    )
+    is identical.
+
+    ``base`` (optional) supplies an already-built (doc_id, lang,
+    mean_token_len, *extras) frame — composites (``filter_agreement``)
+    pass their single-scan projection so every verdict shares one
+    corpus pass; extras ride through the output. When built here, the
+    base is lazily checkpointed: it feeds BOTH the percentile
+    aggregate and the verdict join, and the two subtrees canonicalize
+    differently after pruning, so without the cut the scoring
+    projection ran twice (the perplexity_buckets pattern; 12 B/doc)."""
+    if base is None:
+        qc = quality_columns(F.col("text"))
+        base = spread(documents).select(
+            "doc_id", "lang", qc["mean_token_len"].alias("mean_token_len")
+        ).localCheckpoint(eager=False)
     th = base.groupBy("lang").agg(
         F.round(F.expr("percentile(mean_token_len, 0.1)"), 4).alias("lang_p10"),
         F.round(F.expr("percentile(mean_token_len, 0.9)"), 4).alias("lang_p90"),
     )
     return base.join(F.broadcast(th), "lang").select(
-        "doc_id",
-        "lang",
-        "mean_token_len",
+        *base.columns,
         "lang_p10",
         "lang_p90",
         (
@@ -1137,21 +1178,37 @@ def filter_agreement(documents: DataFrame) -> DataFrame:
     Output: one row per unordered filter pair with doc counts,
     agreement rate, and each filter's keep rate.
 
-    Scale shape: three per-doc verdict projections joined on doc_id
-    (slim boolean frames — the calibration verdict needs its own
-    language-percentile aggregate, so inline composition is not
-    available), then a literal 3-pair explode and ONE tiny aggregate
-    whose output is pair-bounded (3 rows). Nothing here grows with
-    corpus size except the verdict scans themselves."""
-    g = gopher_rules(documents, min_words=40, max_words=90).select(
-        "doc_id", F.col("keep").alias("f_gopher")
-    )
+    Scale shape: ALL THREE verdicts ride one corpus scan — the Gopher
+    suite and the composite score are pure column expressions
+    (``gopher_columns`` / ``quality_columns``) projected alongside the
+    calibration input, and the language-percentile band broadcasts
+    back over the same (checkpointed) projection via
+    ``lang_quality_calibration(base=...)``. The r14 rewrite replaced
+    three separate verdict scans joined pairwise on doc_id (4 corpus
+    passes + 2 doc-sized joins in the before-plan) with one scan, one
+    language aggregate, one broadcast join. Then a literal 3-pair
+    explode and ONE tiny aggregate whose output is pair-bounded
+    (3 rows). Nothing here grows with corpus size except the single
+    verdict scan."""
+    gq = gopher_columns(F.col("text"), min_words=40, max_words=90)
     qc = quality_columns(F.col("text"))
-    q = spread(documents).select("doc_id", qc["keep"].alias("f_quality"))
-    c = lang_quality_calibration(documents).select(
-        "doc_id", (~F.col("is_outlier")).alias("f_lang_calib")
+    base = (
+        spread(documents)
+        .select(
+            "doc_id",
+            "lang",
+            qc["mean_token_len"].alias("mean_token_len"),
+            qc["keep"].alias("f_quality"),
+            gq["keep"].alias("f_gopher"),
+        )
+        .localCheckpoint(eager=False)
     )
-    v = q.join(g, "doc_id").join(c, "doc_id")
+    v = lang_quality_calibration(base=base).select(
+        "doc_id",
+        "f_quality",
+        "f_gopher",
+        (~F.col("is_outlier")).alias("f_lang_calib"),
+    )
     pair = lambda an, bn, a, b: F.struct(
         F.lit(an).alias("filter_a"),
         F.lit(bn).alias("filter_b"),
