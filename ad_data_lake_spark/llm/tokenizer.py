@@ -64,6 +64,16 @@ BPE_TOP_PAIRS = 20  # rows returned by bpe_pair_counts
 # same way).
 BPE_VOCAB_MAX = 262_144
 
+# Encode-path strategy gate (r14 optimization): when the collected word
+# table is COMPLETE (under BPE_VOCAB_MAX, so no corpus word is missing)
+# and small enough to inline as a plan literal without stressing
+# codegen, the encoders ship the whole word -> token-ids mapping into
+# the projection (every production tokenizer inlines its vocab table —
+# a GPU/CPU encode kernel IS a bounded lookup table). Above the
+# threshold the per-occurrence expression path applies (exact at any
+# vocabulary size; see bpe_encode_ids Path B).
+BPE_INLINE_VOCAB_MAX = 4096
+
 # Spark-side expression fragments (F.expr SQL so the DuckDB oracle can
 # mirror them token-for-token; see registry.py).
 _SEQ_EXPR = (
@@ -190,16 +200,35 @@ def _merge_loop(
     return merges
 
 
-def bpe_train(documents: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple[int, str, str, int]]:
-    """Train ``n_merges`` BPE merges: one distributed word-count pass,
-    then the bounded driver loop (see module docstring for the
-    scale contract). Returns [(merge_rank, lhs, rhs, pair_count)]."""
-    rows = (
+def _encode_word_syms(
+    word: str, merges: list[tuple[int, str, str, int]]
+) -> list[str]:
+    """Driver-side twin of the engine's encode expression: symbolize
+    one word and apply the merge chain as leftmost non-overlapping
+    ``str.replace`` — the exact primitive the Spark/DuckDB ``replace``
+    chain uses (see ``_merge_loop``), so the resulting symbol list is
+    identical to what ``_SEQ_EXPR`` + the replace chain produces."""
+    seq = "".join([f"<{c}>" for c in word[:-1]] + [f"<{word[-1]}{EOW}>"])
+    for _, lhs, rhs, _cnt in merges:
+        seq = seq.replace(f"<{lhs}><{rhs}>", f"<{lhs}{rhs}>")
+    return re.findall(r"<([^<>]+)>", seq)
+
+
+def _collect_word_table(documents: DataFrame) -> list:
+    """The trainer's bounded collect, shared by every encode path."""
+    return (
         word_freqs(documents)
         .orderBy(F.desc("freq"), "word")
         .limit(BPE_VOCAB_MAX)
         .collect()
     )
+
+
+def bpe_train(documents: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple[int, str, str, int]]:
+    """Train ``n_merges`` BPE merges: one distributed word-count pass,
+    then the bounded driver loop (see module docstring for the
+    scale contract). Returns [(merge_rank, lhs, rhs, pair_count)]."""
+    rows = _collect_word_table(documents)
     return _merge_loop([(r.word, r.freq) for r in rows], n_merges)
 
 
@@ -215,16 +244,53 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFr
     )
 
 
+def _doc_words() -> "F.Column":
+    """The in-order word array of one document (empty words dropped),
+    as a column expression — the zero-explode encode paths aggregate
+    over this array instead of exploding it."""
+    return F.filter(
+        F.split(F.lower(F.col("text")), WORD_SPLIT), lambda w: w != ""
+    )
+
+
 def bpe_encode_stats(
     documents: DataFrame, merges: list[tuple[int, str, str, int]] | None = None
 ) -> DataFrame:
     """(doc_id, n_words, n_tokens): per-document token counts under the
-    learned merge table — the compression-ratio report. The merge chain
-    is applied as literal nested ``replace`` calls (codegen JVM string
-    ops; the merge table is trainer-bounded, so the expression tree is
-    too); the only shuffle is the final per-doc aggregation."""
+    learned merge table — the compression-ratio report.
+
+    Fast path (complete word table under ``BPE_INLINE_VOCAB_MAX``): the
+    per-word token counts are computed ONCE on the driver from the
+    trainer's already-collected word table and inlined as a map
+    literal; the corpus pass is then a ZERO-SHUFFLE projection — no
+    explode, no per-occurrence merge chain, no re-aggregation (r14
+    A/B: 0.52 -> 0.34 s median at sf0.01 under load; plan loses the
+    Generate + both aggregate exchanges). Above the threshold — or
+    when the table was truncated at ``BPE_VOCAB_MAX`` and may miss
+    corpus words — the original per-occurrence expression path runs:
+    the merge chain as literal nested ``replace`` calls (codegen JVM
+    string ops), one per-doc aggregation shuffle. Both paths are
+    value-identical (pytest-pinned) and oracle-gated."""
+    rows = _collect_word_table(documents)
     if merges is None:
-        merges = bpe_train(documents)
+        merges = _merge_loop([(r.word, r.freq) for r in rows], BPE_MERGES)
+    # Inline only when the table is COMPLETE (under the trainer cap, so
+    # no corpus word can be missing from the map) and codegen-sized.
+    if 0 < len(rows) < BPE_VOCAB_MAX and len(rows) <= BPE_INLINE_VOCAB_MAX:
+        ntok = {r.word: len(_encode_word_syms(r.word, merges)) for r in rows}
+        kv: list = []
+        for w, n in ntok.items():
+            kv.extend((F.lit(w), F.lit(n)))
+        m = F.create_map(*kv)
+        ws = _doc_words()
+        n_tokens = F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, w: acc + F.try_element_at(m, w)
+        )
+        return documents.select(
+            "doc_id",
+            F.size(ws).cast("long").alias("n_words"),
+            n_tokens.alias("n_tokens"),
+        ).where(F.size(ws) > 0)
     per_word = (
         spread(documents)
         .select(
@@ -297,15 +363,60 @@ def bpe_encode_ids(
     tokenizer ships ids in its vocab file; alphabetical rank is the
     deterministic stand-in both engines can derive independently).
 
-    Scale shape: the merge chain applies as literal nested ``replace``
-    calls (codegen — the same bounded expression tree as encode_stats)
-    over the posexploded word stream; symbol ids attach via ONE
-    broadcast join against the bounded vocab; per-doc sequences
-    reassemble in one doc_id aggregate whose array_sort key
-    (word_pos, symbol_pos) makes the order exact, then serialize with
-    ``to_json`` (the driver-canon contract for nested results)."""
+    Scale shape, two value-identical paths (pytest-pinned equal;
+    oracle-gated):
+
+    - **Path A — inline vocab (complete word table under
+      ``BPE_INLINE_VOCAB_MAX``)**: the word -> token-id-array mapping
+      is computed once on the driver from the trainer's
+      already-collected word table (``_encode_word_syms`` — the same
+      replace primitive as the engine expression) and inlined as a map
+      literal, so the corpus pass is a ZERO-SHUFFLE projection:
+      ``flatten(transform(words, w -> map[w]))``. No per-occurrence
+      merge chain, no explode, no vocab join, no reassembly exchange
+      (r14: the before-plan scanned the corpus TWICE — the vocab
+      branch re-ran the full symbolize per occurrence — and shuffled
+      per-SYMBOL rows into the doc aggregate; A/B halved the wall).
+    - **Path B — per-occurrence expression (truncated or oversized
+      word table)**: the merge chain applies as literal nested
+      ``replace`` calls (codegen) over the posexploded word stream —
+      exact at ANY vocabulary size; symbol ids attach via ONE
+      broadcast join against the bounded vocab, which is now derived
+      from the COMPACTED word table (one cheap word-count pass)
+      instead of re-symbolizing every occurrence; per-doc sequences
+      reassemble in one doc_id aggregate whose array_sort key
+      (word_pos, symbol_pos) makes the order exact. Distinct symbols
+      over distinct words == distinct symbols over occurrences, so
+      the id space is unchanged.
+
+    Serialization: ``to_json`` (the driver-canon contract for nested
+    results) in both paths."""
+    rows = _collect_word_table(documents)
     if merges is None:
-        merges = bpe_train(documents)
+        merges = _merge_loop([(r.word, r.freq) for r in rows], BPE_MERGES)
+    if 0 < len(rows) < BPE_VOCAB_MAX and len(rows) <= BPE_INLINE_VOCAB_MAX:
+        # Path A: the complete word table is on the driver; ids are the
+        # dense alphabetical rank over exactly the observed symbols.
+        word_syms = {r.word: _encode_word_syms(r.word, merges) for r in rows}
+        vocab = {
+            s: i
+            for i, s in enumerate(sorted(set().union(*word_syms.values())))
+        }
+        kv: list = []
+        for w, syms_w in word_syms.items():
+            kv.append(F.lit(w))
+            kv.append(
+                F.array(*[F.lit(vocab[s]) for s in syms_w]).cast("array<int>")
+            )
+        m = F.create_map(*kv)
+        ws = _doc_words()
+        ids_flat = F.flatten(F.transform(ws, lambda w: F.try_element_at(m, w)))
+        return documents.select(
+            "doc_id",
+            F.to_json(ids_flat).alias("token_ids"),
+            F.size(ids_flat).cast("long").alias("n_tokens"),
+        ).where(F.size(ws) > 0)
+    # Path B: exact at any scale — per-occurrence codegen encode.
     per_word = (
         spread(documents)
         .select(
@@ -324,10 +435,20 @@ def bpe_encode_ids(
         "wpos",
         F.posexplode(F.expr(_SYMS_EXPR.format(col="encoded"))).alias("spos", "sym"),
     )
-    vw = Window.orderBy("sym")
-    vocab_ids = (
-        syms.select("sym").distinct().select("sym", (F.row_number().over(vw) - 1).alias("token_id"))
+    # Vocab from the compacted word table: one word-count aggregate +
+    # a vocabulary-bounded symbolize, not a second corpus-sized
+    # symbolize pass (the set of symbols over distinct words IS the
+    # set over occurrences).
+    wsyms = (
+        word_freqs(documents)
+        .withColumn("encoded", seq)
+        .select(
+            F.explode(F.expr(_SYMS_EXPR.format(col="encoded"))).alias("sym")
+        )
+        .distinct()
     )
+    vw = Window.orderBy("sym")
+    vocab_ids = wsyms.select("sym", (F.row_number().over(vw) - 1).alias("token_id"))
     joined = syms.join(F.broadcast(vocab_ids), "sym")
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct("wpos", "spos", "token_id"))),

@@ -152,6 +152,49 @@ def test_word_count_pass_is_single_shuffle(spark):
     assert "Join" not in plan
 
 
+def test_encode_paths_value_identical(spark, monkeypatch):
+    """The inline-vocab fast path (Path A) and the per-occurrence
+    expression path (Path B) must produce byte-identical results —
+    forcing Path B via the inline threshold pins the equivalence the
+    r14 optimization relies on."""
+    docs = load_table(spark, "documents", SF_SMOKE)
+    merges = TK.bpe_train(docs)
+    fast_ids_df = TK.bpe_encode_ids(docs, merges)
+    fast_st_df = TK.bpe_encode_stats(docs, merges)
+    fast_ids = sorted(tuple(r) for r in fast_ids_df.collect())
+    fast_st = sorted(tuple(r) for r in fast_st_df.collect())
+    monkeypatch.setattr(TK, "BPE_INLINE_VOCAB_MAX", 0)
+    slow_ids_df = TK.bpe_encode_ids(docs, merges)
+    slow_st_df = TK.bpe_encode_stats(docs, merges)
+    slow_ids = sorted(tuple(r) for r in slow_ids_df.collect())
+    slow_st = sorted(tuple(r) for r in slow_st_df.collect())
+    assert fast_ids == slow_ids and fast_ids
+    assert fast_st == slow_st and fast_st
+    # name/type parity (the cross-engine value hash depends on types;
+    # nullability flags may differ between plans and are not part of
+    # the driver contract)
+    def _nt(df):
+        return [(f.name, f.dataType) for f in df.schema.fields]
+
+    assert _nt(fast_ids_df) == _nt(slow_ids_df)
+    assert _nt(fast_st_df) == _nt(slow_st_df)
+
+
+def test_encode_ids_exact_when_word_table_truncated(spark, monkeypatch):
+    """A truncated trainer collect (BPE_VOCAB_MAX below the distinct
+    word count) must route encode to Path B and stay exact: the vocab
+    derives from the FULL word table, never the capped collect."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb"), (3, "zz")],
+        "doc_id long, text string",
+    )
+    merges = TK.bpe_train(docs, 1)
+    full = sorted(tuple(r) for r in TK.bpe_encode_ids(docs, merges).collect())
+    monkeypatch.setattr(TK, "BPE_VOCAB_MAX", 2)  # 5 distinct words > cap
+    capped = sorted(tuple(r) for r in TK.bpe_encode_ids(docs, merges).collect())
+    assert capped == full and len(full) == 3
+
+
 def test_encode_ids_consistent_with_stats_and_decodable(spark):
     """The id sequences must (a) count exactly what encode_stats
     counts per doc, (b) decode back to the encoded symbol stream via
