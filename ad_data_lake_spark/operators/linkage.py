@@ -39,8 +39,16 @@ DIRTY_OFFSET = 1_000_000
 def _trigrams(df: DataFrame, key: str, name_col: str) -> DataFrame:
     """(key, set_size, tri): one row per DISTINCT character trigram —
     codegen explode over the start-index range (the exploded_shingles
-    pattern; a transform-HOF over the index range would evaluate
-    interpreted)."""
+    pattern), deduped by one (key, tri) distinct aggregate; the
+    set size attaches as a count window over the SAME distinct output
+    (partitions are name-bounded, ~30 rows). r14: the window replaces
+    the r13 set-size aggregate + join-back, which evaluated this
+    function's whole INPUT subtree twice (6 catalog scans across the
+    query) — one subtree evaluation, one fewer exchange, zero joins.
+    (An ``array_distinct(transform(...))`` projection was A/B'd as the
+    no-explode alternative and REVERTED: the transform-HOF evaluates
+    interpreted per distinct name — the module docstring's warning,
+    re-measured at +1.2 s on the 584 distinct dirty names at sf0.1.)"""
     idx = df.select(
         key,
         F.col(name_col).alias("_n"),
@@ -53,8 +61,9 @@ def _trigrams(df: DataFrame, key: str, name_col: str) -> DataFrame:
     )
     occ = idx.select(key, F.col("_n").substr(F.col("_i"), F.lit(3)).alias("tri"))
     distinct = occ.distinct()
-    sizes = distinct.groupBy(key).agg(F.count("*").alias("set_size"))
-    return distinct.join(sizes, key)
+    return distinct.withColumn(
+        "set_size", F.count("*").over(Window.partitionBy(key))
+    )
 
 
 def planted_dirty(part: DataFrame) -> DataFrame:
@@ -98,15 +107,21 @@ def fuzzy_name_join(part: DataFrame, tau: float = FUZZY_TAU) -> DataFrame:
     cat_rep = part.groupBy("p_name").agg(F.min("p_partkey").alias("p_partkey"))
     cat = _trigrams(cat_rep, "p_partkey", "p_name")
     dirty_rows = planted_dirty(part)
-    dirty_rep = dirty_rows.groupBy("dirty_name").agg(
-        F.min("dirty_id").alias("_rep_id")
-    )
-    dirty = _trigrams(dirty_rep, "_rep_id", "dirty_name").withColumnRenamed(
+    # Key the dirty side by the NAME itself: the r13 shape minted a
+    # min-id representative (_rep_id) and joined it back at the end,
+    # but the name IS a deterministic key for its duplicate group, so
+    # the mint + join-back were two extra subtree evaluations for
+    # nothing. Matching, windowing, and the final row fan-out all key
+    # on dirty_name directly — identical output (the window partitions
+    # are the same 1:1 name groups, and the (jaccard desc, key asc)
+    # tie-break never saw the rep id).
+    dirty_names = dirty_rows.select("dirty_name").distinct()
+    dirty = _trigrams(dirty_names, "dirty_name", "dirty_name").withColumnRenamed(
         "set_size", "dirty_size"
     )
     cand = (
         dirty.join(cat.withColumnRenamed("set_size", "cat_size"), "tri")
-        .groupBy("_rep_id", "p_partkey")
+        .groupBy("dirty_name", "p_partkey")
         .agg(
             F.count("*").alias("shared"),
             F.first("dirty_size").alias("la"),
@@ -117,13 +132,12 @@ def fuzzy_name_join(part: DataFrame, tau: float = FUZZY_TAU) -> DataFrame:
         F.col("shared") / (F.col("la") + F.col("lb") - F.col("shared")), 4
     )
     scored = cand.select(
-        "_rep_id", "p_partkey", "shared", jacc.alias("jaccard")
+        "dirty_name", "p_partkey", "shared", jacc.alias("jaccard")
     ).where(F.col("jaccard") >= tau)
-    w = Window.partitionBy("_rep_id").orderBy(F.desc("jaccard"), F.asc("p_partkey"))
+    w = Window.partitionBy("dirty_name").orderBy(F.desc("jaccard"), F.asc("p_partkey"))
     best = (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") == 1)
-        .join(dirty_rep, "_rep_id")
         .select("dirty_name", "p_partkey", "shared", "jaccard")
     )
     return dirty_rows.join(best, "dirty_name").select(

@@ -109,6 +109,24 @@ def test_exact_dedup_single_shuffle(spark):
     assert p.count("Exchange") == 1 and "partial_" in p
 
 
+def test_fuzzy_trigram_sides_evaluated_once(spark):
+    """fuzzy_name_join's trigram tables attach their set sizes via a
+    count window over the distinct output, not a size aggregate joined
+    back (the r13 shape — which evaluated each side's input subtree
+    twice and re-scanned the catalog 6 times), and the dirty side keys
+    on the name itself rather than minting a rep id it must join back.
+    Pins: exactly 3 parquet scans (catalog reps, dirty trigram stream,
+    dirty row fan-out) and exactly 2 joins (trigram candidates + the
+    final name fan-out)."""
+    plan = plan_of(spark, "fuzzy_name_join")
+    assert plan.count("Scan parquet") == 3, plan
+    joins = sum(plan.count(j) for j in (
+        "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+    ))
+    assert joins == 2, plan
+
+
 def test_minhash_heavy_stage_reused(spark):
     """The minhash_prepped aggregate is materialized ONCE (lazy
     localCheckpoint) for its four consumers. ReuseExchange could not
