@@ -373,15 +373,11 @@ def min_label_components(pairs: DataFrame, max_iters: int = CLUSTER_MAX_ITERS) -
         )
     )
     # eager ON PURPOSE: the first round's count job reads edges through
-    # THREE branches (labels, l1, l2) — materializing up front runs the
-    # upstream candidate pipeline exactly once; lazy would let racing
-    # tasks re-compute it per branch before the cache lands
+    # TWO branches (l1's aggregate, l2's propagate join) — materializing
+    # up front runs the upstream candidate pipeline exactly once; lazy
+    # would let racing tasks re-compute it per branch before the cache
+    # lands
     edges = edges.localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-    )
 
     def _propagate(lbl: DataFrame) -> DataFrame:
         nbr_min = (
@@ -409,8 +405,27 @@ def min_label_components(pairs: DataFrame, max_iters: int = CLUSTER_MAX_ITERS) -
     # copies, diameter ≤ 2) finishes with ONE checkpoint + ONE scalar
     # count instead of two of each — half the driver-side actions at
     # identical labels.
+    #
+    # Round 1 is special-cased (r15): propagating the IDENTITY labeling
+    # needs no label table at all — every vertex appears as doc_a of
+    # the bidirectional edge list, so min(label(self) ∪ label(N)) is
+    # just least(doc_a, min(doc_b)) in ONE aggregate, dropping the
+    # identity-distinct and its left join from the first (usually only)
+    # round's DAG. Labels are identical by definition of the identity
+    # start (pinned by the union-find equivalence suites).
+    labels: DataFrame | None = None
     for _ in range(max(1, max_iters // 2)):
-        l1 = _propagate(labels)
+        if labels is None:
+            l1 = (
+                edges.groupBy("doc_a")
+                .agg(F.min("doc_b").alias("_mb"))
+                .select(
+                    F.col("doc_a").alias("doc_id"),
+                    F.least("_mb", "doc_a").alias("label"),
+                )
+            )
+        else:
+            l1 = _propagate(labels)
         l2 = _propagate(l1).withColumnRenamed("label", "l2")
         both = (
             l1.join(l2, "doc_id")
@@ -850,42 +865,53 @@ def novelty_profile(corpus: DataFrame, hash_family: str = "md5") -> DataFrame:
     when packing a training mix; near-zero novelty flags mirrors and
     templates that per-pair dedup misses).
 
-    TWO hash-partitioned exchanges, none carrying text: one
-    shingle-hash aggregate computes the first owner (min) AND the
-    distinct member set per hash (collect_set dedups occurrences, so
-    no separate distinct pass), then the exploded memberships feed the
-    per-doc ratio aggregate. (The previous form spent a third
-    exchange: distinct (h60, doc_id) groupBy → re-exchange on h60 for
-    a min window → doc aggregate; r14 re-measure: 1.74 s → 1.39 s
-    median at sf0.1, values identical.) Per-hash member sets
-    concentrate a corpus-wide boilerplate shingle into one aggregate
-    cell — the same single-key concentration the window form's h60
-    partition had; corpora whose worst shingle appears in ~billions of
-    documents should pre-filter the frequency head (the
-    remove_boilerplate broadcast set) before profiling novelty.
+    Skew-proof shape (r15; the r14 form held each hash's member set in
+    ONE collect_set cell, so a corpus-wide boilerplate shingle at
+    100 TB concentrated ~every doc_id into a single aggregate cell —
+    an executor OOM AQE cannot split, aggregates having no skew
+    handling): no membership set is ever built. The key identity is
+    that ``n_novel(doc) = |{h : min-owner(h) = doc}|`` — a COUNT over
+    the per-hash min-owner table, no membership join needed. Three
+    hash exchanges, none carrying text, every cell a mergeable scalar:
+
+    1. distinct (h60, doc_id) — keyed by the PAIR, so a hot shingle
+       spreads over all partitions (checkpointed: two consumers prune
+       different columns, which defeats ReuseExchange — the r14
+       lesson);
+    2. min(doc_id) per h60 — map-side partial min, one scalar per
+       cell: the hot shingle ships ≤ one 16 B row per map partition;
+    3. the per-doc count aggregate over the union of (pair rows →
+       n_shingles) and (owner rows → n_novel) — map-side partial sums.
+
     The 60-bit md5-prefix hash keys the shuffle (20 B/row) and is
     reproduced bit-for-bit by the DuckDB oracle; pass
     ``hash_family="xxhash64"`` for the cheaper production family.
     Documents with fewer than 3 words have no shingles and are
     excluded (mirrored by the oracle)."""
-    owners = (
+    d = (
         _exploded_shingle_hashes(corpus, hash_family)
-        .groupBy("h60")
-        .agg(
-            F.min("doc_id").alias("first_doc"),
-            F.collect_set("doc_id").alias("_docs"),
+        .select("h60", "doc_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    owners = d.groupBy("h60").agg(F.min("doc_id").alias("first_doc"))
+    contrib = d.select(
+        "doc_id", F.lit(1).alias("_s"), F.lit(0).alias("_v")
+    ).unionByName(
+        owners.select(
+            F.col("first_doc").alias("doc_id"),
+            F.lit(0).alias("_s"),
+            F.lit(1).alias("_v"),
         )
     )
     return (
-        owners.select("first_doc", F.explode("_docs").alias("doc_id"))
-        .groupBy("doc_id")
+        contrib.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_shingles"),
-            # count(when) not sum(when): DuckDB sum(int) is HUGEINT,
-            # count FILTER is BIGINT — keeps the oracle schema aligned
-            F.count(
-                F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1))
-            ).alias("n_novel"),
+            # sum(int) is BIGINT in Spark, matching the oracle's count
+            # FILTER (DuckDB sum(int) would be HUGEINT on ITS side; the
+            # oracle keeps count FILTER, unchanged)
+            F.sum("_s").alias("n_shingles"),
+            F.sum("_v").alias("n_novel"),
         )
         .select(
             "doc_id",

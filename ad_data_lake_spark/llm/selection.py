@@ -74,6 +74,15 @@ _BITMAP_CACHE: dict[tuple, list[int]] = {}
 _BITMAP_CACHE_MAX = 64
 
 
+def clear_bitmap_cache() -> None:
+    """Bench-contract hook (r14 verdict #2): a memoized intermediate
+    keyed on the test data must not let a timed bench pass skip the
+    model build the oracle re-does every run. bench.py calls this
+    before every timed query invocation; production callers never
+    need to."""
+    _BITMAP_CACHE.clear()
+
+
 def _plan_key(df: DataFrame) -> int | None:
     """Semantic hash of the analyzed logical plan — stable across
     re-derivations of the same frame, distinct across source paths

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -881,6 +882,41 @@ def _topk_lsh_multitable(
     return _ranked(pairs, k).select("query_id", "vec_id", "cosine_sim", "rank")
 
 
+# Source-size gate for the adaptive LSH scoring path (bytes of input
+# parquet). Below it the broadcast-pair form wins (per-group pandas
+# overhead of the cogroup dominates tiny pair volumes); above it the
+# cogrouped per-bucket BLAS wins (pair-row shuffle grows ~quadratically
+# in bucket occupancy while the cogroup moves each vector once).
+# Crossover measured r15 on ×10/×30-replicated sf0.1 embeddings (see
+# OPTIMIZATION_r15.md); env-tunable for clusters whose Python-worker
+# fan-out cost differs.
+LSH_COGROUP_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LSH_COGROUP_MIN_BYTES", str(8 * 1024 * 1024))
+)
+
+
+def _source_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes behind a DataFrame's file sources — a
+    driver-side listing (``inputFiles()``; no job), the same probe the
+    Bloom-model memo key uses. ``None`` (non-file source, listing
+    failure) means "size unknown": callers take their scale-safe
+    branch."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        path = uri[len("file:") :] if uri.startswith("file:") else uri
+        try:
+            total += os.stat(path).st_size
+        except OSError:
+            return None
+    return total
+
+
 def topk_lsh(
     embeddings: DataFrame,
     query_mod: int = 97,
@@ -904,19 +940,28 @@ def topk_lsh(
     only fans out the tiny query side — the vector table is still
     bucketed once and never duplicated.
 
-    Scale shape (r14 re-plan): scoring is a COGROUP by bucket — one
-    BLAS matmul of the bucket's queries x candidates per group, each
-    query emitting only its bucket-local top-k — instead of the
-    pair-exploding join + per-pair cosine + pair-level window it
-    replaced. The old form shuffled |bucket| x queries-per-bucket PAIR
-    rows (each carrying two dim-length arrays) into the ranking
-    exchange — ~40 M rows at sf10, the whole wall; the cogroup moves
-    each vector once (grouped by bucket) and ranks masks x queries x k
-    candidate rows. Any global top-k pair is top-k within its own
-    bucket (a pair exists in exactly one bucket — the candidate's), so
-    bucket-local pruning is lossless, same argument as
-    ``topk_bruteforce``'s batch-local top-k. Measured sf10: 9.6 s ->
-    2.4 s on the same fixture. At 100 TB the bucket is the partition
+    Scale shape (r14 re-plan, r15 size-adaptive): ABOVE
+    ``LSH_COGROUP_MIN_BYTES`` of source parquet, scoring is a COGROUP
+    by bucket — one BLAS matmul of the bucket's queries x candidates
+    per group, each query emitting only its bucket-local top-k —
+    instead of the pair-exploding join + per-pair cosine + pair-level
+    window it replaced. The old form shuffled |bucket| x
+    queries-per-bucket PAIR rows (each carrying two dim-length arrays)
+    into the ranking exchange — ~40 M rows at sf10, the whole wall; the
+    cogroup moves each vector once (grouped by bucket) and ranks masks
+    x queries x k candidate rows. Any global top-k pair is top-k within
+    its own bucket (a pair exists in exactly one bucket — the
+    candidate's), so bucket-local pruning is lossless, same argument as
+    ``topk_bruteforce``'s batch-local top-k. BELOW the threshold the
+    pair volume is trivially small and the 256-cogroup fan-out IS the
+    wall (the r14 sf0.1 regression, 0.77 -> 1.30 s: hundreds of tiny
+    pandas groups cost more than the pairs they avoid), so the
+    broadcast-pair form runs instead — value-identical (both round to
+    6 dp BEFORE the identical (sim desc, vec_id asc) ranking, and both
+    score exactly the same-bucket non-self pairs; pinned equal in
+    tests/test_ann_recall.py). The size probe is a driver-side
+    file listing (no job); unknown-size sources (in-memory frames)
+    take the scale-safe cogroup. At 100 TB the bucket is the partition
     key and N_PLANES is the bucket-count lever."""
     if n_tables > 1:
         return _topk_lsh_multitable(embeddings, query_mod, k, probe_hamming, n_tables)
@@ -941,6 +986,23 @@ def topk_lsh(
         )
         .drop("own_bucket")
     )
+    src = _source_bytes(embeddings)
+    if src is not None and src < LSH_COGROUP_MIN_BYTES:
+        pairs = (
+            c.join(
+                F.broadcast(q),
+                (q["bucket"] == c["bucket"]) & (q["query_id"] != c["vec_id"]),
+            )
+            .select(
+                "query_id",
+                c["bucket"].alias("bucket"),
+                "vec_id",
+                cosine6_pd(F.col("qv"), F.col("cv")).alias("cosine_sim"),
+            )
+        )
+        return _ranked(pairs, k).select(
+            "query_id", "bucket", "vec_id", "cosine_sim", "rank"
+        )
 
     def score(cand: pd.DataFrame, qs: pd.DataFrame) -> pd.DataFrame:
         cols = ["query_id", "bucket", "vec_id", "cosine_sim"]

@@ -92,7 +92,15 @@ def word_freqs(documents: DataFrame) -> DataFrame:
     loss (0.65 s vs 0.31 s trainer wall); at scale the scan splits
     naturally and parallelism comes for free. Contrast
     ``bpe_pair_counts``, whose per-occurrence symbolize IS
-    compute-bound and keeps the fan-out (its A/B ran the other way)."""
+    compute-bound and keeps the fan-out (its A/B ran the other way).
+
+    INVARIANT (Path A completeness): this split —
+    ``split(lower(text), WORD_SPLIT)`` minus empties — MUST stay
+    normalization-identical to ``_doc_words()``. The inline-vocab
+    encode paths look every corpus word up in a map built from THIS
+    table; a word the map misses silently NULLs the doc's whole
+    token output via try_element_at (no loud failure), so any change
+    here must change ``_doc_words`` in lockstep (and vice versa)."""
     words = documents.select(
         F.explode(F.split(F.lower(F.col("text")), WORD_SPLIT)).alias("word")
     ).where(F.col("word") != "")
@@ -224,6 +232,21 @@ def _collect_word_table(documents: DataFrame) -> list:
     )
 
 
+def _probe_word_table(documents: DataFrame) -> list | None:
+    """Cheap inline-path probe for encode calls that BRING their own
+    merges (r14 advice: those calls paid the full 262k-row sorted
+    trainer collect just to pick a path, and Path B then re-counted the
+    corpus a second time for its vocab). ``limit(INLINE_MAX + 1)``
+    needs no sort and collects at most 4097 rows: if fewer than the
+    limit come back, that IS the complete word table (complete AND
+    inline-sized, the Path A precondition — completeness w.r.t.
+    BPE_VOCAB_MAX is implied since INLINE_MAX < VOCAB_MAX); if the
+    limit fills, the probe says nothing more than "take Path B", and
+    WHICH 4097 rows it returned never matters."""
+    rows = word_freqs(documents).limit(BPE_INLINE_VOCAB_MAX + 1).collect()
+    return rows if 0 < len(rows) <= BPE_INLINE_VOCAB_MAX else None
+
+
 def bpe_train(documents: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple[int, str, str, int]]:
     """Train ``n_merges`` BPE merges: one distributed word-count pass,
     then the bounded driver loop (see module docstring for the
@@ -271,13 +294,25 @@ def bpe_encode_stats(
     the merge chain as literal nested ``replace`` calls (codegen JVM
     string ops), one per-doc aggregation shuffle. Both paths are
     value-identical (pytest-pinned) and oracle-gated."""
-    rows = _collect_word_table(documents)
     if merges is None:
+        rows = _collect_word_table(documents)
         merges = _merge_loop([(r.word, r.freq) for r in rows], BPE_MERGES)
-    # Inline only when the table is COMPLETE (under the trainer cap, so
-    # no corpus word can be missing from the map) and codegen-sized.
-    if 0 < len(rows) < BPE_VOCAB_MAX and len(rows) <= BPE_INLINE_VOCAB_MAX:
-        ntok = {r.word: len(_encode_word_syms(r.word, merges)) for r in rows}
+        # Inline only when the table is COMPLETE (under the trainer
+        # cap, so no corpus word can be missing from the map — the
+        # word_freqs/_doc_words normalization invariant) and
+        # codegen-sized.
+        inline_rows = (
+            rows
+            if 0 < len(rows) < BPE_VOCAB_MAX and len(rows) <= BPE_INLINE_VOCAB_MAX
+            else None
+        )
+    else:
+        # Caller brought merges: probe instead of the full sorted
+        # trainer collect (r15 guard — this path paid the 262k-row
+        # collect just to pick a branch).
+        inline_rows = _probe_word_table(documents)
+    if inline_rows is not None:
+        ntok = {r.word: len(_encode_word_syms(r.word, merges)) for r in inline_rows}
         kv: list = []
         for w, n in ntok.items():
             kv.extend((F.lit(w), F.lit(n)))
@@ -391,13 +426,25 @@ def bpe_encode_ids(
 
     Serialization: ``to_json`` (the driver-canon contract for nested
     results) in both paths."""
-    rows = _collect_word_table(documents)
+    complete_rows: list | None = None
     if merges is None:
+        rows = _collect_word_table(documents)
         merges = _merge_loop([(r.word, r.freq) for r in rows], BPE_MERGES)
-    if 0 < len(rows) < BPE_VOCAB_MAX and len(rows) <= BPE_INLINE_VOCAB_MAX:
+        # len(rows) < BPE_VOCAB_MAX means the sorted-limit collect was
+        # NOT truncated: `rows` is the complete word table.
+        complete_rows = rows if 0 < len(rows) < BPE_VOCAB_MAX else None
+        inline_rows = (
+            rows
+            if complete_rows is not None and len(rows) <= BPE_INLINE_VOCAB_MAX
+            else None
+        )
+    else:
+        inline_rows = _probe_word_table(documents)
+        complete_rows = inline_rows
+    if inline_rows is not None:
         # Path A: the complete word table is on the driver; ids are the
         # dense alphabetical rank over exactly the observed symbols.
-        word_syms = {r.word: _encode_word_syms(r.word, merges) for r in rows}
+        word_syms = {r.word: _encode_word_syms(r.word, merges) for r in inline_rows}
         vocab = {
             s: i
             for i, s in enumerate(sorted(set().union(*word_syms.values())))
@@ -438,10 +485,18 @@ def bpe_encode_ids(
     # Vocab from the compacted word table: one word-count aggregate +
     # a vocabulary-bounded symbolize, not a second corpus-sized
     # symbolize pass (the set of symbols over distinct words IS the
-    # set over occurrences).
+    # set over occurrences). When the trainer's collect already proved
+    # the table COMPLETE (merely too large to inline), the word list is
+    # on the driver — reuse it and skip even that aggregate (r15 guard;
+    # a truncated table must re-count, exactness beats the pass).
+    if complete_rows is not None:
+        wsrc = documents.sparkSession.createDataFrame(
+            [(r.word,) for r in complete_rows], "word string"
+        )
+    else:
+        wsrc = word_freqs(documents)
     wsyms = (
-        word_freqs(documents)
-        .withColumn("encoded", seq)
+        wsrc.withColumn("encoded", seq)
         .select(
             F.explode(F.expr(_SYMS_EXPR.format(col="encoded"))).alias("sym")
         )

@@ -630,18 +630,24 @@ def test_keep_best_window_and_rollup_share_one_label_exchange(spark):
 
 
 def test_novelty_profile_has_no_joins(spark):
-    """novelty_profile: first-owner and member set from ONE shingle-
-    hash aggregate (min + collect_set), memberships exploded into the
-    doc aggregate — no join operator anywhere, map-side partial
-    aggregation on the shingle stream, and exactly TWO hash exchanges
-    (the r14 rewrite removed the third: distinct pre-aggregate +
-    re-exchange for a min window)."""
+    """novelty_profile: skew-proof shape (r15) — NO membership set is
+    ever built (the r14 collect_set held a hot shingle's every member
+    in one aggregate cell, an OOM AQE cannot split), first-owner is a
+    mergeable partial_min, the distinct pair table is checkpointed once
+    for its two consumers, and per-doc counts come from a union + sum
+    aggregate. Still no join operator anywhere; exactly TWO hash
+    exchanges above the checkpoint (owner aggregate + doc aggregate;
+    the pair-keyed distinct exchange lives inside the checkpointed
+    subplan, keeping the r14 total of ≤3)."""
     plan = plan_of(spark, "novelty_profile")
     assert "Join" not in plan
-    assert "partial_min" in plan  # h60 aggregate combines map-side
+    assert "collect_set" not in plan  # the skew cell must not return
+    assert "partial_min" in plan  # h60 owner aggregate combines map-side
+    assert "Scan ExistingRDD" in plan  # the checkpointed pair table
+    assert "Union" in plan
     assert plan.count("Exchange hashpartitioning") == 2, (
-        "novelty_profile must spend exactly two exchanges: the h60 "
-        "owner/member aggregate and the per-doc ratio aggregate"
+        "novelty_profile must spend exactly two exchanges above the "
+        "checkpoint: the h60 owner aggregate and the per-doc aggregate"
     )
 
 
