@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ad_data_lake_spark.llm.dedup import _exploded_shingle_hashes
+from ad_data_lake_spark.llm.dedup import doc_distinct_shingle_h60s
 from ad_data_lake_spark.llm.text import words
 
 # (name, cumulative upper bound in percent): 90/5/5
@@ -226,24 +226,21 @@ def contamination_check(
         benchmark = corpus.where(F.col("doc_id") % benchmark_mod == 0)
         corpus = corpus.where(F.col("doc_id") % benchmark_mod != 0)
     bench_hashes = (
-        _exploded_shingle_hashes(benchmark).select("h60").distinct()
+        doc_distinct_shingle_h60s(benchmark).select("h60").distinct()
     )
-    # ONE join, one dedup aggregate, one count aggregate: a broadcast
-    # LEFT join marks each corpus shingle occurrence with a hit flag;
-    # a (doc_id, h60) groupBy dedupes occurrences ONCE (map-side
-    # partial combine carries only distinct pairs into the shuffle);
-    # then plain count/count_if per doc_id — no distinct-aggregate
-    # Expand doubling rows, no flagged/totals join-back (the round-4
-    # shape ran two aggregations over the same exploded shingles plus
-    # a doc_id join between them). Measured 1.7 s → 1.2 s at sf0.1 vs
-    # the two-count_distinct single-groupBy alternative.
-    doc_hashes = _exploded_shingle_hashes(corpus).select("doc_id", "h60")
+    # ONE join, one count aggregate (r15): the Arrow kernel emits the
+    # corpus stream ALREADY distinct per (doc_id, h60) — a document is
+    # row-atomic, so per-doc np.unique IS the pair dedup — which
+    # removes both the JVM md5-per-occurrence explode and the
+    # (doc_id, h60) dedup-aggregate EXCHANGE the r11 shape paid. The
+    # broadcast LEFT join marks each distinct pair with a hit flag,
+    # then plain count/count_if per doc_id.
+    doc_hashes = doc_distinct_shingle_h60s(corpus)
     marked = doc_hashes.join(
         F.broadcast(bench_hashes.withColumn("_hit", F.lit(True))), "h60", "left"
     )
-    dedup = marked.groupBy("doc_id", "h60").agg(F.max("_hit").alias("_hit"))
     return (
-        dedup.groupBy("doc_id")
+        marked.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
             F.count_if(F.col("_hit")).alias("n_shared"),

@@ -214,22 +214,137 @@ def minhash_sigs(corpus: DataFrame, hash_family: str = "md5") -> DataFrame:
     )
 
 
-def minhash_prepped(corpus: DataFrame, hash_family: str = "md5") -> DataFrame:
-    """(doc_id, sig, jset) in ONE aggregate: the 9 signature entries as
-    codegen'd min() over the permuted 28-bit hashes plus the 60-bit
-    shingle set (Jaccard verification input) as collect_set — one
-    shuffle on doc_id, partial aggregation map-side. min() is invariant
-    to shingle multiplicity and collect_set is a set, so values match
-    the per-row array formulation (and the DuckDB oracle).
+_PREPPED_SCHEMA = "doc_id long, sig array<long>, jset array<long>"
+_DOC_H60_SCHEMA = "doc_id long, h60 long"
 
-    Cost note: carrying the jset makes this shuffle the widest stage
-    in the pair pipeline, but the one-aggregate form lets ALL FOUR
-    consumers (two band sides, two verify sides) share a single
-    exchange — measured faster end-to-end at fixture scale than the
-    two-tier alternative (sig-only aggregate + candidate-filtered jset
-    pass), which runs two extra corpus stages. At extreme corpus-to-
-    duplicate ratios the two-tier shape wins on shuffle bytes: build it
-    from ``minhash_sigs`` + ``candidate_jsets`` below."""
+
+def _doc_shingle_h60s(text, md5, ws):
+    """Per-document 60-bit shingle hashes (one per 3-word shingle
+    occurrence, int64) — the Python twin of ``_exploded_shingle_hashes``
+    for one row. None for null / sub-3-token texts (the explode's size
+    guard). hashlib.md5 hex == F.md5 to the character and
+    int(hex[:15], 16) == conv(substring(m,1,15),16,10)."""
+    import numpy as np
+
+    if text is None:
+        return None
+    toks = ws.split(text.strip(" "))
+    if len(toks) < 3:
+        return None
+    return np.fromiter(
+        (
+            int(
+                md5((" ".join(toks[i : i + 3])).encode("utf-8")).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(toks) - 2)
+        ),
+        dtype=np.int64,
+    )
+
+
+def _doc_h60_partials(batches):
+    """Arrow-batch kernel: (doc_id, h60) with h60 DISTINCT per document
+    — a document is row-atomic, so per-doc np.unique IS the global
+    (doc_id, h60) distinct, with zero exchange (the JVM form paid a
+    corpus explode + md5 per occurrence + a distinct/dedup aggregate
+    exchange). Consumers: ngram_jaccard_pairs, novelty_profile,
+    bloom_decontaminate, contamination_check."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    md5 = hashlib.md5
+    ws = _re.compile(r"\s+", _re.ASCII)
+    for pdf in batches:
+        ids, hs = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            h60s = _doc_shingle_h60s(text, md5, ws)
+            if h60s is None:
+                continue
+            u = np.unique(h60s)
+            ids.append(np.full(len(u), doc_id, dtype=np.int64))
+            hs.append(u)
+        if ids:
+            yield pd.DataFrame(
+                {"doc_id": np.concatenate(ids), "h60": np.concatenate(hs)}
+            )
+
+
+def doc_distinct_shingle_h60s(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, h60), h60 distinct within each document — globally
+    distinct as (doc_id, h60) pairs by row atomicity. md5 family only
+    (the oracle path); xxhash64 callers keep the JVM explode."""
+    src = df.select(F.col(id_col).alias("doc_id"), "text")
+    return spread(src).mapInPandas(_doc_h60_partials, _DOC_H60_SCHEMA)
+
+
+# Tokenizer parity: ASCII-mode \s == the Java \s class words() splits
+# on; strip(" ") == F.trim's 0x20-only trim — the SAME contract
+# llm/retrieval.py's Arrow kernel pins in tests (empty/whitespace/null
+# edges included).
+def _prepped_partials(batches):
+    """Arrow-batch kernel for ``minhash_prepped`` (md5 family): a
+    document is row-atomic, so shingles, md5 prefixes, the 9 permuted
+    mins AND the distinct-h60 set are all batch-local — the whole
+    (doc_id, sig, jset) table computes with ZERO exchange and no
+    per-shingle interpreted expression. hashlib.md5 hex == F.md5 to
+    the character; int(hex[:15], 16) == conv(substring(m,1,15),16,10);
+    products stay < 2^60 so int64 math is exact. Sub-3-token and null
+    texts emit nothing, exactly like the explode's size guard."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    md5 = hashlib.md5
+    ws = _re.compile(r"\s+", _re.ASCII)
+    coeffs = MINHASH_COEFFS
+    p = MINHASH_P
+    for pdf in batches:
+        out_id: list = []
+        out_sig: list = []
+        out_js: list = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            h60s = _doc_shingle_h60s(text, md5, ws)
+            if h60s is None:
+                continue
+            h28 = h60s >> 32
+            out_id.append(doc_id)
+            out_sig.append([int(((h28 * a + b) % p).min()) for a, b in coeffs])
+            out_js.append(np.unique(h60s))
+        yield pd.DataFrame({"doc_id": out_id, "sig": out_sig, "jset": out_js})
+
+
+def minhash_prepped(corpus: DataFrame, hash_family: str = "md5") -> DataFrame:
+    """(doc_id, sig, jset): the 9 signature entries (min over the
+    permuted 28-bit hashes) plus the 60-bit shingle set (Jaccard
+    verification input) — the one corpus pass every pair-pipeline
+    consumer shares (checkpointed by the callers).
+
+    md5 family (the oracle path): ONE Arrow pass (r15) — a document is
+    row-atomic, so sig and jset are batch-local and the aggregate
+    exchange disappears entirely; the per-shingle md5 + permutation
+    math runs in numpy/hashlib instead of per-row JVM expressions
+    (guide §4.2). Values pinned identical to the JVM aggregate
+    (sig exactly, jset as a set — collect_set order was never defined)
+    in tests/test_llm_pipeline.py; interleaved A/B: 0.67 -> 0.45 s at
+    sf0.1, 2.19 -> 0.94 s on the ×10 replica probe.
+
+    xxhash64 family (production): Spark's codegen'd hash is not
+    reproducible in Python, so the original one-aggregate JVM form
+    runs — codegen'd min() + collect_set with map-side partials, one
+    shuffle on doc_id. (A two-tier variant — narrow sig aggregate +
+    candidate-filtered jset pass — is available from
+    ``minhash_sigs``/``candidate_jsets`` for corpora whose shingle
+    sets dominate shuffle bytes.)"""
+    if hash_family == "md5":
+        return spread(corpus.select("doc_id", "text")).mapInPandas(
+            _prepped_partials, _PREPPED_SCHEMA
+        )
     ex = _exploded_shingle_hashes(corpus, hash_family)
     aggs = [
         F.min((F.col("h28") * a + b) % MINHASH_P).alias(f"_m{i}")
@@ -632,6 +747,12 @@ def ngram_jaccard_pairs(corpus: DataFrame, mod: int = 50) -> DataFrame:
     # trade-off: localCheckpoint partitions are executor-local (no
     # recompute path on executor loss) — see the fuller note in
     # webgraph.pagerank_rank; prefer checkpoint() under executor churn.
+    # r15 tried-and-REVERTED: sourcing hs from the Arrow kernel
+    # (doc_distinct_shingle_h60s) measured FLAT at sf0.1 (1.25 s both)
+    # and 1.5x SLOWER at the ×10 probe (10.6 → 16.1 s) — unlike the
+    # bloom/contamination probes, this stream is checkpointed and only
+    # its distinct exchange was removable, and shipping the ~2.5 M-row
+    # stream through Arrow into the cache lost to the codegen explode.
     hs = (
         _exploded_shingle_hashes(corpus)
         .select("doc_id", (F.col("doc_id") % mod).alias("bucket"), "h60")
@@ -888,12 +1009,17 @@ def novelty_profile(corpus: DataFrame, hash_family: str = "md5") -> DataFrame:
     ``hash_family="xxhash64"`` for the cheaper production family.
     Documents with fewer than 3 words have no shingles and are
     excluded (mirrored by the oracle)."""
-    d = (
-        _exploded_shingle_hashes(corpus, hash_family)
-        .select("h60", "doc_id")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if hash_family == "md5":
+        # Arrow kernel: per-doc np.unique IS the (h60, doc_id) distinct
+        # (row atomicity), zero exchange — see doc_distinct_shingle_h60s
+        d = doc_distinct_shingle_h60s(corpus).localCheckpoint(eager=False)
+    else:
+        d = (
+            _exploded_shingle_hashes(corpus, hash_family)
+            .select("h60", "doc_id")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     owners = d.groupBy("h60").agg(F.min("doc_id").alias("first_doc"))
     contrib = d.select(
         "doc_id", F.lit(1).alias("_s"), F.lit(0).alias("_v")

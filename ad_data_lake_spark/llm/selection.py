@@ -36,7 +36,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ad_data_lake_spark.llm.curation import BENCHMARK_MOD
-from ad_data_lake_spark.llm.dedup import _exploded_shingle_hashes
+from ad_data_lake_spark.llm.dedup import (
+    _exploded_shingle_hashes,  # noqa: F401 - kept for xxhash64 callers/tests
+    doc_distinct_shingle_h60s,
+)
 from ad_data_lake_spark.llm.text import words
 
 # Bloom geometry: m bits in 63-bit words (bit index never reaches the
@@ -136,7 +139,9 @@ def bloom_bitmap(reference: DataFrame) -> list[int]:
     )
     if cache_key is not None and cache_key in _BITMAP_CACHE:
         return _BITMAP_CACHE[cache_key]
-    hashes = _exploded_shingle_hashes(reference).select("h60").distinct()
+    # Arrow kernel (r15): per-doc-distinct rows in, one global distinct
+    # over far fewer rows (cross-doc overlap only) before the fan-out.
+    hashes = doc_distinct_shingle_h60s(reference).select("h60").distinct()
     pos = hashes.select(
         F.explode(F.array(*_probe_positions(F.col("h60")))).alias("p")
     )
@@ -184,7 +189,11 @@ def bloom_decontaminate(
         mask = F.pow(F.lit(2.0), (p % _WORD_BITS).cast("int")).cast("long")
         test = F.element_at(bitmap, word.cast("int")).bitwiseAND(mask) != 0
         hit = test if hit is None else (hit & test)
-    dedup = _exploded_shingle_hashes(corpus).select("doc_id", "h60").distinct()
+    # r15: the distinct (doc_id, h60) probe stream comes from the Arrow
+    # kernel — per-doc np.unique IS the pair distinct (row atomicity),
+    # so the corpus explode + md5-per-occurrence + dedup EXCHANGE are
+    # gone; the only shuffle left is the per-doc count aggregate.
+    dedup = doc_distinct_shingle_h60s(corpus)
     return (
         dedup.withColumn("hit", hit)
         .groupBy("doc_id")

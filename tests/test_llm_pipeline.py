@@ -1300,3 +1300,38 @@ def test_video_frame_stats_mp4_batched_equals_vendored_path(spark):
     )
     assert len(a) == len(b) > 0
     assert a == b
+
+
+def test_minhash_prepped_arrow_matches_jvm_aggregate(documents):
+    """The r15 Arrow kernel for minhash_prepped (md5 family) must match
+    the JVM explode+aggregate form exactly: sig arrays element-for-
+    element, jset as a SET (collect_set order was never defined; the
+    kernel emits sorted-unique). The JVM form is reconstructed here
+    verbatim so a kernel regression fails against the original
+    semantics, not against itself."""
+    from pyspark.sql import functions as F
+
+    ex = D._exploded_shingle_hashes(documents, "md5")
+    aggs = [
+        F.min((F.col("h28") * a + b) % D.MINHASH_P).alias(f"_m{i}")
+        for i, (a, b) in enumerate(D.MINHASH_COEFFS)
+    ]
+    aggs.append(F.collect_set("h60").alias("jset"))
+    jvm = (
+        ex.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(
+                *[F.col(f"_m{i}") for i in range(len(D.MINHASH_COEFFS))]
+            ).alias("sig"),
+            "jset",
+        )
+    )
+    a = {r.doc_id: (tuple(r.sig), frozenset(r.jset)) for r in jvm.collect()}
+    b = {
+        r.doc_id: (tuple(r.sig), frozenset(r.jset))
+        for r in D.minhash_prepped(documents, "md5").collect()
+    }
+    assert a == b
+    assert len(a) > 0

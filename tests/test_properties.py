@@ -426,3 +426,67 @@ def test_commit_protocol_invariants_under_random_schedules(ops, retain):
             )
             assert len(state.versions) <= max(max_retain, retain) + 1
             assert state.current == current
+
+
+def test_dynamic_json_python_twin_byte_equal(spark):
+    """The Arrow-batched Python sanitizer (r15, the benched path) must
+    stay BYTE-identical to the Catalyst expression form (the reference
+    twin) — adversarial payloads over the rule alphabet: invalid JSON,
+    bare/array/null top levels, NaN/Infinity literals (Jackson rejects,
+    Python json would accept — the twin must too), duplicate keys,
+    unicode escapes, scalar strings that LOOK like objects/arrays,
+    nested drift at every depth, big integers, and the fixture
+    template's own shapes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ad_data_lake_spark.functions.dynamic_json import sanitize_json_fragment
+    from ad_data_lake_spark.functions.dynamic_json_py import _sanitize
+
+    fixed = [
+        "not json at all",
+        "",
+        "null",
+        "3",
+        '[1,2]',
+        '{"a": NaN}',
+        '{"a": Infinity}',
+        '{"dup": 1, "dup": 2}',
+        '{"u": "\\u00e9", "esc": "says \\"hi\\" a\\\\b"}',
+        '{"s": "{looks like obj", "t": "[looks like arr"}',
+        '{"s": "{\\"campaign_id\\": \\" 7 \\", \\"pad\\": \\"007\\"}"}',
+        '{"special_ad_categories": "[\\" A \\", \\"\\"]"}',
+        '{"special_ad_categories": [" A ", "", 12, null, {"o":1}]}',
+        '{"special_ad_categories": "[broken"}',
+        '{"big": 123456789012345678901234567890}',
+        '{"n18": "999999999999999999", "n19": "9999999999999999999"}',
+        '{"a": {"b": {"c": {"d": {"e": "deep"}}}}}',
+        '{"x_id": 5, "y_ids": " 6 ", "id": "007"}',
+        '{"v": " -00012 ", "w": "-1.50", "t": " true", "f": "false"}',
+        '{"levels": [ {"o": 1}, [2], "s" ]}',
+        '{"a": 1.5, "b": {"k": 2}, "c": true, "d": null, "e": ""}',
+        '{"empty_obj": {}, "empty_arr": []}',
+    ]
+    rng = random.Random(15)
+    vals = ['"007"', '" 12.5"', '""', '"x y"', '"true"', "3", '"-8"',
+            '[" a ","","b"]', '{"inner_id":"05","w":" 9.25"}', '"1e3"',
+            '{"deep":{"deeper":{"deepest":"v","pad":"01"}}}', "null", "true"]
+    keys = ["alpha", "beta_id", "special_ad_categories", "gamma", "n_items",
+            "zz", "brand_safety_content_filter_levels", "account_id"]
+    payloads = list(fixed)
+    for _ in range(60):
+        ks = rng.sample(keys, rng.randrange(1, len(keys) + 1))
+        body = ",".join(f'"{k}":{rng.choice(vals)}' for k in ks)
+        payloads.append("{" + body + "}")
+
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    ref = [
+        r.s
+        for r in df.select(
+            sanitize_json_fragment(F.col("payload")).alias("s")
+        ).collect()
+    ]
+    got = [_sanitize(p) for p in payloads]
+    for p, a, b in zip(payloads, ref, got):
+        assert a == b, f"twin diverged on {p!r}:\n catalyst={a!r}\n python={b!r}"
