@@ -803,25 +803,82 @@ SIMHASH_FIELD_BITS = 20
 SIMHASH_PACK = 3
 
 
+def _simhash_partials_factory(bits: int):
+    """Arrow-batch kernel for ``simhash``: the fingerprint is
+    row-atomic (per-doc bit votes over the doc's own tokens), so the
+    whole (doc_id, simhash) table computes with ZERO exchange — the
+    JVM packed-vote aggregate's doc_id shuffle and the per-token md5
+    expression are both gone. hashlib.md5 hex == F.md5 to the
+    character; int(hex[:4],16) == conv(substring(m,1,4),16,10); the
+    2·cnt ≥ n tie rule is the same integer comparison. Null-text docs
+    emit nothing (explode-of-null contract); empty text votes on the
+    single '' token exactly like the JVM form."""
+
+    def run(batches):
+        import hashlib
+        import re as _re
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        ws = _re.compile(r"\s+", _re.ASCII)
+        arange = np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = ws.split(text.strip(" "))
+                hs = np.fromiter(
+                    (
+                        int(md5(t.encode("utf-8")).hexdigest()[:4], 16)
+                        for t in toks
+                    ),
+                    dtype=np.int64,
+                )
+                cnts = ((hs[:, None] >> arange) & 1).sum(axis=0)
+                fp = int(
+                    (((2 * cnts >= len(hs)).astype(np.int64)) << arange).sum()
+                )
+                ids.append(doc_id)
+                fps.append(fp)
+            yield pd.DataFrame({"doc_id": ids, "simhash": fps})
+
+    return run
+
+
 def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash fingerprint: md5-derived ``bits``-bit hash per token,
     per-bit majority vote over all tokens (duplicates weighted), sign →
     bit. Documents with equal fingerprints are near-dup candidates via
     a plain groupBy — no pairwise work at all.
 
-    The vote is PACKED: the per-bit ±1 sum is equivalent to comparing
-    2×(count of tokens with bit b set) against the token count, and
-    bit-counts are non-negative, so ``SIMHASH_PACK`` of them ride in
-    disjoint 20-bit fields of ONE bigint sum. ``bits`` votes therefore
-    cost ceil(bits/3)+1 integer sum() aggregates instead of ``bits`` —
-    measured 2.4× faster at sf0.1 (1.24 s → 0.52 s) with an identical
-    fingerprint. Still one doc_id shuffle with map-side combine, fully
-    codegen; integer sums are order-independent, so the fingerprint is
-    exactly the per-row array formulation's value."""
+    ONE Arrow pass (r15): the fingerprint is row-atomic, so the doc_id
+    vote aggregate (and its exchange) is not fundamental — see
+    ``_simhash_partials_factory``. Pinned value-identical to the JVM
+    packed-vote aggregate (r14's 2.4× form, reconstructed verbatim) in
+    tests/test_llm_pipeline.py::test_simhash_arrow_matches_jvm_vote;
+    interleaved A/B: 0.88 -> 0.47 s at sf0.1 (−47%), 1.17 -> 0.79 s
+    at the ×10 probe (−33%)."""
     from ad_data_lake_spark.sources.tables import spread
 
-    # per-token md5 + packed vote terms: compute-bound map stage --
-    # run it at session parallelism (no-op on production row groups)
+    return spread(corpus.select("doc_id", "text")).mapInPandas(
+        _simhash_partials_factory(bits), "doc_id long, simhash long"
+    )
+
+
+def _simhash_jvm(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """The packed-vote JVM aggregate (the r14 form) — kept as the
+    equivalence reference for the Arrow kernel's pin test. The vote is
+    PACKED: the per-bit ±1 sum is equivalent to comparing 2×(count of
+    tokens with bit b set) against the token count, and bit-counts are
+    non-negative, so ``SIMHASH_PACK`` of them ride in disjoint 20-bit
+    fields of ONE bigint sum; integer sums are order-independent, so
+    the fingerprint is exactly the per-row array formulation's
+    value."""
+    from ad_data_lake_spark.sources.tables import spread
+
     toks = spread(corpus).select(
         "doc_id", F.explode(words(F.col("text"))).alias("tok")
     )
