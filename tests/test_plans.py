@@ -798,3 +798,15 @@ def test_iterative_tier_job_count_ceilings(spark):
     counts = {name: jobs_for(name) for name in ceilings}
     over = {n: c for n, c in counts.items() if c > ceilings[n]}
     assert not over, f"job-count regression past ceiling: {over} (all: {counts})"
+
+
+def test_bpe_encode_inline_path_zero_exchange(spark):
+    """bpe_encode_ids Path A (inline vocab, the fixture regime) must
+    stay a ZERO-SHUFFLE single-scan projection — a refactor that
+    silently falls back to the per-occurrence Path B shape would
+    reintroduce the posexplode + vocab window + reassembly exchanges
+    (r14: 2 scans + 6 Exchange). Pins the r14 inline-vocab win."""
+    plan = plan_of(spark, "bpe_encode_ids")
+    assert "Exchange" not in plan, "Path A must plan no exchange at all"
+    assert plan.count("Scan parquet") == 1
+    assert "Generate" not in plan, "Path A must not explode"
